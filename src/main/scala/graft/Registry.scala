@@ -1,0 +1,27 @@
+package graft
+
+import graft.operators._
+
+/** The full declared operator inventory (SURVEY.md §2) in a stable,
+  * insertion-ordered sequence. Names are the driver's correctness keys —
+  * never rename a declared query.
+  */
+object Registry {
+  val all: Seq[Q] =
+    Scans.all ++
+      Projections.all ++
+      Aggregations.all ++
+      Joins.all ++
+      Windows.all ++
+      SortSet.all ++
+      SemiStructured.all ++
+      TextOps.all ++
+      Similarity.all ++
+      EventOps.all ++
+      Extensibility.all ++
+      Multimodal.all
+
+  def byName(name: String): Q =
+    all.find(_.name == name).getOrElse(
+      throw new NoSuchElementException(s"no declared query named $name"))
+}

@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic text/hash column builders shared by the dedup /
+  * fingerprint / similarity operators.
+  *
+  * All hashes are plain 64-bit modular arithmetic (not murmur/xxhash) so
+  * the DuckDB oracle can reproduce them bit-for-bit with the same integer
+  * expressions. Everything here is built-in `functions._` composition →
+  * whole-stage codegen, no UDF boundary, distributes trivially.
+  */
+object TextFunctions {
+
+  /** Large prime modulus keeping every intermediate well inside Long. */
+  val P: Long = 1000000007L
+
+  /** Whitespace tokens of a text column. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct whitespace tokens (set semantics for dedup/Jaccard). */
+  def tokenSet(text: Column): Column = array_distinct(split(text, " "))
+
+  /** Polynomial rolling hash of a string: fold over its characters of
+    * (acc * 31 + codepoint) mod P, starting at 0. DuckDB mirror:
+    * `list_reduce(list_prepend(CAST(0 AS BIGINT),
+    *    list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+    *    (a, c) -> (a * 31 + c) % 1000000007)`.
+    */
+  def charHash(str: Column): Column =
+    aggregate(split(str, ""), lit(0L), (acc, c) => (acc * 31 + ascii(c)) % P)
+
+  /** Hashes of the distinct tokens of `text` — basis for MinHash/SimHash. */
+  def tokenHashes(text: Column): Column =
+    transform(tokenSet(text), charHash _)
+
+  /** MinHash signature of `text` with `k` universal-hash functions
+    * h_i(x) = ((2i+3)·x + (5i+7)) mod P over the distinct-token hashes.
+    *
+    * Scale note: signature computation is per-row (no shuffle); the LSH
+    * band join that follows groups O(n·bands) small keys instead of the
+    * O(n²) pairwise comparison — the standard way near-dedup survives
+    * 100 TB corpora.
+    */
+  def minhashSignature(text: Column, k: Int): Column = {
+    val hs = tokenHashes(text)
+    transform(sequence(lit(0L), lit(k - 1L)), i =>
+      array_min(transform(hs, h => (h * (i * 2 + 3) + (i * 5 + 7)) % P)))
+  }
+
+  /** 32-bit SimHash over the distinct-token hashes: bit j of the result is
+    * set iff more token hashes have bit j set than clear. Bit j is read
+    * arithmetically ((h div 2^j) mod 2) — exact in double since h < 2^30 —
+    * so the DuckDB oracle can mirror it without shift builtins.
+    */
+  def simhash32(text: Column): Column = {
+    val hs = tokenHashes(text)
+    aggregate(sequence(lit(0L), lit(31L)), lit(0L), (acc, j) => {
+      val pw = pow(lit(2.0), j).cast("long")
+      val votes = aggregate(hs, lit(0L),
+        (a, h) => a + (h.cast("double") / pw).cast("long") % 2 * 2 - 1)
+      acc + when(votes > 0, pw).otherwise(0L)
+    })
+  }
+
+  /** Token n-gram shingles (n consecutive tokens joined by one space).
+    * Guarded: Spark's sequence(1, 0) would be DESCENDING, not empty, so
+    * texts shorter than n tokens explicitly yield an empty shingle set.
+    */
+  def tokenShingles(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    when(size(ts) >= n,
+      array_distinct(transform(sequence(lit(1), size(ts) - (n - 1)), i =>
+        concat_ws(" ", slice(ts, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+}

@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.Q
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import graft.functions.Num.round
+import org.apache.spark.sql.Encoders
+
+/** §2.11 — user-defined scalar / aggregate / table functions.
+  *
+  * Scale notes: a Scala UDF is an opaque codegen boundary (serialization +
+  * no pushdown through it) — q_udf_1 exists to exercise the surface and is
+  * deliberately paired with the equivalent built-in-functions expression.
+  * The typed Aggregator UDAF participates in partial aggregation (its
+  * buffer merges map-side), so it scales like a built-in agg. The typed
+  * flatMap "UDTF" is the Dataset-native generator form.
+  */
+object Extensibility {
+
+  /** Weighted average as a typed Aggregator: IN=(value, weight). */
+  object WeightedAvg extends Aggregator[(Double, Double), (Double, Double), Double] {
+    def zero: (Double, Double) = (0.0, 0.0)
+    def reduce(b: (Double, Double), a: (Double, Double)): (Double, Double) =
+      (b._1 + a._1 * a._2, b._2 + a._2)
+    def merge(x: (Double, Double), y: (Double, Double)): (Double, Double) =
+      (x._1 + y._1, x._2 + y._2)
+    def finish(r: (Double, Double)): Double = r._1 / r._2
+    def bufferEncoder = Encoders.product[(Double, Double)]
+    def outputEncoder = Encoders.scalaDouble
+  }
+
+  final case class Doc(doc_id: Long, text: String)
+
+  val all: Seq[Q] = Seq(
+
+    Q("q_udf_1_scalar",
+      """SELECT c_custkey,
+        | upper(substring(lower(c_mktsegment), 1, 1)) || lower(substring(lower(c_mktsegment), 2)) AS seg_title_udf,
+        | upper(substring(lower(c_mktsegment), 1, 1)) || lower(substring(lower(c_mktsegment), 2)) AS seg_title_builtin
+        |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      // Same logic twice: as a Scala UDF (opaque to Catalyst) and as a
+      // built-in-functions Column (codegen'd) — the comparison the survey
+      // calls for. Single-token segments → title case = capitalize.
+      val titleCase = udf((v: String) =>
+        v.split(' ').map(w => if (w.isEmpty) w else w.head.toUpper +: w.tail).mkString(" "))
+      Tables(s, d, "customer").select(
+        col("c_custkey"),
+        titleCase(lower(col("c_mktsegment"))).as("seg_title_udf"),
+        initcap(lower(col("c_mktsegment"))).as("seg_title_builtin"))
+        .orderBy("c_custkey")
+    },
+
+    Q("q_udaf_1_wavg",
+      """SELECT l_returnflag, floor((sum(l_extendedprice * l_quantity) / sum(l_quantity)) * 1000000 + 0.5) / 1000000 AS wavg_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val wavg = udaf(WeightedAvg)
+      Tables(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(wavg(col("l_extendedprice"), col("l_quantity")), 6).as("wavg_price"))
+        .orderBy("l_returnflag")
+    },
+
+    Q("q_udtf_1_generator",
+      """SELECT doc_id, unnest(generate_series(0, len(string_split(text, ' ')) - 1)) AS pos,
+        | unnest(string_split(text, ' ')) AS token
+        |FROM documents WHERE doc_id < 50 ORDER BY doc_id, pos""".stripMargin) { (s, d) =>
+      // Typed UDTF-equivalent: Dataset.flatMap generator. Cross-checked
+      // against q_arr_2_explode (same oracle) — explode vs flatMap must
+      // agree row-for-row.
+      import s.implicits._
+      Tables(s, d, "documents")
+        .filter(col("doc_id") < 50)
+        .select("doc_id", "text").as[Doc]
+        .flatMap(dc => dc.text.split(' ').iterator.zipWithIndex
+          .map { case (t, i) => (dc.doc_id, i.toLong, t) })
+        .toDF("doc_id", "pos", "token")
+        .orderBy("doc_id", "pos")
+    }
+  )
+}

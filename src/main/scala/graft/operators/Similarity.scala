@@ -1,0 +1,156 @@
+package graft.operators
+
+import graft.Q
+import graft.functions.VectorFunctions
+import graft.functions.VectorFunctions.Duck
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Num.round
+
+/** §2.9 (vector half) — similarity search & clustering primitives over the
+  * `embeddings` table, plus the ANN operators a training-data pipeline
+  * needs (brute-force top-k baseline and an IVF-bucketed scale path).
+  *
+  * Scale notes:
+  *  - Brute-force knn broadcasts the PROBE side (1 row / small set); the
+  *    corpus side streams — linear scan, embarrassingly parallel. Valid
+  *    baseline at any scale for small probe sets.
+  *  - IVF: vectors are pre-assigned to the nearest of k centroids (one
+  *    broadcast join against the centroid table); a query then scans only
+  *    its probe cell(s) — the partition-pruned path. At 100 TB the cell id
+  *    becomes the table's partition column.
+  *  - All-pairs similarity is demonstration-bounded; the production
+  *    near-dup route is MinHash-LSH (TextOps) or IVF-blocked search.
+  */
+object Similarity {
+
+  val all: Seq[Q] = Seq(
+
+    Q("q_sim_1_cosine_pair",
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         | floor((${Duck.cosine("a.embedding", "b.embedding")}) * 1000000 + 0.5) / 1000000 AS cosine
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE a.vec_id < 10 AND b.vec_id < 10
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      val e = Tables(s, d, "embeddings").filter(col("vec_id") < 10)
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(VectorFunctions.cosine(col("va"), col("vb")), 6).as("cosine"))
+        .orderBy("id_a", "id_b")
+    },
+
+    Q("q_sim_2_knn",
+      s"""SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS rank,
+         | vec_id, floor((cos) * 1000000 + 0.5) / 1000000 AS cosine
+         |FROM (
+         | SELECT e.vec_id, ${Duck.cosine("e.embedding", "p.pvec")} AS cos
+         | FROM embeddings e,
+         |  (SELECT embedding AS pvec, label AS plabel FROM embeddings WHERE vec_id = 0) p
+         | WHERE e.label = p.plabel AND e.vec_id <> 0)
+         |ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin) { (s, d) =>
+      // Brute-force cosine top-k: probe row broadcast against the corpus,
+      // TakeOrderedAndProject for the top-5 (per-partition heaps).
+      val e = Tables(s, d, "embeddings")
+      val probe = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("pvec"), col("label").as("plabel"))
+      e.join(broadcast(probe), col("label") === col("plabel") && col("vec_id") =!= 0)
+        .select(col("vec_id"), VectorFunctions.cosine(col("embedding"), col("pvec")).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(5)
+        .select(row_number().over(Window.orderBy(col("cos").desc, col("vec_id"))).cast("long").as("rank"),
+          col("vec_id"), round(col("cos"), 6).as("cosine"))
+    },
+
+    Q("q_sim_3_centroid",
+      """WITH e AS (
+        | SELECT vec_id, label, unnest(generate_series(1, len(embedding))) AS pos,
+        |  CAST(unnest(embedding) AS DOUBLE) AS val
+        | FROM embeddings),
+        |cent AS (SELECT label, pos, avg(val) AS c FROM e GROUP BY label, pos)
+        |SELECT e.vec_id, e.label, floor((sqrt(sum((e.val - cent.c) * (e.val - cent.c)))) * 1000000 + 0.5) / 1000000 AS dist_to_centroid
+        |FROM e JOIN cent ON e.label = cent.label AND e.pos = cent.pos
+        |GROUP BY e.vec_id, e.label ORDER BY e.vec_id""".stripMargin) { (s, d) =>
+      // Clustering primitive: per-label centroid, then each vector's L2
+      // distance to its own centroid. Shuffles O(n·dim) exploded rows —
+      // at scale the centroid table is tiny and gets broadcast back.
+      val e = Tables(s, d, "embeddings")
+        .select(col("vec_id"), col("label"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("label"), (col("pos") + 1).as("pos"),
+          col("col").cast("double").as("val"))
+      val cent = e.groupBy("label", "pos").agg(avg("val").as("c"))
+      e.join(broadcast(cent), Seq("label", "pos"))
+        .withColumn("diff2", (col("val") - col("c")) * (col("val") - col("c")))
+        .groupBy("vec_id", "label")
+        .agg(round(sqrt(sum("diff2")), 6).as("dist_to_centroid"))
+        .orderBy("vec_id")
+    },
+
+    Q("q_sim_4_ann_ivf",
+      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+         |assign AS (
+         | SELECT vec_id, cid FROM (
+         |  SELECT e.vec_id, c.cid,
+         |   row_number() OVER (PARTITION BY e.vec_id ORDER BY ${Duck.sqDist("e.embedding", "c.cvec")}, c.cid) AS rn
+         |  FROM embeddings e, cents c) WHERE rn = 1),
+         |probe AS (SELECT embedding AS pvec FROM embeddings WHERE vec_id = 0),
+         |pcell AS (SELECT cid AS pcid FROM assign WHERE vec_id = 0)
+         |SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS rank, vec_id, floor((cos) * 1000000 + 0.5) / 1000000 AS cosine
+         |FROM (
+         | SELECT e.vec_id, ${Duck.cosine("e.embedding", "p.pvec")} AS cos
+         | FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id, probe p, pcell
+         | WHERE a.cid = pcell.pcid AND e.vec_id <> 0)
+         |ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin) { (s, d) =>
+      // IVF-style ANN: coarse quantization to 8 fixed centroids (vec_id<8
+      // as deterministic "trained" centroids), then exact search inside
+      // the probe's cell only. The assignment join is broadcast (centroids
+      // are tiny); only the probe cell is scanned at query time.
+      val e = Tables(s, d, "embeddings")
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(VectorFunctions.sqDist(col("embedding"), col("cvec")), col("cid"))
+      val assign = e.crossJoin(broadcast(cents))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"))
+      val probe = e.filter(col("vec_id") === 0).select(col("embedding").as("pvec"))
+      val pcell = assign.filter(col("vec_id") === 0).select(col("cid").as("pcid"))
+      e.join(assign.withColumnRenamed("vec_id", "a_vec_id"), col("vec_id") === col("a_vec_id"))
+        .join(broadcast(pcell), col("cid") === col("pcid"))
+        .filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id"), VectorFunctions.cosine(col("embedding"), col("pvec")).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(5)
+        .select(row_number().over(Window.orderBy(col("cos").desc, col("vec_id"))).cast("long").as("rank"),
+          col("vec_id"), round(col("cos"), 6).as("cosine"))
+    },
+
+    Q("q_sim_5_embed_neardup",
+      s"""SELECT id_a, id_b, floor((cos) * 1000000 + 0.5) / 1000000 AS cosine,
+         | CAST(row_number() OVER (ORDER BY cos DESC, id_a, id_b) AS BIGINT) AS rank
+         |FROM (
+         | SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${Duck.cosine("a.embedding", "b.embedding")} AS cos
+         | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         | WHERE a.vec_id < 60 AND b.vec_id < 60)
+         |ORDER BY cos DESC, id_a, id_b LIMIT 20""".stripMargin) { (s, d) =>
+      // Embedding-cosine near-dup: rank the most similar pairs (the
+      // dedup-decision input). Demonstration-bounded to 60 vectors; the
+      // scale path is IVF/LSH blocking, not all-pairs.
+      val e = Tables(s, d, "embeddings").filter(col("vec_id") < 60)
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      val w = Window.orderBy(col("cos").desc, col("id_a"), col("id_b"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          VectorFunctions.cosine(col("va"), col("vb")).as("cos"))
+        .orderBy(col("cos").desc, col("id_a"), col("id_b"))
+        .limit(20)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"),
+          row_number().over(w).cast("long").as("rank"))
+    }
+  )
+}

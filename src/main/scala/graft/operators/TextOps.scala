@@ -1,0 +1,250 @@
+package graft.operators
+
+import graft.Q
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Num.round
+
+/** §2.9 (text half) + training-data-pipeline text operators: token stats,
+  * TF top-k, language heuristics, quality scoring, fingerprinting, and the
+  * dedup family (exact, token-set, MinHash+LSH, SimHash, n-gram Jaccard).
+  *
+  * Scale notes:
+  *  - Exact dedup = hash-groupBy on a digest of the normalized text: one
+  *    shuffle keyed by digest, no text comparison — the only exact-dedup
+  *    shape that works at 100 TB.
+  *  - MinHash near-dedup shuffles O(n·bands) band keys, never the O(n²)
+  *    pair space; candidate pairs only materialize inside a band bucket.
+  *  - Pairwise operators (Jaccard) are demonstration-bounded by fixed
+  *    doc_id cutoffs; the production path is the LSH route above.
+  *  - All token hashing is modular arithmetic inside codegen (see
+  *    TextFunctions) so the DuckDB oracle reproduces it exactly.
+  */
+object TextOps {
+
+  /** DuckDB mirror of TextFunctions.charHash(c). */
+  private def duckCharHash(c: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($c, ''), ch -> CAST(ascii(ch) AS BIGINT))), (a, ch) -> (a * 31 + ch) % 1000000007)"
+
+  /** DuckDB mirror of TextFunctions.tokenHashes(text). */
+  private val duckTokenHashes: String =
+    s"list_transform(list_distinct(string_split(text, ' ')), t -> ${duckCharHash("t")})"
+
+  val all: Seq[Q] = Seq(
+
+    Q("q_text_1_tokenstats",
+      """SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_tokens,
+        | floor((count(*)::DOUBLE / count(DISTINCT doc_id)) * 10000 + 0.5) / 10000 AS avg_tokens,
+        | count(DISTINCT token) AS vocab
+        |FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      Tables(s, d, "documents")
+        .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("token"))
+        .groupBy("lang")
+        .agg(
+          countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_tokens"),
+          round(count(lit(1)).cast("double") / countDistinct(col("doc_id")), 4).as("avg_tokens"),
+          countDistinct(col("token")).as("vocab"))
+        .orderBy("lang")
+    },
+
+    Q("q_text_2_tf",
+      """SELECT lang, token, cnt, CAST(rn AS BIGINT) AS rn FROM (
+        | SELECT lang, token, cnt, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token ASC) AS rn
+        | FROM (SELECT lang, token, count(*) AS cnt FROM
+        |        (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
+        |       GROUP BY 1, 2)
+        |) WHERE rn <= 10 ORDER BY lang, rn""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("token").asc)
+      Tables(s, d, "documents")
+        .select(col("lang"), explode(tokens(col("text"))).as("token"))
+        .groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select(col("lang"), col("token"), col("cnt"), col("rn").cast("long").as("rn"))
+        .orderBy("lang", "rn")
+    },
+
+    Q("q_text_3_langdist",
+      """SELECT lang, source, CAST(floor(n_chars / 100) AS BIGINT) AS len_bucket, count(*) AS n_docs,
+        | floor((avg(n_chars)) * 10000 + 0.5) / 10000 AS avg_chars
+        |FROM documents GROUP BY 1, 2, 3 ORDER BY lang, source, len_bucket""".stripMargin) { (s, d) =>
+      Tables(s, d, "documents")
+        .groupBy(col("lang"), col("source"),
+          floor(col("n_chars") / 100).cast("long").as("len_bucket"))
+        .agg(count(lit(1)).as("n_docs"), round(avg("n_chars"), 4).as("avg_chars"))
+        .orderBy("lang", "source", "len_bucket")
+    },
+
+    Q("q_text_4_langid",
+      """SELECT doc_id, lang, s_data, s_query, s_row,
+        | CASE WHEN s_data >= s_query AND s_data >= s_row THEN 'cat_data'
+        |  WHEN s_query >= s_row THEN 'cat_query' ELSE 'cat_row' END AS predicted
+        |FROM (
+        | SELECT doc_id, lang,
+        |  CAST(len(list_filter(string_split(text, ' '), t -> t IN ('data', 'table', 'spark'))) AS BIGINT) AS s_data,
+        |  CAST(len(list_filter(string_split(text, ' '), t -> t IN ('query', 'filter', 'join'))) AS BIGINT) AS s_query,
+        |  CAST(len(list_filter(string_split(text, ' '), t -> t IN ('row', 'group', 'small'))) AS BIGINT) AS s_row
+        | FROM documents)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // n-gram/keyword language-ID heuristic: score per category = number
+      // of marker-token occurrences; argmax with a fixed tie-break order.
+      def score(c: org.apache.spark.sql.Column, markers: Seq[String]) =
+        size(filter(tokens(c), t => t.isin(markers: _*))).cast("long")
+      Tables(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          score(col("text"), Seq("data", "table", "spark")).as("s_data"),
+          score(col("text"), Seq("query", "filter", "join")).as("s_query"),
+          score(col("text"), Seq("row", "group", "small")).as("s_row"))
+        .withColumn("predicted",
+          when(col("s_data") >= col("s_query") && col("s_data") >= col("s_row"), "cat_data")
+            .when(col("s_query") >= col("s_row"), "cat_query")
+            .otherwise("cat_row"))
+        .orderBy("doc_id")
+    },
+
+    Q("q_text_5_quality",
+      """SELECT doc_id,
+        | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        | floor((CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' '))) * 1000000 + 0.5) / 1000000 AS avg_tok_len,
+        | CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'of', 'and', 'row', 'data'))) AS BIGINT) AS n_stop,
+        | floor((least(CAST(1 AS DOUBLE), len(string_split(text, ' ')) / CAST(50 AS DOUBLE)) * (CAST(1 AS DOUBLE) - CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'of', 'and', 'row', 'data'))) AS DOUBLE) / len(string_split(text, ' ')))) * 1000000 + 0.5) / 1000000 AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // Document quality scoring: length-normalized score damped by
+      // stopword density — the usual cheap pre-filter before expensive
+      // model-based scoring in a training-data pipeline.
+      val ts = tokens(col("text"))
+      val nTok = size(ts)
+      val stop = Seq("the", "of", "and", "row", "data")
+      val nStop = size(filter(ts, t => t.isin(stop: _*)))
+      Tables(s, d, "documents")
+        .select(col("doc_id"),
+          nTok.cast("long").as("n_tokens"),
+          round(length(regexp_replace(col("text"), " ", "")).cast("double") / nTok, 6).as("avg_tok_len"),
+          nStop.cast("long").as("n_stop"),
+          round(least(lit(1.0), nTok / 50.0) * (lit(1.0) - nStop.cast("double") / nTok), 6).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    Q("q_text_6_tokencount",
+      """SELECT doc_id,
+        | CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        | CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS BIGINT) AS bpe_ish_tokens,
+        | CAST(length(text) AS BIGINT) AS n_chars_measured
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // Token counting two ways: whitespace split and a BPE-ish greedy
+      // regex chunker (≤4-char pieces), both codegen'd per-row.
+      Tables(s, d, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+          size(regexp_extract_all(col("text"), lit("[a-z]{1,4}"), lit(0))).cast("long").as("bpe_ish_tokens"),
+          length(col("text")).cast("long").as("n_chars_measured"))
+        .orderBy("doc_id")
+    },
+
+    Q("q_text_7_fingerprint",
+      s"""SELECT doc_id, md5(text) AS md5_fp,
+         | ${duckCharHash("text")} AS rolling_fp
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // Content fingerprinting: cryptographic digest + a polynomial rolling
+      // hash (the shift-add hash used by rsync/Rabin-style chunkers).
+      Tables(s, d, "documents")
+        .select(col("doc_id"), md5(col("text")).as("md5_fp"),
+          charHash(col("text")).as("rolling_fp"))
+        .orderBy("doc_id")
+    },
+
+    Q("q_dedup_1_exact",
+      """SELECT md5(lower(trim(text))) AS text_key, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY text_key""".stripMargin) { (s, d) =>
+      // Exact dedup: digest-keyed groupBy; survivor = min doc_id.
+      Tables(s, d, "documents")
+        .groupBy(md5(lower(trim(col("text")))).as("text_key"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("text_key")
+    },
+
+    Q("q_dedup_2_near",
+      """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS set_key,
+        | min(doc_id) AS keep_id, count(*) AS n_members
+        |FROM documents
+        |GROUP BY 1 HAVING count(*) > 1 ORDER BY set_key""".stripMargin) { (s, d) =>
+      // Order-insensitive near-dup: identical distinct-token SET.
+      Tables(s, d, "documents")
+        .groupBy(md5(concat_ws(" ", sort_array(tokenSet(col("text"))))).as("set_key"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_members"))
+        .filter(col("n_members") > 1)
+        .orderBy("set_key")
+    },
+
+    Q("q_dedup_3_minhash_lsh",
+      s"""WITH sigs AS (
+         | SELECT doc_id,
+         |  list_transform(range(0, 16), i -> list_min(list_transform($duckTokenHashes, h -> (h * (i * 2 + 3) + (i * 5 + 7)) % 1000000007))) AS sig
+         | FROM documents WHERE doc_id < 100),
+         |bands AS (
+         | SELECT doc_id, j, md5(array_to_string(list_transform(list_slice(sig, j * 4 + 1, j * 4 + 4), x -> CAST(x AS VARCHAR)), '-')) AS band_key
+         | FROM sigs, (SELECT unnest(range(0, 4)) AS j))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+         |FROM bands a JOIN bands b ON a.j = b.j AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      // MinHash(k=16) + LSH(4 bands × 4 rows): candidate pairs are doc
+      // pairs agreeing on ≥1 band. Bounded to doc_id<100 here; at scale
+      // the band join is the whole point — shuffle keys are (band, hash),
+      // never pairs.
+      val sigs = Tables(s, d, "documents")
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), minhashSignature(col("text"), 16).as("sig"))
+      val bands = sigs
+        .select(col("doc_id"), explode(sequence(lit(0L), lit(3L))).as("j"), col("sig"))
+        .select(col("doc_id"), col("j"),
+          md5(concat_ws("-", transform(slice(col("sig"), (col("j") * 4 + 1).cast("int"), lit(4)), _.cast("string")))).as("band_key"))
+      val a = bands.select(col("doc_id").as("doc_a"), col("j"), col("band_key"))
+      val b = bands.select(col("doc_id").as("doc_b"), col("j").as("j2"), col("band_key").as("band_key2"))
+      a.join(b, col("j") === col("j2") && col("band_key") === col("band_key2") && col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared_bands"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    Q("q_dedup_4_simhash",
+      s"""WITH hs AS (SELECT doc_id, $duckTokenHashes AS hl FROM documents)
+         |SELECT doc_id,
+         | list_reduce(list_prepend(CAST(0 AS BIGINT), range(0, 32)), (acc, j) -> acc +
+         |  CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), hl), (a, h) -> a + (h // CAST(pow(2, j) AS BIGINT)) % 2 * 2 - 1) > 0
+         |   THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS simhash
+         |FROM hs ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // 32-bit SimHash per document — near-dup docs land at small Hamming
+      // distance; identical token sets collide exactly.
+      Tables(s, d, "documents")
+        .select(col("doc_id"), simhash32(col("text")).as("simhash"))
+        .orderBy("doc_id")
+    },
+
+    Q("q_dedup_5_ngram_jaccard",
+      """WITH sh AS (
+        | SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |   i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))) AS shingles
+        | FROM documents WHERE doc_id < 40)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        | floor((CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |   / len(list_distinct(a.shingles || b.shingles))) * 1000000 + 0.5) / 1000000 AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      // Pairwise 3-gram Jaccard, demonstration-bounded (40 docs → 780
+      // pairs). Production path for this predicate is q_dedup_3's LSH.
+      val sh = Tables(s, d, "documents")
+        .filter(col("doc_id") < 40)
+        .select(col("doc_id"), tokenShingles(col("text"), 3).as("shingles"))
+      val a = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+      a.join(b, col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+            / size(array_distinct(concat(col("sh_a"), col("sh_b")))), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }
+  )
+}

@@ -1,0 +1,119 @@
+package graft.operators
+
+import graft.Q
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Num.round
+
+/** §2.5 — window functions.
+  *
+  * Scale notes: every window partitions by a real key (customer, part,
+  * brand) → one hash shuffle on the partition key, then a per-partition
+  * sort. None of these windows are global (an `orderBy` window without
+  * `partitionBy` funnels all data through one task — forbidden at scale).
+  * Window ORDER BYs always carry a unique tie-break key so rank/lag/lead
+  * are deterministic (SURVEY §2.12).
+  */
+object Windows {
+
+  val all: Seq[Q] = Seq(
+
+    Q("q_win_1_ranking",
+      """SELECT o_custkey, o_orderkey,
+        | row_number() OVER w AS rn, rank() OVER w AS rk, dense_rank() OVER w AS drk,
+        | ntile(4) OVER w AS quartile
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      Tables(s, d, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rk"),
+        dense_rank().over(w).as("drk"),
+        ntile(4).over(w).as("quartile"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    Q("q_win_2_running",
+      """SELECT o_custkey, o_orderkey,
+        | floor((sum(o_totalprice) OVER w) * 100 + 0.5) / 100 AS running_spend,
+        | floor((avg(o_totalprice) OVER w) * 10000 + 0.5) / 10000 AS running_avg
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, d, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        round(sum("o_totalprice").over(w), 2).as("running_spend"),
+        round(avg("o_totalprice").over(w), 4).as("running_avg"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    Q("q_win_3_sliding",
+      """SELECT l_partkey, l_orderkey, l_linenumber,
+        | floor((avg(l_quantity) OVER (PARTITION BY l_partkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |  ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)) * 1000000 + 0.5) / 1000000 AS mov_avg_qty
+        |FROM lineitem ORDER BY l_partkey, l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("l_partkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-2, 2)
+      Tables(s, d, "lineitem").select(
+        col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
+        round(avg("l_quantity").over(w), 6).as("mov_avg_qty"))
+        .orderBy("l_partkey", "l_orderkey", "l_linenumber")
+    },
+
+    Q("q_win_4_leadlag",
+      """SELECT o_custkey, o_orderkey,
+        | lag(o_orderkey) OVER w AS prev_key, lead(o_orderkey) OVER w AS next_key,
+        | CAST(date_diff('day', CAST(lag(o_orderdate) OVER w AS DATE), o_orderdate::DATE) AS BIGINT) AS days_since_prev
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      Tables(s, d, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        lag("o_orderkey", 1).over(w).as("prev_key"),
+        lead("o_orderkey", 1).over(w).as("next_key"),
+        datediff(col("o_orderdate").cast("date"), lag("o_orderdate", 1).over(w).cast("date"))
+          .cast("long").as("days_since_prev"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    Q("q_win_5_rangeframe",
+      """SELECT p_brand, p_partkey,
+        | floor((sum(p_retailprice) OVER (PARTITION BY p_brand ORDER BY p_retailprice
+        |  RANGE BETWEEN 10 PRECEDING AND 10 FOLLOWING)) * 100 + 0.5) / 100 AS near_price_sum,
+        | count(*) OVER (PARTITION BY p_brand ORDER BY p_retailprice
+        |  RANGE BETWEEN 10 PRECEDING AND 10 FOLLOWING) AS near_price_cnt
+        |FROM part ORDER BY p_brand, p_partkey""".stripMargin) { (s, d) =>
+      // RANGE frame on a numeric ordering column: peers at equal price are
+      // all included, so duplicate prices cannot break determinism.
+      val w = Window.partitionBy("p_brand").orderBy("p_retailprice").rangeBetween(-10, 10)
+      Tables(s, d, "part").select(
+        col("p_brand"), col("p_partkey"),
+        round(sum("p_retailprice").over(w), 2).as("near_price_sum"),
+        count(lit(1)).over(w).as("near_price_cnt"))
+        .orderBy("p_brand", "p_partkey")
+    },
+
+    Q("q_win_6_pctcume",
+      """SELECT o_custkey, o_orderkey,
+        | floor((percent_rank() OVER w) * 1000000 + 0.5) / 1000000 AS pr, floor((cume_dist() OVER w) * 1000000 + 0.5) / 1000000 AS cd,
+        | first_value(o_orderkey) OVER w AS first_key,
+        | last_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables(s, d, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"),
+        first("o_orderkey").over(w).as("first_key"),
+        last("o_orderkey").over(wFull).as("last_key"))
+        .orderBy("o_custkey", "o_orderkey")
+    }
+  )
+}
