@@ -27,4 +27,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // ~80 distinct queries × whole-stage-codegen classes overflow the
+  // default 240m JIT code cache mid-suite; once full, compilation stops
+  // and later queries run interpreted (observed 5-40× slowdowns).
+  "-XX:ReservedCodeCacheSize=512m",
+  // C1-only JIT: for a suite of ~80 short queries, C2's compile queue
+  // becomes the bottleneck (late queries run interpreted while C2 churns);
+  // C1 compiles instantly and is within noise for sub-second queries.
+  // A long-running cluster job would drop this flag — it is harness
+  // tuning, not an engine requirement.
+  "-XX:TieredStopAtLevel=1",
 )
