@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+
+/** Structured Streaming twins of the §2.10 batch queries.
+  *
+  * The batch forms in graft.operators.EventOps are the oracle-checkable
+  * contract; these builders run the SAME aggregations under `readStream`,
+  * proving the operators are genuinely streaming-capable. Unit tests
+  * drive them with a file source + memory sink + processAllAvailable.
+  *
+  * Scale notes: watermarks bound state (events later than the mark are
+  * dropped, closed windows are evicted); session windows merge per key —
+  * state is O(open sessions). At 100 TB/day the source would be Kafka
+  * with the same code from `.withWatermark` onward.
+  */
+object Streams {
+
+  /** Schema of the events stream (FIXTURES.md), ts already a timestamp. */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** File-source stream over a directory of event parquet (ts must
+    * already be µs — write through `prepareStreamInput`).
+    */
+  def eventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+
+  /** Write the fixture events table into a temp dir in the stream-ready
+    * shape (ns→µs fix applied, props dropped).
+    */
+  def prepareStreamInput(spark: SparkSession, sfDir: String, outDir: String): Unit =
+    graft.sources.Tables(spark, sfDir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(outDir)
+
+  /** Tumbling 1h counts/sums per event_type with a 10min watermark —
+    * streaming twin of q_stream_1_tumbling.
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Per-user session windows (30min gap) — streaming twin of
+    * q_stream_3_session.
+    */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"), col("user_id"), col("n_events"))
+
+  /** Streaming keyed dedupe — twin of q_stream_5_dedupe_keyed. */
+  def dedupeKeyed(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("user_id", "event_type")
+
+  /** Memory-sink writer used by the tests (complete mode for aggregates). */
+  def toMemorySink(df: DataFrame, name: String, complete: Boolean): DataStreamWriter[Row] =
+    df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(if (complete) "complete" else "append")
+      .trigger(Trigger.AvailableNow())
+}

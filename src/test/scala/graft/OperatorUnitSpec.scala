@@ -1,0 +1,146 @@
+package graft
+
+import graft.functions.{TextFunctions, VectorFunctions}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+/** Hand-computed expectations for the non-oracle queries and the edge
+  * semantics the DuckDB compare cannot see (SURVEY §5.2).
+  */
+class OperatorUnitSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("csv roundtrip preserves schema and content") {
+    val out = Registry.byName("q_scan_3_csv_roundtrip").fn(spark, sf)
+    val src = graft.sources.Tables(spark, sf, "region").orderBy("r_regionkey")
+    assert(out.schema.map(f => (f.name, f.dataType)) ==
+      src.schema.map(f => (f.name, f.dataType)))
+    assert(out.collect().toSeq == src.collect().toSeq)
+  }
+
+  test("json roundtrip preserves content") {
+    val out = Registry.byName("q_scan_4_jsonlines").fn(spark, sf)
+    val src = graft.sources.Tables(spark, sf, "nation").orderBy("n_nationkey")
+    assert(out.collect().toSeq == src.collect().toSeq)
+  }
+
+  test("approx_count_distinct within 5% of exact") {
+    val r = Registry.byName("q_agg_4_approx").fn(spark, sf).collect().head
+    val (approx, exact) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
+  test("map ops: all five event types, click count correct") {
+    val r = Registry.byName("q_map_1_basic").fn(spark, sf).collect().head
+    assert(r.getAs[String]("keys_sorted") == "click,error,purchase,signup,view")
+    val clicks = graft.sources.Tables(spark, sf, "events")
+      .filter(col("event_type") === "click").count()
+    assert(r.getAs[Long]("n_click") == clicks)
+    assert(r.getAs[Long]("n_types") == 5L)
+  }
+
+  test("multimodal decode stub: hand-computed features for one doc") {
+    val doc = graft.sources.Tables(spark, sf, "documents")
+      .filter(col("doc_id") === 0).select("text").as[String].head()
+    val bytes = doc.getBytes("UTF-8")
+    val expFrames = (bytes.indices.count(_ % 16 == 0)).toLong
+    val row = Registry.byName("q_mm_2_decode_features").fn(spark, sf)
+      .filter(col("doc_id") === 0).collect().head
+    assert(row.getAs[Long]("n_bytes") == bytes.length.toLong)
+    assert(row.getAs[Long]("n_frames") == expFrames)
+  }
+
+  test("charHash matches hand-computed polynomial fold") {
+    // h("ab") = ((0*31+97)%P)*31 + 98 = 3105
+    val got = spark.range(1).select(TextFunctions.charHash(lit("ab"))).as[Long].head()
+    assert(got == 3105L)
+  }
+
+  test("simhash identical for identical token sets, regardless of order/dups") {
+    val df = Seq((1L, "spark row data"), (2L, "data row spark spark"), (3L, "data row other"))
+      .toDF("id", "text")
+    val hs = df.select($"id", TextFunctions.simhash32($"text").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs(1L) == hs(2L))
+    assert(hs(1L) != hs(3L))
+  }
+
+  test("minhash LSH: exact-duplicate token sets always collide on every band") {
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "delta gamma beta alpha"))
+      .toDF("doc_id", "text")
+    val sig = df.select($"doc_id", TextFunctions.minhashSignature($"text", 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sig(1L) == sig(2L))
+    assert(sig(1L).sizeIs == 16)
+  }
+
+  test("tokenShingles: short text yields empty, 5 tokens yield 3 trigrams") {
+    val df = Seq(("a b", "one two three four five")).toDF("short", "long5")
+    val r = df.select(
+      TextFunctions.tokenShingles($"short", 3).as("s"),
+      TextFunctions.tokenShingles($"long5", 3).as("l")).collect().head
+    assert(r.getSeq[String](0).isEmpty)
+    assert(r.getSeq[String](1) ==
+      Seq("one two three", "two three four", "three four five"))
+  }
+
+  test("cosine: orthogonal = 0, identical = 1") {
+    val df = Seq((Array(1f, 0f), Array(0f, 1f))).toDF("a", "b")
+    val r = df.select(
+      VectorFunctions.cosine($"a", $"b").as("ortho"),
+      VectorFunctions.cosine($"a", $"a").as("self")).collect().head
+    assert(math.abs(r.getDouble(0)) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("weighted avg aggregator: hand case") {
+    val df = Seq((10.0, 1.0), (20.0, 3.0)).toDF("v", "w")
+    val wavg = udaf(graft.operators.Extensibility.WeightedAvg)
+    val got = df.agg(wavg($"v", $"w")).as[Double].head()
+    assert(math.abs(got - 17.5) < 1e-12) // (10*1+20*3)/4
+  }
+
+  test("session_window merges at exactly-gap boundary, splits past it") {
+    // Spark rule: event merges into the session iff ts < sessionEnd where
+    // sessionEnd = last_ts + gap. At ts == prev+gap a NEW session starts.
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    val df = Seq((1L, at(0)), (1L, at(29)), (1L, at(59)), (1L, at(120)))
+      .toDF("user_id", "ts")
+    val sessions = df.groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n")).select($"n").as[Long].collect().sorted
+    // 0,29,59 chain (29<0+30, 59<29+30); 120 is separate.
+    assert(sessions.toSeq == Seq(1L, 3L))
+  }
+
+  test("explode and typed flatMap generators agree row-for-row") {
+    val a = Registry.byName("q_arr_2_explode").fn(spark, sf).collect().toSeq
+    val b = Registry.byName("q_udtf_1_generator").fn(spark, sf).collect().toSeq
+    assert(a == b)
+  }
+
+  test("as-of join: purchase picks latest click at-or-before, per user") {
+    val events = Registry.byName("q_join_9_asof").fn(spark, sf)
+    // recompute one user's answer naively on the driver
+    val ev = graft.sources.Tables(spark, sf, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select($"event_id", $"user_id", $"event_type", $"ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3)))
+    val someUser = ev.collect { case (_, u, "purchase", _) => u }.headOption
+    for (u <- someUser) {
+      val mine = ev.filter(_._2 == u)
+      val purchases = mine.filter(_._3 == "purchase")
+      val clicks = mine.filter(_._3 == "click")
+      val expected = purchases.map { case (id, _, _, ts) =>
+        val last = clicks.filter(c => !c._4.after(ts)).map(_._4).sortBy(_.getTime).lastOption
+        id -> last.map(t => new java.sql.Timestamp(t.getTime / 1000 * 1000)).orNull
+      }.toMap
+      val got = events.filter($"user_id" === u)
+        .select($"event_id", $"last_click_ts").collect()
+        .map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+      assert(got == expected)
+    }
+  }
+}
