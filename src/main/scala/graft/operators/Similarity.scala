@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Q
+import graft.expressions.VectorExpressions
 import graft.functions.VectorFunctions
 import graft.functions.VectorFunctions.Duck
 import graft.sources.Tables
@@ -36,9 +37,10 @@ object Similarity {
       val e = Tables(s, d, "embeddings").filter(col("vec_id") < 10)
       val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
       val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      VectorExpressions.register(s)
       a.join(b, col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
-          round(VectorFunctions.cosine(col("va"), col("vb")), 6).as("cosine"))
+          round(expr("cosine_similarity(va, vb)"), 6).as("cosine"))
         .orderBy("id_a", "id_b")
     },
 
@@ -56,8 +58,9 @@ object Similarity {
       val e = Tables(s, d, "embeddings")
       val probe = e.filter(col("vec_id") === 0)
         .select(col("embedding").as("pvec"), col("label").as("plabel"))
+      VectorExpressions.register(s)
       e.join(broadcast(probe), col("label") === col("plabel") && col("vec_id") =!= 0)
-        .select(col("vec_id"), VectorFunctions.cosine(col("embedding"), col("pvec")).as("cos"))
+        .select(col("vec_id"), expr("cosine_similarity(embedding, pvec)").as("cos"))
         .orderBy(col("cos").desc, col("vec_id"))
         .limit(5)
         .select(row_number().over(Window.orderBy(col("cos").desc, col("vec_id"))).cast("long").as("rank"),
@@ -107,6 +110,7 @@ object Similarity {
       // as deterministic "trained" centroids), then exact search inside
       // the probe's cell only. The assignment join is broadcast (centroids
       // are tiny); only the probe cell is scanned at query time.
+      VectorExpressions.register(s)
       val e = Tables(s, d, "embeddings")
       val cents = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
@@ -122,7 +126,7 @@ object Similarity {
         .join(broadcast(pcell), col("cid") === col("pcid"))
         .filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(probe))
-        .select(col("vec_id"), VectorFunctions.cosine(col("embedding"), col("pvec")).as("cos"))
+        .select(col("vec_id"), expr("cosine_similarity(embedding, pvec)").as("cos"))
         .orderBy(col("cos").desc, col("vec_id"))
         .limit(5)
         .select(row_number().over(Window.orderBy(col("cos").desc, col("vec_id"))).cast("long").as("rank"),
@@ -144,9 +148,10 @@ object Similarity {
       val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
       val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
       val w = Window.orderBy(col("cos").desc, col("id_a"), col("id_b"))
+      VectorExpressions.register(s)
       a.join(b, col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
-          VectorFunctions.cosine(col("va"), col("vb")).as("cos"))
+          expr("cosine_similarity(va, vb)").as("cos"))
         .orderBy(col("cos").desc, col("id_a"), col("id_b"))
         .limit(20)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"),

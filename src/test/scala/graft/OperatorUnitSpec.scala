@@ -143,4 +143,26 @@ class OperatorUnitSpec extends SparkSpec {
       assert(got == expected)
     }
   }
+
+  test("native cosine_similarity: codegen result matches HOF bit-for-bit, nulls propagate") {
+    graft.expressions.VectorExpressions.register(spark)
+    val df = Seq(
+      (Option(Array(1f, 2f, 3f)), Option(Array(-1f, 0.5f, 2f))),
+      (Option(Array(1f, 2f, 3f)), None))
+      .toDF("a", "b")
+    val rows = df.select(
+      expr("cosine_similarity(a, b)").as("native"),
+      graft.functions.VectorFunctions.cosine($"a", $"b").as("hof")).collect()
+    assert(java.lang.Double.doubleToLongBits(rows(0).getDouble(0)) ==
+      java.lang.Double.doubleToLongBits(rows(0).getDouble(1)))
+    assert(rows(1).isNullAt(0) && rows(1).isNullAt(1))
+  }
+
+  test("cosine_similarity rejects wrong input types at analysis") {
+    graft.expressions.VectorExpressions.register(spark)
+    val err = intercept[Exception] {
+      Seq((1, 2)).toDF("a", "b").select(expr("cosine_similarity(a, b)")).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("array"))
+  }
 }
