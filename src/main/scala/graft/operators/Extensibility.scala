@@ -61,6 +61,17 @@ object Extensibility {
         .orderBy("l_returnflag")
     },
 
+    // Custom TypedImperativeAggregate HLL vs exact — implementations
+    // differ across engines, so no oracle; the unit test bounds the error.
+    Q.noOracle("q_udaf_2_hll_custom") { (s, d) =>
+      graft.expressions.HyperLogLogAgg.register(s)
+      Tables(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(expr("hll_distinct(o_custkey)").as("hll_cust"),
+          countDistinct(col("o_custkey")).as("exact_cust"))
+        .orderBy("o_orderpriority")
+    },
+
     Q("q_udtf_1_generator",
       """SELECT doc_id, unnest(generate_series(0, len(string_split(text, ' ')) - 1)) AS pos,
         | unnest(string_split(text, ' ')) AS token

@@ -165,4 +165,22 @@ class OperatorUnitSpec extends SparkSpec {
     }
     assert(err.getMessage.toLowerCase.contains("array"))
   }
+
+  test("custom HLL sketch within 5% of exact across partitioned merge") {
+    graft.expressions.HyperLogLogAgg.register(spark)
+    val n = 20000L
+    val got = spark.range(n).repartition(8)
+      .selectExpr("hll_distinct(id) AS est").as[Long].head()
+    assert(math.abs(got - n).toDouble / n < 0.05, s"est=$got exact=$n")
+    // determinism: same input -> same estimate
+    val again = spark.range(n).repartition(8)
+      .selectExpr("hll_distinct(id) AS est").as[Long].head()
+    assert(got == again)
+  }
+
+  test("custom HLL linear-counting regime is near-exact for small sets") {
+    graft.expressions.HyperLogLogAgg.register(spark)
+    val got = spark.range(100).selectExpr("hll_distinct(id) AS est").as[Long].head()
+    assert(math.abs(got - 100L) <= 2, s"est=$got")
+  }
 }
