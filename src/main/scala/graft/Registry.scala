@@ -19,7 +19,8 @@ object Registry {
       Similarity.all ++
       EventOps.all ++
       Extensibility.all ++
-      Multimodal.all
+      Multimodal.all ++
+      Extras.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(

@@ -183,4 +183,27 @@ class OperatorUnitSpec extends SparkSpec {
     val got = spark.range(100).selectExpr("hll_distinct(id) AS est").as[Long].head()
     assert(math.abs(got - 100L) <= 2, s"est=$got")
   }
+
+  test("seeded sample: deterministic and near the target fraction") {
+    val q = Registry.byName("q_scan_6_sample")
+    val n1 = q.fn(spark, sf).count()
+    val n2 = q.fn(spark, sf).count()
+    assert(n1 == n2)
+    val total = graft.sources.Tables(spark, sf, "lineitem").count()
+    val frac = n1.toDouble / total
+    assert(frac > 0.05 && frac < 0.15, s"fraction=$frac")
+  }
+
+  test("stratified sample: en down-sampled harder than the rest") {
+    import org.apache.spark.sql.functions.col
+    val sampled = Registry.byName("q_scan_7_stratified").fn(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val source = graft.sources.Tables(spark, sf, "documents")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val enRate = sampled.getOrElse("en", 0L).toDouble / source("en")
+    val deRate = sampled.getOrElse("de", 0L).toDouble / source("de")
+    assert(enRate < 0.25, s"enRate=$enRate")
+    assert(deRate > 0.25 && deRate < 0.75, s"deRate=$deRate")
+  }
 }
