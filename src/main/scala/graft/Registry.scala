@@ -20,7 +20,8 @@ object Registry {
       EventOps.all ++
       Extensibility.all ++
       Multimodal.all ++
-      Extras.all
+      Extras.all ++
+      Sinks.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(

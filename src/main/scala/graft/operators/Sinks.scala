@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.Q
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Connector/sink surface beyond CSV/JSON (§2.1): ORC round-trip,
+  * partitioned parquet layout, and bucketed tables.
+  *
+  * Scale notes: partitionBy(<low-cardinality col>) gives free partition
+  * pruning to every downstream reader — the single most important layout
+  * decision at 100 TB (facts partitioned by date, never by high-
+  * cardinality keys which would create millions of dirs). Bucketing
+  * pre-shuffles a table by join key ONCE at write time so every later
+  * join/agg on that key is shuffle-free (demonstrated in the unit test —
+  * requires a saveAsTable catalog, which Verify's temp-dir contract
+  * doesn't provide).
+  */
+object Sinks {
+
+  val all: Seq[Q] = Seq(
+
+    Q.noOracle("q_scan_8_orc_roundtrip") { (s, d) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+      Tables(s, d, "supplier").write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp).orderBy("s_suppkey")
+    },
+
+    Q("q_sink_1_partitioned",
+      """SELECT o_orderpriority, count(*) AS n, floor((sum(o_totalprice)) * 100 + 0.5) / 100 AS total
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      // Write orders partitioned by priority, read back through a
+      // partition-pruned scan, aggregate per partition value. The oracle
+      // sees the same numbers straight from the source table — proving
+      // the partitioned layout round-trips losslessly.
+      val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+      Tables(s, d, "orders").write.mode("overwrite")
+        .partitionBy("o_orderpriority").parquet(tmp)
+      s.read.parquet(tmp)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          graft.functions.Num.round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("o_orderpriority")
+    }
+  )
+}

@@ -68,6 +68,45 @@ object Streams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicates("user_id", "event_type")
 
+  /** ts_us = epoch microseconds (`unix_micros(ts)`) — java.sql.Timestamp
+    * getters would silently truncate to milliseconds.
+    */
+  final case class SessionEvent(user_id: Long, ts_us: Long)
+  final case class UserSession(user_id: Long, session_start_us: Long, n_events: Long)
+
+  /** Custom-state sessionizer via `flatMapGroupsWithState` — the escape
+    * hatch when `session_window` can't express the state machine (e.g.
+    * per-session value caps, dynamic gaps). Batch mode: each key's full
+    * iterator arrives at once and the gap fold runs in place. In a
+    * streaming query the identical callback runs incrementally with
+    * `GroupStateTimeout.EventTimeTimeout` driving session closure.
+    *
+    * Scale note: one shuffle on the grouping key; state is O(1) per open
+    * session. Uses the same inclusive-gap merge rule as session_window
+    * (an event at exactly prev+gap merges) so the two agree exactly.
+    */
+  def sessionize(ds: org.apache.spark.sql.Dataset[SessionEvent], gapMinutes: Int): org.apache.spark.sql.Dataset[UserSession] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import ds.sparkSession.implicits._
+    val gapUs = gapMinutes * 60000000L
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, UserSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, events: Iterator[SessionEvent], _: GroupState[Long]) =>
+          val ts = events.map(_.ts_us).toArray.sorted
+          val out = scala.collection.mutable.ArrayBuffer.empty[UserSession]
+          var start = 0
+          for (i <- 1 until ts.length)
+            if (ts(i) - ts(i - 1) > gapUs) { // strictly greater: prev+gap merges
+              out += UserSession(user, ts(start), (i - start).toLong)
+              start = i
+            }
+          if (ts.nonEmpty)
+            out += UserSession(user, ts(start), (ts.length - start).toLong)
+          out.iterator
+      }
+  }
+
   /** Memory-sink writer used by the tests (complete mode for aggregates). */
   def toMemorySink(df: DataFrame, name: String, complete: Boolean): DataStreamWriter[Row] =
     df.writeStream
