@@ -21,7 +21,8 @@ object Registry {
       Extensibility.all ++
       Multimodal.all ++
       Extras.all ++
-      Sinks.all
+      Sinks.all ++
+      Subqueries.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(

@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.Q
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import graft.functions.Num.round
+
+/** Subquery shapes + the SQL-string entry point (SURVEY §3.4) + time-spine
+  * generation.
+  *
+  * Scale notes: Catalyst decorrelates the correlated scalar subquery into
+  * an aggregate + join (no per-row re-execution) — verified in the plan
+  * audit. The SQL-string queries register temp views and go through the
+  * same analyzer/optimizer as the DataFrame forms. The date spine is
+  * driver-side-free generation (sequence + explode), the standard way to
+  * densify sparse time series without a calendar table.
+  */
+object Subqueries {
+
+  val all: Seq[Q] = Seq(
+
+    Q("q_sub_1_correlated_scalar",
+      """SELECT o_orderkey, floor((o_totalprice) * 100 + 0.5) / 100 AS price
+        |FROM orders o
+        |WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      // Correlated scalar subquery, written in SQL so Catalyst's
+      // decorrelation (RewriteCorrelatedScalarSubquery) handles it.
+      Tables(s, d, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT o_orderkey, floor(o_totalprice * 100 + 0.5) / 100 AS price
+        FROM orders_v o
+        WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders_v i WHERE i.o_custkey = o.o_custkey)
+        ORDER BY o_orderkey""")
+    },
+
+    Q("q_sub_2_in_subquery",
+      """SELECT p_partkey, p_name FROM part
+        |WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+        |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      // IN-subquery via the SQL entry — planned as a left-semi join.
+      Tables(s, d, "part").createOrReplaceTempView("part_v")
+      Tables(s, d, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT p_partkey, p_name FROM part_v
+        WHERE p_partkey IN (SELECT l_partkey FROM lineitem_v WHERE l_quantity >= 49)
+        ORDER BY p_partkey""")
+    },
+
+    Q("q_time_1_spine",
+      """WITH months AS (
+        | SELECT unnest(generate_series(TIMESTAMP '1995-01-01', TIMESTAMP '2001-08-01', INTERVAL 1 MONTH)) AS mon),
+        |counts AS (
+        | SELECT date_trunc('month', o_orderdate) AS mon, count(*) AS n, floor((sum(o_totalprice)) * 100 + 0.5) / 100 AS total
+        | FROM orders GROUP BY 1)
+        |SELECT months.mon, coalesce(counts.n, 0) AS n, coalesce(counts.total, 0.0) AS total
+        |FROM months LEFT JOIN counts ON months.mon = counts.mon
+        |ORDER BY months.mon""".stripMargin) { (s, d) =>
+      // Dense month spine over the order-date domain, left-joined to the
+      // actual per-month totals (missing months appear with 0).
+      val spine = s.range(1)
+        .select(explode(sequence(
+          lit("1995-01-01").cast("timestamp"),
+          lit("2001-08-01").cast("timestamp"),
+          expr("INTERVAL 1 MONTH"))).as("mon"))
+      val counts = Tables(s, d, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("mon"))
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      spine.join(counts, Seq("mon"), "left")
+        .select(col("mon"), coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("total"), lit(0.0)).as("total"))
+        .orderBy("mon")
+    }
+  )
+}
