@@ -223,6 +223,36 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    Q("q_dedup_6_minhash_estimate",
+      s"""WITH sigs AS (
+         | SELECT doc_id, list_transform(range(0, 16), i -> list_min(list_transform($duckTokenHashes, h -> (h * (i * 2 + 3) + (i * 5 + 7)) % 1000000007))) AS sig,
+         |  list_distinct(string_split(text, ' ')) AS toks
+         | FROM documents WHERE doc_id < 30)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         | floor((len(list_filter(range(1, 17), i -> a.sig[i] = b.sig[i])) / CAST(16 AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS est_jaccard,
+         | floor((CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / len(list_distinct(a.toks || b.toks))) * 1000000 + 0.5) / 1000000 AS exact_jaccard
+         |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      // MinHash-estimated vs exact Jaccard side by side: the sketch
+      // accuracy a dedup-threshold decision is based on, as data. At
+      // scale only signatures (128 B/doc) are pairwise-compared inside
+      // LSH candidate buckets — never the token sets.
+      val sigs = Tables(s, d, "documents")
+        .filter(col("doc_id") < 30)
+        .select(col("doc_id"), minhashSignature(col("text"), 16).as("sig"),
+          tokenSet(col("text")).as("toks"))
+      val a = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("toks").as("toks_a"))
+      val b = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("toks").as("toks_b"))
+      a.join(b, col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          round(size(filter(sequence(lit(1), lit(16)),
+            i => element_at(col("sig_a"), i) === element_at(col("sig_b"), i)))
+            / lit(16.0), 6).as("est_jaccard"),
+          round(size(array_intersect(col("toks_a"), col("toks_b"))).cast("double")
+            / size(array_distinct(concat(col("toks_a"), col("toks_b")))), 6).as("exact_jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+
     Q("q_dedup_5_ngram_jaccard",
       """WITH sh AS (
         | SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),

@@ -97,6 +97,23 @@ object Windows {
         .orderBy("p_brand", "p_partkey")
     },
 
+    Q("q_win_7_interval_range",
+      """SELECT o_custkey, o_orderkey,
+        | floor((sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+        |  RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW)) * 100 + 0.5) / 100 AS rolling_90d
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      // Time-interval RANGE frame: rolling 90-day spend per customer.
+      // Peers at equal o_orderdate are all included, so duplicate dates
+      // cannot break determinism. (SQL-string form: interval range
+      // boundaries are a SQL-only feature of the window syntax.)
+      Tables(s, d, "orders").createOrReplaceTempView("orders_w7")
+      s.sql("""
+        SELECT o_custkey, o_orderkey,
+          floor(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+            RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW) * 100 + 0.5) / 100 AS rolling_90d
+        FROM orders_w7 ORDER BY o_custkey, o_orderkey""")
+    },
+
     Q("q_win_6_pctcume",
       """SELECT o_custkey, o_orderkey,
         | floor((percent_rank() OVER w) * 1000000 + 0.5) / 1000000 AS pr, floor((cume_dist() OVER w) * 1000000 + 0.5) / 1000000 AS cd,
