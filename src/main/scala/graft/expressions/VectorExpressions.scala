@@ -107,5 +107,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("hll_distinct"),
+      new ExpressionInfo(classOf[HyperLogLogAgg].getName, "hll_distinct"),
+      (exprs: Seq[Expression]) => HyperLogLogAgg(exprs.head)))
   }
 }

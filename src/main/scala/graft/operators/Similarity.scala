@@ -133,6 +133,43 @@ object Similarity {
           col("vec_id"), round(col("cos"), 6).as("cosine"))
     },
 
+    Q("q_sim_6_lsh_cosine",
+      s"""WITH sig AS (
+         | SELECT vec_id, embedding,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), range(0, 8)), (acc, j) -> acc +
+         |   CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |     list_transform(list_zip(embedding, range(0, len(embedding))),
+         |       p -> CAST(struct_extract(p, 1) AS DOUBLE) * (((struct_extract(p, 2) * 31 + j * 17) % 7) - 3))),
+         |     (a, x) -> a + x) > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS bucket
+         | FROM embeddings WHERE vec_id < 500)
+         |SELECT a.bucket AS bucket, a.vec_id AS id_a, b.vec_id AS id_b,
+         | floor((${Duck.cosine("a.embedding", "b.embedding")}) * 1000000 + 0.5) / 1000000 AS cosine
+         |FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |ORDER BY a.bucket, id_a, id_b""".stripMargin) { (s, d) =>
+      // Random-hyperplane LSH for cosine: 8 deterministic pseudo-random
+      // hyperplanes (w[i,j] = ((31i+17j) mod 7) − 3) → 8 sign bits →
+      // 256 buckets; exact cosine only INSIDE a bucket. This is the
+      // embeddings twin of MinHash-LSH: candidate generation shuffles
+      // O(n) bucket keys, never the O(n²) pair space.
+      VectorExpressions.register(s)
+      val planes = sequence(lit(0L), lit(7L))
+      def dotPlane(j: org.apache.spark.sql.Column) =
+        aggregate(
+          transform(col("embedding"), (x, i) => x.cast("double") * (((i * 31 + j * 17) % 7) - 3)),
+          lit(0.0), (a, x) => a + x)
+      val bucket = aggregate(planes, lit(0L), (acc, j) =>
+        acc + when(dotPlane(j) > 0, pow(lit(2.0), j).cast("long")).otherwise(0L))
+      val sig = Tables(s, d, "embeddings")
+        .filter(col("vec_id") < 500)
+        .select(col("vec_id"), col("embedding"), bucket.as("bucket"))
+      val a = sig.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = sig.select(col("bucket").as("bucket_b"), col("vec_id").as("id_b"), col("embedding").as("vb"))
+      a.join(b, col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
+        .select(col("bucket"), col("id_a"), col("id_b"),
+          round(expr("cosine_similarity(va, vb)"), 6).as("cosine"))
+        .orderBy("bucket", "id_a", "id_b")
+    },
+
     Q("q_sim_5_embed_neardup",
       s"""SELECT id_a, id_b, floor((cos) * 1000000 + 0.5) / 1000000 AS cosine,
          | CAST(row_number() OVER (ORDER BY cos DESC, id_a, id_b) AS BIGINT) AS rank

@@ -157,6 +157,43 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    Q("q_text_9_redact",
+      """SELECT doc_id,
+        | md5(regexp_replace(regexp_replace(text, 'user|purchase|error', '[REDACTED]', 'g'), '[0-9]', '#', 'g')) AS redacted_md5,
+        | CAST(len(list_filter(string_split(text, ' '), t -> t IN ('user', 'purchase', 'error'))) AS BIGINT) AS n_denied
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // Training-data scrubbing: denylist-term redaction + digit masking
+      // (the PII-removal shape), emitted as a digest plus the redaction
+      // count. Pure per-row regex — codegen'd, no shuffle.
+      Tables(s, d, "documents").select(
+        col("doc_id"),
+        md5(regexp_replace(regexp_replace(col("text"), "user|purchase|error", "[REDACTED]"), "[0-9]", "#")).as("redacted_md5"),
+        size(filter(tokens(col("text")), t => t.isin("user", "purchase", "error"))).cast("long").as("n_denied"))
+        .orderBy("doc_id")
+    },
+
+    Q("q_text_10_vocab_prune",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1)
+        |SELECT tok.doc_id,
+        | count(*) FILTER (WHERE df.df >= 100) AS n_kept,
+        | count(*) FILTER (WHERE df.df < 100) AS n_dropped
+        |FROM tok JOIN df ON tok.token = df.token
+        |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin) { (s, d) =>
+      // Frequency-based vocab pruning: token occurrences classified by
+      // corpus document frequency (df ≥ 100 kept). The df table is
+      // vocab-sized → broadcast; tokens never leave their doc partition.
+      val tok = Tables(s, d, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      val dfreq = tok.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+      tok.join(broadcast(dfreq), "token")
+        .groupBy("doc_id")
+        .agg(
+          count(when(col("df") >= 100, 1)).as("n_kept"),
+          count(when(col("df") < 100, 1)).as("n_dropped"))
+        .orderBy("doc_id")
+    },
+
     Q("q_dedup_1_exact",
       """SELECT md5(lower(trim(text))) AS text_key, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY text_key""".stripMargin) { (s, d) =>

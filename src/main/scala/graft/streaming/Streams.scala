@@ -107,6 +107,30 @@ object Streams {
       }
   }
 
+  /** Stream-stream join: each purchase joined to the same user's clicks
+    * from the preceding hour. Both sides watermarked (bounds the join
+    * state buffers); the click's validity end is precomputed per row —
+    * interval arithmetic must never sit in the join residual (PERF.md
+    * finding 1).
+    */
+  def clickPurchaseJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withColumn("click_end", col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "2 hours")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") < col("click_end"))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
+        col("purchase_ts"), col("click_ts"))
+  }
+
   /** Memory-sink writer used by the tests (complete mode for aggregates). */
   def toMemorySink(df: DataFrame, name: String, complete: Boolean): DataStreamWriter[Row] =
     df.writeStream

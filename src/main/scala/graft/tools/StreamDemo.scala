@@ -32,6 +32,12 @@ object StreamDemo {
     sessions.processAllAvailable(); sessions.stop()
     println(s"session windows: ${spark.table("demo_sessions").count()} rows")
     spark.table("demo_sessions").orderBy("user_id", "session_start").show(5)
+
+    val sj = Streams.toMemorySink(
+      Streams.clickPurchaseJoin(Streams.eventStream(spark, dir)), "demo_sj", complete = false).start()
+    sj.processAllAvailable(); sj.stop()
+    println(s"stream-stream click→purchase joins: ${spark.table("demo_sj").count()} rows")
+    spark.table("demo_sj").orderBy("purchase_id", "click_id").show(5)
     spark.stop()
   }
 }

@@ -54,4 +54,19 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() == nKeys)
     assert(streamed.select("user_id", "event_type").distinct().count() == nKeys)
   }
+
+  test("stream-stream click-purchase join matches the batch join") {
+    val q = Streams.toMemorySink(
+      Streams.clickPurchaseJoin(Streams.eventStream(spark, inputDir)),
+      "stream_sj", complete = false).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("stream_sj")
+      .orderBy("purchase_id", "click_id").collect().toSeq
+    val batchEvents = graft.sources.Tables(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val batch = Streams.clickPurchaseJoin(batchEvents)
+      .orderBy("purchase_id", "click_id").collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
 }
