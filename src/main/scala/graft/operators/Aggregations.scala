@@ -116,6 +116,23 @@ object Aggregations {
         .orderBy("g1", "g2", "st", "pri")
     },
 
+    Q("q_agg_14_groupingsets",
+      """SELECT CAST(GROUPING(l_returnflag) AS BIGINT) AS g1, CAST(GROUPING(l_linestatus) AS BIGINT) AS g2,
+        | coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+        | count(*) AS cnt
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY g1, g2, rf, ls""".stripMargin) { (s, d) =>
+      // Arbitrary grouping sets (not expressible as rollup/cube) via the
+      // SQL entry.
+      Tables(s, d, "lineitem").createOrReplaceTempView("lineitem_gs")
+      s.sql("""
+        SELECT CAST(GROUPING(l_returnflag) AS BIGINT) AS g1, CAST(GROUPING(l_linestatus) AS BIGINT) AS g2,
+          coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+          count(*) AS cnt
+        FROM lineitem_gs GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY g1, g2, rf, ls""")
+    },
+
     Q("q_agg_7_having",
       """SELECT o_custkey, floor((sum(o_totalprice)) * 100 + 0.5) / 100 AS spend, count(*) AS n_orders
         |FROM orders GROUP BY o_custkey HAVING sum(o_totalprice) > 400000
