@@ -40,7 +40,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // Length mismatch → NULL, matching the HOF twin (zip_with pads the
+    // shorter side with null and null propagates through the fold).
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
@@ -66,16 +69,20 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
       s"""
-        |final int $n = Math.min($a.numElements(), $b.numElements());
-        |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-        |for (int $i = 0; $i < $n; $i++) {
-        |  final float $x = $a.getFloat($i);
-        |  final float $y = $b.getFloat($i);
-        |  $dot += (double) ($x * $y);
-        |  $na += (double) ($x * $x);
-        |  $nb += (double) ($y * $y);
+        |if ($a.numElements() != $b.numElements()) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  final int $n = $a.numElements();
+        |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    final float $x = $a.getFloat($i);
+        |    final float $y = $b.getFloat($i);
+        |    $dot += (double) ($x * $y);
+        |    $na += (double) ($x * $x);
+        |    $nb += (double) ($y * $y);
+        |  }
+        |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
         |}
-        |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
       """.stripMargin
     })
 

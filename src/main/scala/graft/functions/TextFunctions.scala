@@ -49,14 +49,15 @@ object TextFunctions {
       array_min(transform(hs, h => (h * (i * 2 + 3) + (i * 5 + 7)) % P)))
   }
 
-  /** 32-bit SimHash over the distinct-token hashes: bit j of the result is
-    * set iff more token hashes have bit j set than clear. Bit j is read
-    * arithmetically ((h div 2^j) mod 2) — exact in double since h < 2^30 —
-    * so the DuckDB oracle can mirror it without shift builtins.
+  /** 30-bit SimHash over the distinct-token hashes: bit j of the result is
+    * set iff more token hashes have bit j set than clear. 30 bits because
+    * token hashes are mod P < 2^30 — higher bits can never vote. Bit j is
+    * read arithmetically ((h div 2^j) mod 2) — exact in double — so the
+    * DuckDB oracle can mirror it without shift builtins.
     */
   def simhash32(text: Column): Column = {
     val hs = tokenHashes(text)
-    aggregate(sequence(lit(0L), lit(31L)), lit(0L), (acc, j) => {
+    aggregate(sequence(lit(0L), lit(29L)), lit(0L), (acc, j) => {
       val pw = pow(lit(2.0), j).cast("long")
       val votes = aggregate(hs, lit(0L),
         (a, h) => a + (h.cast("double") / pw).cast("long") % 2 * 2 - 1)

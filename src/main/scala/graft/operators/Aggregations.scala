@@ -135,11 +135,14 @@ object Aggregations {
 
     Q("q_agg_7_having",
       """SELECT o_custkey, floor((sum(o_totalprice)) * 100 + 0.5) / 100 AS spend, count(*) AS n_orders
-        |FROM orders GROUP BY o_custkey HAVING sum(o_totalprice) > 400000
+        |FROM orders GROUP BY o_custkey HAVING floor(sum(o_totalprice) * 100 + 0.5) / 100 > 400000
         |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      // The HAVING predicate compares the ROUNDED sum — an unrounded
+      // double threshold could flip boundary groups between engines
+      // (accumulation-order ulps), violating SURVEY §2.12.
       Tables(s, d, "orders")
         .groupBy("o_custkey")
-        .agg(sum("o_totalprice").as("raw_spend"), count(lit(1)).as("n_orders"))
+        .agg(round(sum("o_totalprice"), 2).as("raw_spend"), count(lit(1)).as("n_orders"))
         .filter(col("raw_spend") > 400000)
         .select(col("o_custkey"), round(col("raw_spend"), 2).as("spend"), col("n_orders"))
         .orderBy("o_custkey")

@@ -83,7 +83,7 @@ object Extensibility {
       Tables(s, d, "documents")
         .filter(col("doc_id") < 50)
         .select("doc_id", "text").as[Doc]
-        .flatMap(dc => dc.text.split(' ').iterator.zipWithIndex
+        .flatMap(dc => dc.text.split(" ", -1).iterator.zipWithIndex  // limit -1: keep trailing empties like Spark's split
           .map { case (t, i) => (dc.doc_id, i.toLong, t) })
         .toDF("doc_id", "pos", "token")
         .orderBy("doc_id", "pos")

@@ -119,13 +119,16 @@ object Extras {
       // broadcast document-frequency table. At corpus scale df is tiny
       // (vocab-sized) → broadcast; tf never leaves its doc partition.
       val docs = Tables(s, d, "documents")
-      val nDocs = docs.count()
+      // corpus size stays a lazy 1-row broadcast (an eager .count() here
+      // would launch a scan job at plan-construction time)
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
       val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
       val dfreq = tok.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
       val scored = tf.filter(col("doc_id") < 20)
         .join(broadcast(dfreq), "token")
-        .withColumn("raw_score", col("tf") * log((lit(nDocs) + 1.0) / (col("df") + 1.0)))
+        .crossJoin(broadcast(nDocs))
+        .withColumn("raw_score", col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)))
       val w = Window.partitionBy("doc_id").orderBy(col("raw_score").desc, col("token").asc)
       scored.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)

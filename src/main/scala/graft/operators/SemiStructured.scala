@@ -20,7 +20,7 @@ object SemiStructured {
 
     Q("q_json_1_extract",
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS cnt
-        |FROM events GROUP BY 1 ORDER BY k""".stripMargin) { (s, d) =>
+        |FROM events GROUP BY 1 ORDER BY k NULLS FIRST""".stripMargin) { (s, d) =>
       Tables(s, d, "events")
         .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
         .groupBy("k").agg(count(lit(1)).as("cnt"))

@@ -22,7 +22,7 @@ object Subqueries {
     Q("q_sub_1_correlated_scalar",
       """SELECT o_orderkey, floor((o_totalprice) * 100 + 0.5) / 100 AS price
         |FROM orders o
-        |WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |WHERE o_totalprice > 2 * (SELECT floor(avg(o_totalprice) * 100 + 0.5) / 100 FROM orders i WHERE i.o_custkey = o.o_custkey)
         |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
       // Correlated scalar subquery, written in SQL so Catalyst's
       // decorrelation (RewriteCorrelatedScalarSubquery) handles it.
@@ -30,7 +30,7 @@ object Subqueries {
       s.sql("""
         SELECT o_orderkey, floor(o_totalprice * 100 + 0.5) / 100 AS price
         FROM orders_v o
-        WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders_v i WHERE i.o_custkey = o.o_custkey)
+        WHERE o_totalprice > 2 * (SELECT floor(avg(o_totalprice) * 100 + 0.5) / 100 FROM orders_v i WHERE i.o_custkey = o.o_custkey)
         ORDER BY o_orderkey""")
     },
 

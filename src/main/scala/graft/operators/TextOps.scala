@@ -249,11 +249,11 @@ object TextOps {
     Q("q_dedup_4_simhash",
       s"""WITH hs AS (SELECT doc_id, $duckTokenHashes AS hl FROM documents)
          |SELECT doc_id,
-         | list_reduce(list_prepend(CAST(0 AS BIGINT), range(0, 32)), (acc, j) -> acc +
+         | list_reduce(list_prepend(CAST(0 AS BIGINT), range(0, 30)), (acc, j) -> acc +
          |  CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), hl), (a, h) -> a + (h // CAST(pow(2, j) AS BIGINT)) % 2 * 2 - 1) > 0
          |   THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS simhash
          |FROM hs ORDER BY doc_id""".stripMargin) { (s, d) =>
-      // 32-bit SimHash per document — near-dup docs land at small Hamming
+      // 30-bit SimHash per document — near-dup docs land at small Hamming
       // distance; identical token sets collide exactly.
       Tables(s, d, "documents")
         .select(col("doc_id"), simhash32(col("text")).as("simhash"))

@@ -62,11 +62,19 @@ object Streams {
       .agg(count(lit(1)).as("n_events"))
       .select(col("session_window.start").as("session_start"), col("user_id"), col("n_events"))
 
-  /** Streaming keyed dedupe — twin of q_stream_5_dedupe_keyed. */
+  /** Streaming keyed dedupe — twin of q_stream_5_dedupe_keyed.
+    * dropDuplicatesWithinWatermark so per-key state is EVICTED once the
+    * watermark passes (plain dropDuplicates on a key subset without the
+    * event-time column would retain every key forever). Semantics:
+    * first-arrived row per key within the watermark window; the batch
+    * twin picks min(ts, event_id) — they agree when input is one
+    * time-ordered batch (the test setup), not under arbitrary arrival
+    * orders.
+    */
   def dedupeKeyed(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "10 minutes")
-      .dropDuplicates("user_id", "event_type")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
 
   /** ts_us = epoch microseconds (`unix_micros(ts)`) — java.sql.Timestamp
     * getters would silently truncate to milliseconds.

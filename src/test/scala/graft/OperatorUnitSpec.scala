@@ -158,6 +158,15 @@ class OperatorUnitSpec extends SparkSpec {
     assert(rows(1).isNullAt(0) && rows(1).isNullAt(1))
   }
 
+  test("native cosine_similarity: ragged lengths yield NULL like the HOF twin") {
+    graft.expressions.VectorExpressions.register(spark)
+    val r = Seq((Array(1f, 2f, 3f), Array(1f, 2f))).toDF("a", "b")
+      .select(expr("cosine_similarity(a, b)").as("native"),
+        graft.functions.VectorFunctions.cosine($"a", $"b").as("hof"))
+      .collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("cosine_similarity rejects wrong input types at analysis") {
     graft.expressions.VectorExpressions.register(spark)
     val err = intercept[Exception] {
