@@ -118,5 +118,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("hll_distinct"),
       new ExpressionInfo(classOf[HyperLogLogAgg].getName, "hll_distinct"),
       (exprs: Seq[Expression]) => HyperLogLogAgg(exprs.head)))
+    ext.injectOptimizerRule(_ => graft.plans.RangeBandJoinRule())
   }
 }

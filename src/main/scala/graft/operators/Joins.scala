@@ -165,6 +165,35 @@ object Joins {
         .orderBy("o_orderpriority")
     },
 
+    Q("q_join_12_range_auto",
+      """SELECT o_orderpriority, count(*) AS n_pairs, count(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem, orders
+        |WHERE l_shipdate >= TIMESTAMP '1997-06-01' AND l_shipdate < TIMESTAMP '1997-06-08'
+        | AND o_orderdate >= TIMESTAMP '1997-03-01' AND o_orderdate <= TIMESTAMP '1997-06-08'
+        | AND l_shipdate >= o_orderdate AND l_shipdate <= o_valid
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+        .replace("o_valid", "o_orderdate + INTERVAL 90 DAY")) { (s, d) =>
+      // The same range-join semantics as q_join_8, but written NAIVELY
+      // (plain BETWEEN condition, no manual banding) and optimized by
+      // graft.plans.RangeBandJoinRule — Spark alone would plan a
+      // BroadcastNestedLoopJoin; the rule turns it into the band hash
+      // join automatically.
+      graft.plans.RangeBandJoinRule.install(s)
+      val li = Tables(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-06-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-06-08").cast("timestamp"))
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+      val o = Tables(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1997-03-01").cast("timestamp")
+          && col("o_orderdate") <= lit("1997-06-08").cast("timestamp"))
+        .withColumn("o_valid", col("o_orderdate") + expr("INTERVAL 90 DAY"))
+      li.join(o, col("l_shipdate") >= col("o_orderdate")
+          && col("l_shipdate") <= col("o_valid"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_pairs"), countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy("o_orderpriority")
+    },
+
     Q("q_join_9_asof",
       """SELECT event_id, user_id, ts_s, last_click_ts FROM (
         | SELECT event_id, user_id, event_type, date_trunc('second', ts::TIMESTAMP) AS ts_s,

@@ -1,0 +1,149 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, LongType, TimestampType}
+
+
+/** Optimizer rule: rewrite an inner join whose only usable predicate is a
+  * timestamp range condition
+  *
+  *     l.ts >= r.lo AND l.ts <= r.hi          (e.g. a BETWEEN)
+  *
+  * into a hash-partitionable band join:
+  *
+  *     left  + band(ts)
+  *     right + explode(sequence(band(lo), band(hi)))   — ≤ span/W bands
+  *     JOIN ON band_l = band_r AND <original range condition>
+  *
+  * where band(x) = epoch_seconds(x) div W. Correctness: truncating
+  * division is monotone, so ts ∈ [lo, hi] ⇒ band(ts) ∈ [band(lo),
+  * band(hi)] — every qualifying pair meets on exactly one band (the
+  * probe's own), and the original condition re-filters, so the rewrite
+  * is exact for any W.
+  *
+  * Why: Spark plans a pure range join as BroadcastNestedLoopJoin /
+  * CartesianProduct — O(|L|·|R|) and single-node-bound on the broadcast
+  * side. The band join shuffles on a key instead, which survives 100 TB.
+  * (Engineered range-join support like this is the well-known gap in
+  * OSS Spark; bucketed rewrite is the standard workaround.)
+  *
+  * Scope guards: inner joins only; the range column pair must come from
+  * opposite sides; fires only when NO equi-join predicate exists (if one
+  * does, Spark already hash-joins on it and the range stays a cheap
+  * residual); skips joins it already rewrote (band attribute marker).
+  *
+  * Installed via `spark.experimental.extraOptimizations` (see
+  * `RangeBandJoinRule.install`) or session extensions.
+  */
+case class RangeBandJoinRule(bandSeconds: Long = 30L * 86400) extends Rule[LogicalPlan] {
+
+  private val BandL = "__graft_band_l"
+  private val BandR = "__graft_band_r"
+
+  /** epoch_micros(e) div (bandSeconds·1e6). ANSI mode forbids
+    * CAST(timestamp AS BIGINT), so go through UnixMicros; TIMESTAMP_NTZ
+    * first gets a session-zone cast to TIMESTAMP (identity under the
+    * harness's UTC session, and monotone under any fixed zone — band
+    * monotonicity is all correctness needs).
+    */
+  private def bandOf(e: Expression): Expression = {
+    val ts = if (e.dataType == TimestampType) e
+      else Cast(e, TimestampType, Some(conf.sessionLocalTimeZone))
+    IntegralDivide(UnixMicros(ts), Literal(bandSeconds * 1000000L))
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case j @ Join(left, right, Inner, Some(cond), hint)
+        if !alreadyBanded(cond) && noEquiPredicate(cond, j) =>
+      val conjuncts = splitConjuncts(cond)
+      findRange(conjuncts, left, right) match {
+        case Some((ts, lo, hi)) =>
+          val bandL = Alias(bandOf(ts), BandL)()
+          val newLeft = Project(left.output :+ bandL, left)
+
+          val loB = bandOf(lo)
+          val hiB = bandOf(hi)
+          // Sequence is TimeZoneAwareExpression — resolved only with a
+          // zone, even over longs. Branch types must match exactly
+          // (containsNull = false) or the If is unresolved.
+          val seq = If(LessThanOrEqual(loB, hiB),
+            Sequence(loB, hiB, Some(Literal(1L)), Some(conf.sessionLocalTimeZone)),
+            Literal.create(Seq.empty[Long], ArrayType(LongType, containsNull = false)))
+          val bandR = AttributeReference(BandR, LongType, nullable = false)()
+          val newRight = Generate(Explode(seq), Nil, outer = false, None, Seq(bandR), right)
+
+          val newCond = And(EqualTo(bandL.toAttribute, bandR), cond)
+          Project(j.output, Join(newLeft, newRight, Inner, Some(newCond), hint))
+        case None => j
+      }
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => splitConjuncts(a) ++ splitConjuncts(b)
+    case other => Seq(other)
+  }
+
+  private def alreadyBanded(cond: Expression): Boolean =
+    cond.exists {
+      case a: AttributeReference => a.name == BandL || a.name == BandR
+      case _ => false
+    }
+
+  private def noEquiPredicate(cond: Expression, j: Join): Boolean =
+    !splitConjuncts(cond).exists {
+      case EqualTo(a, b) => fromOppositeSides(a, b, j.left, j.right)
+      case _ => false
+    }
+
+  private def fromOppositeSides(a: Expression, b: Expression,
+      left: LogicalPlan, right: LogicalPlan): Boolean = {
+    val (la, ra) = (left.outputSet, right.outputSet)
+    (a.references.subsetOf(la) && b.references.subsetOf(ra)) ||
+      (a.references.subsetOf(ra) && b.references.subsetOf(la))
+  }
+
+  /** Find ts >= lo AND ts <= hi with ts from the left, lo/hi from the
+    * right (or the mirrored arrangement, normalized to that shape).
+    */
+  private def findRange(conjuncts: Seq[Expression], left: LogicalPlan,
+      right: LogicalPlan): Option[(Expression, Expression, Expression)] = {
+    def tsTyped(e: Expression) = e.dataType.isInstanceOf[TimestampType.type] ||
+      e.dataType.typeName.startsWith("timestamp")
+    def sideOf(e: Expression): Option[Char] =
+      if (e.references.nonEmpty && e.references.subsetOf(left.outputSet)) Some('L')
+      else if (e.references.nonEmpty && e.references.subsetOf(right.outputSet)) Some('R')
+      else None
+    // normalize every comparison to (smaller, larger)
+    val lowerBounds = conjuncts.collect {
+      case GreaterThanOrEqual(a, b) if tsTyped(a) => (a, b) // a >= b → b is lo of a
+      case LessThanOrEqual(a, b) if tsTyped(a) => (b, a)    // a <= b → a is lo of b
+    }
+    val upperBounds = conjuncts.collect {
+      case LessThanOrEqual(a, b) if tsTyped(a) => (a, b)    // a <= b → b is hi of a
+      case GreaterThanOrEqual(a, b) if tsTyped(a) => (b, a) // a >= b → a is hi of b
+    }
+    (for {
+      (ts1, lo) <- lowerBounds
+      (ts2, hi) <- upperBounds
+      if ts1.semanticEquals(ts2)
+      sTs <- sideOf(ts1)
+      sLo <- sideOf(lo)
+      sHi <- sideOf(hi)
+      if sLo == sHi && sTs != sLo && sTs == 'L'
+    } yield (ts1, lo, hi)).headOption
+  }
+}
+
+object RangeBandJoinRule {
+  /** Install on a session via the public experimental-optimizations hook. */
+  def install(spark: org.apache.spark.sql.SparkSession,
+      bandSeconds: Long = 30L * 86400): Unit = {
+    val rule = RangeBandJoinRule(bandSeconds)
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[RangeBandJoinRule]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ rule
+  }
+}

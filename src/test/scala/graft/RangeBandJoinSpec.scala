@@ -1,0 +1,63 @@
+package graft
+
+import graft.plans.RangeBandJoinRule
+import org.apache.spark.sql.functions._
+
+/** The range-join optimizer rule: exact same results as the naive plan,
+  * but a hash band join instead of a nested loop.
+  */
+class RangeBandJoinSpec extends SparkSpec {
+
+  private def naiveRangeJoin() = {
+    // one week of lineitems × orders whose 90-day window covers them —
+    // NO equi predicate, pure range condition.
+    val li = graft.sources.Tables(spark, sf, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-06-01").cast("timestamp")
+        && col("l_shipdate") < lit("1996-06-08").cast("timestamp"))
+      .select("l_orderkey", "l_linenumber", "l_shipdate")
+    val o = graft.sources.Tables(spark, sf, "orders")
+      .filter(col("o_orderdate") >= lit("1996-03-01").cast("timestamp")
+        && col("o_orderdate") <= lit("1996-06-08").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_orderdate"),
+        (col("o_orderdate") + expr("INTERVAL 90 DAY")).as("o_valid_until"))
+    li.join(o, col("l_shipdate") >= col("o_orderdate")
+      && col("l_shipdate") <= col("o_valid_until"))
+  }
+
+  test("band-join rewrite preserves results exactly and removes the nested loop") {
+    val before = naiveRangeJoin()
+    val planBefore = before.queryExecution.executedPlan.toString
+    assert(planBefore.contains("BroadcastNestedLoopJoin") || planBefore.contains("CartesianProduct"),
+      "expected the naive plan to be a nested loop:\n" + planBefore)
+    val expected = before.orderBy("l_orderkey", "l_linenumber", "o_orderkey").collect().toSeq
+
+    val prev = spark.experimental.extraOptimizations
+    try {
+      RangeBandJoinRule.install(spark)
+      val after = naiveRangeJoin()
+      val planAfter = after.queryExecution.executedPlan.toString
+      assert(!planAfter.contains("BroadcastNestedLoopJoin") && !planAfter.contains("CartesianProduct"),
+        "rule did not fire:\n" + planAfter)
+      assert(planAfter.contains("HashJoin") || planAfter.contains("SortMergeJoin"), planAfter)
+      val got = after.orderBy("l_orderkey", "l_linenumber", "o_orderkey").collect().toSeq
+      assert(got == expected)
+      assert(got.nonEmpty)
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
+  test("rule leaves equi joins and already-banded joins untouched") {
+    val prev = spark.experimental.extraOptimizations
+    try {
+      RangeBandJoinRule.install(spark)
+      // equi join: must stay a single hash join with NO Generate/explode
+      val li = graft.sources.Tables(spark, sf, "lineitem")
+      val o = graft.sources.Tables(spark, sf, "orders")
+      val equi = li.join(o, li("l_orderkey") === o("o_orderkey")
+        && li("l_shipdate") >= o("o_orderdate"))
+      val plan = equi.queryExecution.executedPlan.toString
+      assert(!plan.contains("Generate"), "rule must not fire on equi joins:\n" + plan)
+      // declared manual band join still verifies (idempotence guard)
+      assert(Registry.byName("q_join_8_theta_range").fn(spark, sf).count() > 0)
+    } finally spark.experimental.extraOptimizations = prev
+  }
+}
