@@ -25,14 +25,17 @@ class RangeBandJoinSpec extends SparkSpec {
   }
 
   test("band-join rewrite preserves results exactly and removes the nested loop") {
-    val before = naiveRangeJoin()
-    val planBefore = before.queryExecution.executedPlan.toString
-    assert(planBefore.contains("BroadcastNestedLoopJoin") || planBefore.contains("CartesianProduct"),
-      "expected the naive plan to be a nested loop:\n" + planBefore)
-    val expected = before.orderBy("l_orderkey", "l_linenumber", "o_orderkey").collect().toSeq
-
+    // Other suites may have installed the rule on the shared session
+    // (q_join_12_range_auto does) — start from a clean slate.
     val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev.filterNot(_.isInstanceOf[RangeBandJoinRule])
     try {
+      val before = naiveRangeJoin()
+      val planBefore = before.queryExecution.executedPlan.toString
+      assert(planBefore.contains("BroadcastNestedLoopJoin") || planBefore.contains("CartesianProduct"),
+        "expected the naive plan to be a nested loop:\n" + planBefore)
+      val expected = before.orderBy("l_orderkey", "l_linenumber", "o_orderkey").collect().toSeq
       RangeBandJoinRule.install(spark)
       val after = naiveRangeJoin()
       val planAfter = after.queryExecution.executedPlan.toString
