@@ -22,7 +22,8 @@ object Registry {
       Multimodal.all ++
       Extras.all ++
       Sinks.all ++
-      Subqueries.all
+      Subqueries.all ++
+      DataQuality.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(

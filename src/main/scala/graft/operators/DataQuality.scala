@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.Q
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import graft.functions.Num.round
+
+/** Data-quality operators — the validation pass an ETL runs before
+  * loading: per-column profiling, referential integrity, and
+  * latest-record-wins key resolution (SCD-1 upsert shape).
+  *
+  * Scale notes: profiling is one aggregate pass (all stats in a single
+  * HashAggregate — never one job per column). RI checks are anti-join
+  * counts: broadcast the PK side when it is dimension-sized, shuffle
+  * both sides by the key otherwise. Latest-per-key is max_by with a
+  * total-ordered struct — one shuffle, no window sort.
+  */
+object DataQuality {
+
+  val all: Seq[Q] = Seq(
+
+    Q("q_dq_1_profile",
+      """SELECT count(*) AS n_rows,
+        | count(*) - count(o_custkey) AS null_custkey,
+        | count(*) - count(o_orderdate) AS null_orderdate,
+        | count(DISTINCT o_orderstatus) AS nd_status,
+        | floor((min(o_totalprice)) * 100 + 0.5) / 100 AS min_price,
+        | floor((max(o_totalprice)) * 100 + 0.5) / 100 AS max_price,
+        | min(o_orderdate) AS min_date, max(o_orderdate) AS max_date,
+        | count(CASE WHEN o_totalprice <= 0 THEN 1 END) AS nonpositive_price
+        |FROM orders""".stripMargin) { (s, d) =>
+      // Column profile in ONE aggregate pass.
+      Tables(s, d, "orders").agg(
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col("o_custkey"))).as("null_custkey"),
+        (count(lit(1)) - count(col("o_orderdate"))).as("null_orderdate"),
+        countDistinct(col("o_orderstatus")).as("nd_status"),
+        round(min("o_totalprice"), 2).as("min_price"),
+        round(max("o_totalprice"), 2).as("max_price"),
+        min("o_orderdate").as("min_date"),
+        max("o_orderdate").as("max_date"),
+        count(when(col("o_totalprice") <= 0, 1)).as("nonpositive_price"))
+    },
+
+    Q("q_dq_2_refint",
+      """SELECT 'lineitem->orders' AS fk, count(*) AS n_orphans FROM lineitem
+        | WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+        |UNION ALL
+        |SELECT 'orders->customer' AS fk, count(*) AS n_orphans FROM orders
+        | WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+        |UNION ALL
+        |SELECT 'customer->nation' AS fk, count(*) AS n_orphans FROM customer
+        | WHERE NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey = c_nationkey)
+        |ORDER BY fk""".stripMargin) { (s, d) =>
+      // Referential integrity: orphan counts per FK edge via anti joins.
+      def orphans(fact: String, factKey: String, dim: String, dimKey: String, label: String) =
+        Tables(s, d, fact).join(Tables(s, d, dim),
+          col(factKey) === col(dimKey), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+          .select(lit(label).as("fk"), col("n_orphans"))
+      orphans("lineitem", "l_orderkey", "orders", "o_orderkey", "lineitem->orders")
+        .unionByName(orphans("orders", "o_custkey", "customer", "c_custkey", "orders->customer"))
+        .unionByName(orphans("customer", "c_nationkey", "nation", "n_nationkey", "customer->nation"))
+        .orderBy("fk")
+    },
+
+    Q("q_dq_3_latest_wins",
+      """SELECT user_id, event_id, date_trunc('second', ts::TIMESTAMP) AS ts_s, event_type FROM (
+        | SELECT user_id, event_id, ts, event_type,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin) { (s, d) =>
+      // SCD-1 upsert resolution: latest record per key (ties broken by
+      // event_id) — max_by over a total-ordered struct: one aggregate,
+      // no per-partition window sort.
+      Tables(s, d, "events")
+        .groupBy("user_id")
+        .agg(max(struct(col("ts"), col("event_id"), col("event_type"))).as("m"))
+        .select(col("user_id"), col("m.event_id").as("event_id"),
+          date_trunc("second", col("m.ts")).as("ts_s"),
+          col("m.event_type").as("event_type"))
+        .orderBy("user_id")
+    }
+  )
+}
