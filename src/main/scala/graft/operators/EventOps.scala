@@ -92,6 +92,60 @@ object EventOps {
         .orderBy("user_id", "win_start")
     },
 
+    Q("q_stream_6_funnel",
+      """WITH stages AS (
+        | SELECT user_id,
+        |  min(CASE WHEN event_type = 'signup' THEN ts::TIMESTAMP END) AS t_signup,
+        |  min(CASE WHEN event_type = 'view' THEN ts::TIMESTAMP END) AS t_view,
+        |  min(CASE WHEN event_type = 'purchase' THEN ts::TIMESTAMP END) AS t_purchase
+        | FROM events GROUP BY user_id)
+        |SELECT count(*) AS n_users,
+        | count(CASE WHEN t_signup IS NOT NULL THEN 1 END) AS n_signup,
+        | count(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup THEN 1 END) AS n_viewed_after,
+        | count(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup AND t_purchase > t_view THEN 1 END) AS n_converted
+        |FROM stages""".stripMargin) { (s, d) =>
+      // Funnel analysis: signup → view → purchase in strict time order,
+      // per user, counted at each stage. One aggregate pass builds the
+      // per-user stage timestamps (no self-joins) — the shape that holds
+      // at billions of users.
+      val ev = Tables(s, d, "events")
+      val stages = ev.groupBy("user_id").agg(
+        min(when(col("event_type") === "signup", col("ts"))).as("t_signup"),
+        min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+      stages.agg(
+        count(lit(1)).as("n_users"),
+        count(when(col("t_signup").isNotNull, 1)).as("n_signup"),
+        count(when(col("t_signup").isNotNull && col("t_view") > col("t_signup"), 1)).as("n_viewed_after"),
+        count(when(col("t_signup").isNotNull && col("t_view") > col("t_signup")
+          && col("t_purchase") > col("t_view"), 1)).as("n_converted"))
+    },
+
+    Q("q_stream_7_cohort",
+      """WITH first_seen AS (
+        | SELECT user_id, time_bucket(INTERVAL '7 days', min(ts::TIMESTAMP), TIMESTAMP '1970-01-01') AS cohort_week
+        | FROM events GROUP BY user_id)
+        |SELECT f.cohort_week, time_bucket(INTERVAL '7 days', e.ts::TIMESTAMP, TIMESTAMP '1970-01-01') AS active_week,
+        | count(DISTINCT e.user_id) AS n_active
+        |FROM events e JOIN first_seen f ON e.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_week, active_week""".stripMargin) { (s, d) =>
+      // NB: time_bucket's default origin for day-multiple widths is
+      // 2000-01-03 (Monday-aligned); Spark's window() aligns to the 1970
+      // epoch — the explicit origin keeps the two engines' weeks equal.
+      // Cohort retention: users grouped by first-seen week × week of
+      // activity. first_seen is user-cardinality → broadcast at this
+      // scale; at 100 TB it pre-aggregates to one row per user before
+      // the join either way.
+      val ev = Tables(s, d, "events")
+      val firstSeen = ev.groupBy("user_id").agg(min(col("ts")).as("first_ts"))
+        .select(col("user_id"),
+          window(col("first_ts"), "7 days").getField("start").as("cohort_week"))
+      ev.join(broadcast(firstSeen), "user_id")
+        .groupBy(col("cohort_week"), window(col("ts"), "7 days").getField("start").as("active_week"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy("cohort_week", "active_week")
+    },
+
     Q("q_stream_5_dedupe_keyed",
       """SELECT user_id, event_type, event_id, ts_s FROM (
         | SELECT user_id, event_type, event_id, date_trunc('second', ts::TIMESTAMP) AS ts_s,

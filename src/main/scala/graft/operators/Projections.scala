@@ -93,8 +93,8 @@ object Projections {
         | CAST(day(o_orderdate) AS BIGINT) AS dd,
         | date_trunc('month', o_orderdate) AS mon_start,
         | CAST(date_diff('day', DATE '1995-01-01', o_orderdate::DATE) AS BIGINT) AS days_since,
-        | (o_orderdate + INTERVAL 3 MONTH)::DATE AS plus3m,
-        | last_day(o_orderdate::DATE) AS month_end
+        | strftime((o_orderdate + INTERVAL 3 MONTH)::DATE, '%Y-%m-%d') AS plus3m,
+        | strftime(last_day(o_orderdate::DATE), '%Y-%m-%d') AS month_end
         |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
       Tables(s, d, "orders").select(
         col("o_orderkey"),
@@ -103,8 +103,11 @@ object Projections {
         dayofmonth(col("o_orderdate")).cast("long").as("dd"),
         date_trunc("month", col("o_orderdate")).as("mon_start"),
         datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")).cast("long").as("days_since"),
-        add_months(col("o_orderdate"), 3).as("plus3m"),
-        last_day(col("o_orderdate")).as("month_end"))
+        // DATE-typed outputs are serialized differently by the two
+        // engines' pandas paths (object date vs datetime64) — emit ISO
+        // strings, which are representation-proof.
+        date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("plus3m"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"))
         .orderBy("o_orderkey")
     },
 
