@@ -53,6 +53,24 @@ object Extras {
         .orderBy("l_returnflag")
     },
 
+    Q("q_agg_13_unpivot",
+      """SELECT l_orderkey, l_linenumber, measure, floor((value) * 100 + 0.5) / 100 AS value
+        |FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount FROM lineitem WHERE l_orderkey < 100)
+        |UNPIVOT (value FOR measure IN (l_quantity, l_extendedprice, l_discount))
+        |ORDER BY l_orderkey, l_linenumber, measure, value""".stripMargin) { (s, d) =>
+      // Wide→long reshape via Dataset.unpivot (melt), bounded.
+      Tables(s, d, "lineitem")
+        .filter(col("l_orderkey") < 100)
+        .unpivot(
+          ids = Array(col("l_orderkey"), col("l_linenumber")),
+          values = Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          variableColumnName = "measure",
+          valueColumnName = "raw_value")
+        .select(col("l_orderkey"), col("l_linenumber"), col("measure"),
+          round(col("raw_value"), 2).as("value"))
+        .orderBy("l_orderkey", "l_linenumber", "measure", "value")
+    },
+
     Q("q_proj_6_conditional",
       """SELECT o_orderkey,
         | nullif(o_orderstatus, 'O') AS closed_status,

@@ -30,13 +30,13 @@ object Joins {
       """SELECT l_orderkey, l_linenumber, o_custkey, o_orderpriority,
         | floor((l_extendedprice) * 100 + 0.5) / 100 AS price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+        |ORDER BY l_orderkey, l_linenumber, price""".stripMargin) { (s, d) =>
       val li = Tables(s, d, "lineitem")
       val o = Tables(s, d, "orders")
       li.join(o, li("l_orderkey") === o("o_orderkey"), "inner")
         .select(col("l_orderkey"), col("l_linenumber"), col("o_custkey"),
           col("o_orderpriority"), round(col("l_extendedprice"), 2).as("price"))
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "price")
     },
 
     Q("q_join_2_broadcast",

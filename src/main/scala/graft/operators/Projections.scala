@@ -20,12 +20,14 @@ object Projections {
       """SELECT l_orderkey, l_linenumber,
         | floor((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100 + 0.5) / 100 AS charge,
         | floor((l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS disc_price
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, charge, disc_price""".stripMargin) { (s, d) =>
       Tables(s, d, "lineitem").select(
         col("l_orderkey"), col("l_linenumber"),
         round(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 2).as("charge"),
         round(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("disc_price"))
-        .orderBy("l_orderkey", "l_linenumber")
+        // ordering over ALL output columns: (okey, line) alone is not
+        // unique in the fixtures
+        .orderBy("l_orderkey", "l_linenumber", "charge", "disc_price")
     },
 
     Q("q_filter_1_range",

@@ -29,8 +29,10 @@ object Scans {
   val all: Seq[Q] = Seq(
 
     Q("q_scan_1_full",
-      "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber") { (s, d) =>
-      Tables(s, d, "lineitem").orderBy("l_orderkey", "l_linenumber")
+      // (l_orderkey, l_linenumber) is NOT unique in the fixtures (~20% of
+      // rows collide); l_extendedprice completes the total order.
+      "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber, l_extendedprice") { (s, d) =>
+      Tables(s, d, "lineitem").orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
     },
 
     Q("q_scan_2_pruned",

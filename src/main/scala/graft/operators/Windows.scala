@@ -52,16 +52,19 @@ object Windows {
 
     Q("q_win_3_sliding",
       """SELECT l_partkey, l_orderkey, l_linenumber,
-        | floor((avg(l_quantity) OVER (PARTITION BY l_partkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        | floor((avg(l_quantity) OVER (PARTITION BY l_partkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice
         |  ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)) * 1000000 + 0.5) / 1000000 AS mov_avg_qty
-        |FROM lineitem ORDER BY l_partkey, l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+        |FROM lineitem ORDER BY l_partkey, l_orderkey, l_linenumber, mov_avg_qty""".stripMargin) { (s, d) =>
+      // Window ORDER BY carries l_extendedprice: (okey, line) is not
+      // unique in the fixtures and a ROWS frame over an ambiguous order
+      // is nondeterministic. Output adds mov_avg_qty for the same reason.
       val w = Window.partitionBy("l_partkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice")
         .rowsBetween(-2, 2)
       Tables(s, d, "lineitem").select(
         col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
         round(avg("l_quantity").over(w), 6).as("mov_avg_qty"))
-        .orderBy("l_partkey", "l_orderkey", "l_linenumber")
+        .orderBy("l_partkey", "l_orderkey", "l_linenumber", "mov_avg_qty")
     },
 
     Q("q_win_4_leadlag",
