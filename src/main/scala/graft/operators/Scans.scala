@@ -46,7 +46,9 @@ object Scans {
     // Connector round-trips: no oracle (DuckDB can't see the temp dir);
     // checked structurally by unit tests + driver rows-only check.
     Q.noOracle("q_scan_3_csv_roundtrip") { (s, d) =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+      // fixed dir + overwrite: Bench invokes each fn twice (warm + timed)
+      // and a fresh createTempDirectory per call would litter /tmp
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_rt_csv"
       Tables(s, d, "region").write.mode("overwrite")
         .option("header", "true").csv(tmp)
       s.read.schema(regionSchema).option("header", "true").csv(tmp)
@@ -54,7 +56,7 @@ object Scans {
     },
 
     Q.noOracle("q_scan_4_jsonlines") { (s, d) =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft_json").toString
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_rt_json"
       Tables(s, d, "nation").write.mode("overwrite").json(tmp)
       s.read.schema(nationSchema).json(tmp).orderBy("n_nationkey")
     },

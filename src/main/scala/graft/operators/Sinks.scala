@@ -21,7 +21,7 @@ object Sinks {
   val all: Seq[Q] = Seq(
 
     Q.noOracle("q_scan_8_orc_roundtrip") { (s, d) =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_rt_orc"
       Tables(s, d, "supplier").write.mode("overwrite").orc(tmp)
       s.read.orc(tmp).orderBy("s_suppkey")
     },
@@ -33,7 +33,7 @@ object Sinks {
       // partition-pruned scan, aggregate per partition value. The oracle
       // sees the same numbers straight from the source table — proving
       // the partitioned layout round-trips losslessly.
-      val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_rt_part"
       Tables(s, d, "orders").write.mode("overwrite")
         .partitionBy("o_orderpriority").parquet(tmp)
       s.read.parquet(tmp)

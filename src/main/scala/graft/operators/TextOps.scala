@@ -32,6 +32,10 @@ object TextOps {
   private val duckTokenHashes: String =
     s"list_transform(list_distinct(string_split(text, ' ')), t -> ${duckCharHash("t")})"
 
+  /** DuckDB mirror of TextFunctions.minhashSignature(text, 16). */
+  private val duckMinhashSig: String =
+    s"list_transform(range(0, 16), i -> list_min(list_transform($duckTokenHashes, h -> (h * (i * 2 + 3) + (i * 5 + 7)) % 1000000007)))"
+
   val all: Seq[Q] = Seq(
 
     Q("q_text_1_tokenstats",
@@ -220,7 +224,7 @@ object TextOps {
     Q("q_dedup_3_minhash_lsh",
       s"""WITH sigs AS (
          | SELECT doc_id,
-         |  list_transform(range(0, 16), i -> list_min(list_transform($duckTokenHashes, h -> (h * (i * 2 + 3) + (i * 5 + 7)) % 1000000007))) AS sig
+         |  $duckMinhashSig AS sig
          | FROM documents WHERE doc_id < 100),
          |bands AS (
          | SELECT doc_id, j, md5(array_to_string(list_transform(list_slice(sig, j * 4 + 1, j * 4 + 4), x -> CAST(x AS VARCHAR)), '-')) AS band_key
@@ -262,7 +266,7 @@ object TextOps {
 
     Q("q_dedup_6_minhash_estimate",
       s"""WITH sigs AS (
-         | SELECT doc_id, list_transform(range(0, 16), i -> list_min(list_transform($duckTokenHashes, h -> (h * (i * 2 + 3) + (i * 5 + 7)) % 1000000007))) AS sig,
+         | SELECT doc_id, $duckMinhashSig AS sig,
          |  list_distinct(string_split(text, ' ')) AS toks
          | FROM documents WHERE doc_id < 30)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

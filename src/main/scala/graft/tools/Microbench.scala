@@ -11,11 +11,7 @@ import org.apache.spark.sql.functions._
   */
 object Microbench {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = LocalSession()
     VectorExpressions.register(spark)
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val e = spark.read.parquet(s"$d/embeddings.parquet").filter(col("vec_id") < 500)

@@ -9,6 +9,13 @@ import graft.tools.GoldenGen
   */
 class GoldenSpec extends SparkSpec {
 
+  // Legitimately possibly-empty at sf0.001: near-dup family (all 500
+  // texts distinct), anti join (every customer may have orders), rich-
+  // account full outer (acctbal thresholds may exclude everyone).
+  private val mayBeEmpty = Set(
+    "q_dedup_2_near", "q_dedup_3_minhash_lsh",
+    "q_join_5_full_outer", "q_join_7_anti")
+
   private lazy val golden: Map[String, (Long, String)] =
     scala.io.Source.fromInputStream(
       getClass.getResourceAsStream("/golden_sf0001.txt"), "UTF-8")
@@ -27,6 +34,7 @@ class GoldenSpec extends SparkSpec {
       golden.get(q.name).foreach { case (n, h) =>
         val (gotN, gotH) = GoldenGen.digestOf(q.fn(spark, sf))
         assert(gotN == n, s"row count drift: $gotN != $n")
+        if (!mayBeEmpty(q.name)) assert(gotN > 0, s"${q.name} returned no rows")
         assert(gotH == h, "content digest drift — if intentional, rerun GoldenGen")
       }
     }

@@ -1,18 +1,10 @@
 package graft
 
-/** Every declared query must run on sf0.001; queries whose semantics
-  * guarantee output on any fixture must be non-empty. (Exact value checks
-  * are the DuckDB oracle's job — see tools/run_verify.sh; these are the
-  * fast structural guards.)
+/** Registry/contract structural guards. Per-query execution checks live in
+  * GoldenSpec (which replays every declared query against committed
+  * digests — re-running them here would double the suite's runtime).
   */
 class QueriesSmokeSpec extends SparkSpec {
-
-  // Legitimately possibly-empty at sf0.001: near-dup family (all 500
-  // texts distinct), anti join (every customer may have orders), rich-
-  // account full outer (acctbal thresholds may exclude everyone).
-  private val mayBeEmpty = Set(
-    "q_dedup_2_near", "q_dedup_3_minhash_lsh",
-    "q_join_5_full_outer", "q_join_7_anti")
 
   test("entry returns rows (t1 smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
@@ -27,12 +19,5 @@ class QueriesSmokeSpec extends SparkSpec {
   test("declared names are unique") {
     val names = Registry.all.map(_.name)
     assert(names.distinct.sizeIs == names.size)
-  }
-
-  for (q <- Registry.all) {
-    test(s"${q.name} runs on sf0.001") {
-      val n = q.fn(spark, sf).count()
-      if (!mayBeEmpty(q.name)) assert(n > 0, s"${q.name} returned no rows")
-    }
   }
 }
