@@ -5,6 +5,7 @@ import graft.expressions.VectorExpressions
 import graft.functions.VectorFunctions
 import graft.functions.VectorFunctions.Duck
 import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Num.round
@@ -193,6 +194,65 @@ object Similarity {
         .limit(20)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"),
           row_number().over(w).cast("long").as("rank"))
+    },
+
+    Q("q_sim_7_kmeans",
+      """WITH e AS (
+        | SELECT vec_id, unnest(generate_series(1, len(embedding))) AS pos,
+        |  CAST(unnest(embedding) AS DOUBLE) AS val
+        | FROM embeddings WHERE vec_id < 200),
+        |c0 AS (SELECT vec_id AS cid, pos, val AS c FROM e WHERE vec_id < 4),
+        |d1 AS (SELECT e.vec_id, c.cid, sum((e.val - c.c) * (e.val - c.c)) AS d2
+        |       FROM e JOIN c0 c ON e.pos = c.pos GROUP BY e.vec_id, c.cid),
+        |a1 AS (SELECT vec_id, cid FROM (
+        |       SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d1)
+        |       WHERE rn = 1),
+        |c1 AS (SELECT a1.cid, e.pos, avg(e.val) AS c FROM e JOIN a1 ON e.vec_id = a1.vec_id GROUP BY a1.cid, e.pos),
+        |d2t AS (SELECT e.vec_id, c.cid, sum((e.val - c.c) * (e.val - c.c)) AS d2
+        |        FROM e JOIN c1 c ON e.pos = c.pos GROUP BY e.vec_id, c.cid),
+        |a2 AS (SELECT vec_id, cid, d2 FROM (
+        |       SELECT vec_id, cid, d2, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d2t)
+        |       WHERE rn = 1)
+        |SELECT vec_id, cid AS cluster, floor(sqrt(d2) * 1000000 + 0.5) / 1000000 AS dist
+        |FROM a2 ORDER BY vec_id""".stripMargin) { (s, d) =>
+      // Trained k-means (Lloyd, k=4, 1 update iteration unrolled, fully
+      // declarative — no driver-side collect): deterministic init =
+      // vectors 0..3, assign by argmin squared distance (tie→lowest cid),
+      // recompute centroids as per-dimension means, re-assign, emit the
+      // final assignment + distance. This is the IVF "training" step
+      // q_sim_4 stubs with fixed centroids.
+      //
+      // Scale notes: assignment is a broadcast cross join against k
+      // centroids + per-row argmin — no shuffle of the big side, O(n·k·dim)
+      // flops, embarrassingly parallel. The update shuffles n·dim exploded
+      // (cid,pos,val) rows into k·dim groups — at 100 TB you'd partial-
+      // aggregate per partition first (sum+count), which Spark's hash agg
+      // already does map-side, so the wire volume is executors×k×dim, not
+      // n×dim. Iteration count is fixed → the whole plan stays lazy;
+      // convergence-driven k-means would localCheckpoint per round.
+      val e = Tables(s, d, "embeddings").filter(col("vec_id") < 200)
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      val init = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("cid"), col("v").as("cvec"))
+
+      def assign(cents: DataFrame): DataFrame = {
+        val w = Window.partitionBy("vec_id")
+          .orderBy(VectorFunctions.sqDist(col("v"), col("cvec")), col("cid"))
+        e.crossJoin(broadcast(cents))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+      }
+      def update(assigned: DataFrame): DataFrame =
+        assigned.select(col("cid"), posexplode(col("v")))
+          .groupBy("cid", "pos").agg(avg("col").as("c"))
+          .groupBy("cid").agg(
+            transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+              _.getField("c")).as("cvec"))
+
+      assign(update(assign(init)))
+        .select(col("vec_id"), col("cid").as("cluster"),
+          round(sqrt(VectorFunctions.sqDist(col("v"), col("cvec"))), 6).as("dist"))
+        .orderBy("vec_id")
     }
   )
 }

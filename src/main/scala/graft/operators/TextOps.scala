@@ -3,6 +3,7 @@ package graft.operators
 import graft.Q
 import graft.functions.TextFunctions._
 import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Num.round
@@ -35,6 +36,29 @@ object TextOps {
   /** DuckDB mirror of TextFunctions.minhashSignature(text, 16). */
   private val duckMinhashSig: String =
     s"list_transform(range(0, 16), i -> list_min(list_transform($duckTokenHashes, h -> (h * (i * 2 + 3) + (i * 5 + 7)) % 1000000007)))"
+
+  /** Shared CTE prefix (sigs + bands) of the LSH family oracles:
+    * MinHash(16) signatures for doc_id<100, split into 4 bands × 4 rows,
+    * each band keyed by an md5 digest. Mirror of `lshBandKeys` below.
+    */
+  private val duckLshBands: String =
+    s"""sigs AS (
+       | SELECT doc_id, $duckMinhashSig AS sig
+       | FROM documents WHERE doc_id < 100),
+       |bands AS (
+       | SELECT doc_id, j, md5(array_to_string(list_transform(list_slice(sig, j * 4 + 1, j * 4 + 4), x -> CAST(x AS VARCHAR)), '-')) AS band_key
+       | FROM sigs, (SELECT unnest(range(0, 4)) AS j))""".stripMargin
+
+  /** (doc_id, j, band_key) LSH band keys: MinHash(16) signature sliced
+    * into 4 bands of 4 rows, md5-digested. Docs agreeing on ≥1 band key
+    * are near-dup candidates. Per-row computation (no shuffle) — the
+    * band-key groupBy/join that consumers do is the only shuffle.
+    */
+  private def lshBandKeys(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), minhashSignature(col("text"), 16).as("sig"))
+      .select(col("doc_id"), explode(sequence(lit(0L), lit(3L))).as("j"), col("sig"))
+      .select(col("doc_id"), col("j"),
+        md5(concat_ws("-", transform(slice(col("sig"), (col("j") * 4 + 1).cast("int"), lit(4)), _.cast("string")))).as("band_key"))
 
   val all: Seq[Q] = Seq(
 
@@ -222,13 +246,7 @@ object TextOps {
     },
 
     Q("q_dedup_3_minhash_lsh",
-      s"""WITH sigs AS (
-         | SELECT doc_id,
-         |  $duckMinhashSig AS sig
-         | FROM documents WHERE doc_id < 100),
-         |bands AS (
-         | SELECT doc_id, j, md5(array_to_string(list_transform(list_slice(sig, j * 4 + 1, j * 4 + 4), x -> CAST(x AS VARCHAR)), '-')) AS band_key
-         | FROM sigs, (SELECT unnest(range(0, 4)) AS j))
+      s"""WITH $duckLshBands
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
          |FROM bands a JOIN bands b ON a.j = b.j AND a.band_key = b.band_key AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
@@ -236,13 +254,7 @@ object TextOps {
       // pairs agreeing on ≥1 band. Bounded to doc_id<100 here; at scale
       // the band join is the whole point — shuffle keys are (band, hash),
       // never pairs.
-      val sigs = Tables(s, d, "documents")
-        .filter(col("doc_id") < 100)
-        .select(col("doc_id"), minhashSignature(col("text"), 16).as("sig"))
-      val bands = sigs
-        .select(col("doc_id"), explode(sequence(lit(0L), lit(3L))).as("j"), col("sig"))
-        .select(col("doc_id"), col("j"),
-          md5(concat_ws("-", transform(slice(col("sig"), (col("j") * 4 + 1).cast("int"), lit(4)), _.cast("string")))).as("band_key"))
+      val bands = lshBandKeys(Tables(s, d, "documents").filter(col("doc_id") < 100))
       val a = bands.select(col("doc_id").as("doc_a"), col("j"), col("band_key"))
       val b = bands.select(col("doc_id").as("doc_b"), col("j").as("j2"), col("band_key").as("band_key2"))
       a.join(b, col("j") === col("j2") && col("band_key") === col("band_key2") && col("doc_a") < col("doc_b"))
@@ -316,6 +328,60 @@ object TextOps {
           round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
             / size(array_distinct(concat(col("sh_a"), col("sh_b")))), 6).as("jaccard"))
         .orderBy("doc_a", "doc_b")
+    },
+
+    Q("q_dedup_7_lsh_cluster",
+      s"""WITH RECURSIVE $duckLshBands,
+         |pairs AS (
+         | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         | FROM bands a JOIN bands b ON a.j = b.j AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(src, dst) AS (
+         | SELECT doc_id, doc_id FROM documents WHERE doc_id < 100
+         | UNION
+         | SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src)
+         |SELECT doc_id, component, CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS csize
+         |FROM comp ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // Near-dup CLUSTERING: connected components over the LSH candidate
+      // graph — the step after candidate generation in a production dedup
+      // pipeline (keep min doc_id per component, drop the rest). Pregel-
+      // style iterative min-label propagation: each pass a node takes the
+      // min label among itself and its neighbors; fixpoint in O(component
+      // diameter) passes (near-dup components are tiny). Each pass is one
+      // shuffle join; localCheckpoint truncates the otherwise-exponential
+      // iterative lineage. At 100 TB the identical loop gets the
+      // alternating large-star/small-star optimization (O(log n) rounds,
+      // Kiveris et al.) — unnecessary at near-dup diameters.
+      val docs = Tables(s, d, "documents").filter(col("doc_id") < 100)
+      val bands = lshBandKeys(docs)
+      val ba = bands.select(col("doc_id").as("doc_a"), col("j"), col("band_key"))
+      val bb = bands.select(col("doc_id").as("doc_b"), col("j").as("j2"), col("band_key").as("band_key2"))
+      val pairs = ba.join(bb,
+        col("j") === col("j2") && col("band_key") === col("band_key2") && col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .localCheckpoint()
+      var labels = docs.select(col("doc_id"), col("doc_id").as("component")).localCheckpoint()
+      var changed = 1L
+      var pass = 0
+      while (changed > 0 && pass < 25) { // guard: diameter ≤ 25 at these bounds
+        val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
+          .groupBy(col("src")).agg(min("component").as("nbr_min"))
+          .withColumnRenamed("src", "doc_id")
+        val upd = labels.join(nbrMin, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("component"),
+            least(col("component"), coalesce(col("nbr_min"), col("component"))).as("next"))
+          .localCheckpoint()
+        changed = upd.filter(col("next") < col("component")).count()
+        labels = upd.select(col("doc_id"), col("next").as("component"))
+        pass += 1
+      }
+      val sizes = labels.groupBy("component").agg(count(lit(1)).as("csize"))
+      labels.join(sizes, Seq("component"))
+        .select(col("doc_id"), col("component"), col("csize"))
+        .orderBy("doc_id")
     }
   )
 }
