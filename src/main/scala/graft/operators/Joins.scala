@@ -194,6 +194,31 @@ object Joins {
         .orderBy("o_orderpriority")
     },
 
+    Q("q_join_13_numeric_range",
+      """SELECT a.p_partkey AS pk, count(*) AS n_similar,
+        | floor((CAST(sum(CAST(floor(b.p_retailprice * 10 + 0.5) AS BIGINT)) AS DOUBLE) / (count(*) * CAST(10 AS DOUBLE))) * 100 + 0.5) / 100 AS avg_price
+        |FROM part a JOIN part b
+        | ON b.p_retailprice >= a.p_retailprice - 5.0 AND b.p_retailprice <= a.p_retailprice + 5.0
+        |GROUP BY a.p_partkey ORDER BY pk""".stripMargin) { (s, d) =>
+      // NUMERIC pure range join, value column on the RIGHT — exercises
+      // both RangeBandJoinRule generalizations (non-timestamp banding +
+      // mirrored sides). Written naively; the rule turns the nested loop
+      // into a band hash join (width 10 ≈ the ±5 window → ≤2 bands/row).
+      // avg goes through floor(p*10+.5) longs so the sum is exact-integer
+      // on both engines (double sum order would flirt with .xx5 edges).
+      graft.plans.RangeBandJoinRule.install(s)
+      val p = Tables(s, d, "part")
+      val a = p.select(col("p_partkey").as("pk"),
+        (col("p_retailprice") - 5.0).as("lo"), (col("p_retailprice") + 5.0).as("hi"))
+      val b = p.select(col("p_retailprice").as("bp"))
+      a.join(b, col("bp") >= col("lo") && col("bp") <= col("hi"))
+        .groupBy("pk")
+        .agg(count(lit(1)).as("n_similar"),
+          round(sum(floor(col("bp") * 10 + 0.5).cast("long")).cast("double")
+            / (count(lit(1)) * lit(10.0)), 2).as("avg_price"))
+        .orderBy("pk")
+    },
+
     Q("q_join_9_asof",
       """SELECT event_id, user_id, ts_s, last_click_ts FROM (
         | SELECT event_id, user_id, event_type, date_trunc('second', ts::TIMESTAMP) AS ts_s,

@@ -4,55 +4,82 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ArrayType, LongType, TimestampType}
+import org.apache.spark.sql.types._
 
 
 /** Optimizer rule: rewrite an inner join whose only usable predicate is a
-  * timestamp range condition
+  * range condition over a timestamp OR numeric column pair
   *
-  *     l.ts >= r.lo AND l.ts <= r.hi          (e.g. a BETWEEN)
+  *     l.v >= r.lo AND l.v <= r.hi          (e.g. a BETWEEN)
   *
   * into a hash-partitionable band join:
   *
-  *     left  + band(ts)
-  *     right + explode(sequence(band(lo), band(hi)))   — ≤ span/W bands
-  *     JOIN ON band_l = band_r AND <original range condition>
+  *     value side  + band(v)
+  *     bounds side + explode(sequence(band(lo), band(hi)))  — ≤ span/W bands
+  *     JOIN ON band_v = band_b AND <original range condition>
   *
-  * where band(x) = epoch_seconds(x) div W. Correctness: truncating
-  * division is monotone, so ts ∈ [lo, hi] ⇒ band(ts) ∈ [band(lo),
-  * band(hi)] — every qualifying pair meets on exactly one band (the
-  * probe's own), and the original condition re-filters, so the rewrite
-  * is exact for any W.
+  * where band(x) = x div W (epoch-micros div W for timestamps, floor
+  * division for fractional types). Correctness: truncating and floor
+  * division are both monotone non-decreasing, so v ∈ [lo, hi] ⇒
+  * band(v) ∈ [band(lo), band(hi)] — every qualifying pair meets on
+  * exactly one band (the value row's own), and the original condition
+  * re-filters, so the rewrite is exact for any W. The value column and
+  * the bounds may sit on either side of the join (mirrored shapes are
+  * normalized).
   *
   * Why: Spark plans a pure range join as BroadcastNestedLoopJoin /
   * CartesianProduct — O(|L|·|R|) and single-node-bound on the broadcast
   * side. The band join shuffles on a key instead, which survives 100 TB.
   * (Engineered range-join support like this is the well-known gap in
-  * OSS Spark; bucketed rewrite is the standard workaround.)
+  * OSS Spark; bucketed rewrite is the standard workaround.) Band skew
+  * (a hot band) is AQE's skew-join split problem, which stays enabled.
   *
-  * Scope guards: inner joins only; the range column pair must come from
+  * Scope guards: inner joins only; the value/bounds must come from
   * opposite sides; fires only when NO equi-join predicate exists (if one
   * does, Spark already hash-joins on it and the range stays a cheap
   * residual); skips joins it already rewrote (band attribute marker).
   *
   * Installed via `spark.experimental.extraOptimizations` (see
   * `RangeBandJoinRule.install`) or session extensions.
+  *
+  * @param bandSeconds      band width for timestamp ranges
+  * @param numericBandWidth band width for numeric ranges (tune to the
+  *                         typical [lo, hi] span: ≈span → ≤2 bands/row)
   */
-case class RangeBandJoinRule(bandSeconds: Long = 30L * 86400) extends Rule[LogicalPlan] {
+case class RangeBandJoinRule(
+    bandSeconds: Long = 30L * 86400,
+    numericBandWidth: Double = 10.0) extends Rule[LogicalPlan] {
 
   private val BandL = "__graft_band_l"
   private val BandR = "__graft_band_r"
 
-  /** epoch_micros(e) div (bandSeconds·1e6). ANSI mode forbids
-    * CAST(timestamp AS BIGINT), so go through UnixMicros; TIMESTAMP_NTZ
-    * first gets a session-zone cast to TIMESTAMP (identity under the
-    * harness's UTC session, and monotone under any fixed zone — band
-    * monotonicity is all correctness needs).
+  /** Long band index of a range-typed expression; monotone in e. For
+    * timestamps: epoch_micros(e) div (bandSeconds·1e6) — ANSI mode
+    * forbids CAST(timestamp AS BIGINT), so go through UnixMicros;
+    * TIMESTAMP_NTZ first gets a session-zone cast to TIMESTAMP (identity
+    * under the harness's UTC session, and monotone under any fixed zone —
+    * band monotonicity is all correctness needs). Integrals: truncating
+    * div. Fractionals: floor division (floor, not truncation, so the
+    * sequence lo..hi never misses a negative band).
     */
-  private def bandOf(e: Expression): Expression = {
-    val ts = if (e.dataType == TimestampType) e
-      else Cast(e, TimestampType, Some(conf.sessionLocalTimeZone))
-    IntegralDivide(UnixMicros(ts), Literal(bandSeconds * 1000000L))
+  private def bandOf(e: Expression): Expression = e.dataType match {
+    case _: TimestampType | _: TimestampNTZType =>
+      val ts = if (e.dataType == TimestampType) e
+        else Cast(e, TimestampType, Some(conf.sessionLocalTimeZone))
+      IntegralDivide(UnixMicros(ts), Literal(bandSeconds * 1000000L))
+    case _: ByteType | _: ShortType | _: IntegerType | _: LongType =>
+      IntegralDivide(Cast(e, LongType), Literal(math.max(1L, numericBandWidth.toLong)))
+    case _: FloatType | _: DoubleType =>
+      Cast(Floor(Divide(Cast(e, DoubleType), Literal(numericBandWidth))), LongType)
+    case other =>
+      throw new IllegalStateException(s"unbandable type $other") // guarded by bandable()
+  }
+
+  private def bandable(e: Expression): Boolean = e.dataType match {
+    case _: TimestampType | _: TimestampNTZType => true
+    case _: ByteType | _: ShortType | _: IntegerType | _: LongType => true
+    case _: FloatType | _: DoubleType => true
+    case _ => false
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
@@ -60,9 +87,11 @@ case class RangeBandJoinRule(bandSeconds: Long = 30L * 86400) extends Rule[Logic
         if !alreadyBanded(cond) && noEquiPredicate(cond, j) =>
       val conjuncts = splitConjuncts(cond)
       findRange(conjuncts, left, right) match {
-        case Some((ts, lo, hi)) =>
-          val bandL = Alias(bandOf(ts), BandL)()
-          val newLeft = Project(left.output :+ bandL, left)
+        case Some((v, lo, hi, valueOnLeft)) =>
+          val (valueSide, boundsSide) = if (valueOnLeft) (left, right) else (right, left)
+
+          val bandV = Alias(bandOf(v), BandL)()
+          val newValueSide = Project(valueSide.output :+ bandV, valueSide)
 
           val loB = bandOf(lo)
           val hiB = bandOf(hi)
@@ -72,10 +101,12 @@ case class RangeBandJoinRule(bandSeconds: Long = 30L * 86400) extends Rule[Logic
           val seq = If(LessThanOrEqual(loB, hiB),
             Sequence(loB, hiB, Some(Literal(1L)), Some(conf.sessionLocalTimeZone)),
             Literal.create(Seq.empty[Long], ArrayType(LongType, containsNull = false)))
-          val bandR = AttributeReference(BandR, LongType, nullable = false)()
-          val newRight = Generate(Explode(seq), Nil, outer = false, None, Seq(bandR), right)
+          val bandB = AttributeReference(BandR, LongType, nullable = false)()
+          val newBoundsSide = Generate(Explode(seq), Nil, outer = false, None, Seq(bandB), boundsSide)
 
-          val newCond = And(EqualTo(bandL.toAttribute, bandR), cond)
+          val (newLeft, newRight) =
+            if (valueOnLeft) (newValueSide, newBoundsSide) else (newBoundsSide, newValueSide)
+          val newCond = And(EqualTo(bandV.toAttribute, bandB), cond)
           Project(j.output, Join(newLeft, newRight, Inner, Some(newCond), hint))
         case None => j
       }
@@ -105,25 +136,24 @@ case class RangeBandJoinRule(bandSeconds: Long = 30L * 86400) extends Rule[Logic
       (a.references.subsetOf(ra) && b.references.subsetOf(la))
   }
 
-  /** Find ts >= lo AND ts <= hi with ts from the left, lo/hi from the
-    * right (or the mirrored arrangement, normalized to that shape).
+  /** Find v >= lo AND v <= hi with v from one side and lo/hi both from
+    * the other (mirrored comparisons normalized). Returns (v, lo, hi,
+    * valueOnLeft).
     */
   private def findRange(conjuncts: Seq[Expression], left: LogicalPlan,
-      right: LogicalPlan): Option[(Expression, Expression, Expression)] = {
-    def tsTyped(e: Expression) = e.dataType.isInstanceOf[TimestampType.type] ||
-      e.dataType.typeName.startsWith("timestamp")
+      right: LogicalPlan): Option[(Expression, Expression, Expression, Boolean)] = {
     def sideOf(e: Expression): Option[Char] =
       if (e.references.nonEmpty && e.references.subsetOf(left.outputSet)) Some('L')
       else if (e.references.nonEmpty && e.references.subsetOf(right.outputSet)) Some('R')
       else None
     // normalize every comparison to (smaller, larger)
     val lowerBounds = conjuncts.collect {
-      case GreaterThanOrEqual(a, b) if tsTyped(a) => (a, b) // a >= b → b is lo of a
-      case LessThanOrEqual(a, b) if tsTyped(a) => (b, a)    // a <= b → a is lo of b
+      case GreaterThanOrEqual(a, b) if bandable(a) => (a, b) // a >= b → b is lo of a
+      case LessThanOrEqual(a, b) if bandable(a) => (b, a)    // a <= b → a is lo of b
     }
     val upperBounds = conjuncts.collect {
-      case LessThanOrEqual(a, b) if tsTyped(a) => (a, b)    // a <= b → b is hi of a
-      case GreaterThanOrEqual(a, b) if tsTyped(a) => (b, a) // a >= b → a is hi of b
+      case LessThanOrEqual(a, b) if bandable(a) => (a, b)    // a <= b → b is hi of a
+      case GreaterThanOrEqual(a, b) if bandable(a) => (b, a) // a >= b → a is hi of b
     }
     (for {
       (ts1, lo) <- lowerBounds
@@ -132,8 +162,8 @@ case class RangeBandJoinRule(bandSeconds: Long = 30L * 86400) extends Rule[Logic
       sTs <- sideOf(ts1)
       sLo <- sideOf(lo)
       sHi <- sideOf(hi)
-      if sLo == sHi && sTs != sLo && sTs == 'L'
-    } yield (ts1, lo, hi)).headOption
+      if sLo == sHi && sTs != sLo
+    } yield (ts1, lo, hi, sTs == 'L')).headOption
   }
 }
 

@@ -48,6 +48,37 @@ class RangeBandJoinSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  private def naiveNumericRangeJoin() = {
+    // numeric range, value column on the RIGHT side (mirrored shape)
+    val p = graft.sources.Tables(spark, sf, "part")
+    val a = p.select(col("p_partkey").as("pk"),
+      (col("p_retailprice") - lit(5.0)).as("lo"), (col("p_retailprice") + lit(5.0)).as("hi"))
+    val b = p.select(col("p_partkey").as("pk_b"), col("p_retailprice").as("bp"))
+    a.join(b, col("bp") >= col("lo") && col("bp") <= col("hi"))
+  }
+
+  test("numeric + mirrored-side range join is banded too") {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev.filterNot(_.isInstanceOf[RangeBandJoinRule])
+    try {
+      val before = naiveNumericRangeJoin()
+      val planBefore = before.queryExecution.executedPlan.toString
+      assert(planBefore.contains("BroadcastNestedLoopJoin") || planBefore.contains("CartesianProduct"),
+        "expected the naive plan to be a nested loop:\n" + planBefore)
+      val expected = before.orderBy("pk", "pk_b").collect().toSeq
+      RangeBandJoinRule.install(spark)
+      val after = naiveNumericRangeJoin()
+      val planAfter = after.queryExecution.executedPlan.toString
+      assert(!planAfter.contains("BroadcastNestedLoopJoin") && !planAfter.contains("CartesianProduct"),
+        "rule did not fire:\n" + planAfter)
+      assert(planAfter.contains("HashJoin") || planAfter.contains("SortMergeJoin"), planAfter)
+      val got = after.orderBy("pk", "pk_b").collect().toSeq
+      assert(got == expected)
+      assert(got.nonEmpty)
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   test("rule leaves equi joins and already-banded joins untouched") {
     val prev = spark.experimental.extraOptimizations
     try {
