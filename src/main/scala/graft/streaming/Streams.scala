@@ -80,6 +80,7 @@ object Streams {
     * getters would silently truncate to milliseconds.
     */
   final case class SessionEvent(user_id: Long, ts_us: Long)
+  final case class StreamSessionEvent(user_id: Long, ts: java.sql.Timestamp, ts_us: Long)
   final case class UserSession(user_id: Long, session_start_us: Long, n_events: Long)
 
   /** Custom-state sessionizer via `flatMapGroupsWithState` — the escape
@@ -114,6 +115,77 @@ object Streams {
           out.iterator
       }
   }
+
+  /** INCREMENTAL sessionizer: the streaming-native version of `sessionize`
+    * with `GroupStateTimeout.EventTimeTimeout` driving session closure.
+    * State per key = the open sessions (start_us, last_us, n); each
+    * micro-batch merges its events into the state with the same
+    * inclusive-gap rule as the batch form, then emits (and drops) every
+    * session the watermark has passed — a future event would have
+    * ts ≥ watermark > last+gap, so it could never merge into them; the
+    * two forms therefore agree exactly once the watermark clears the data.
+    * Keys with no new events are woken by the event-time timeout so idle
+    * sessions still close.
+    *
+    * Scale note: state is O(open sessions per key), evicted monotonically
+    * by the watermark — bounded memory at any input volume. One shuffle
+    * on the grouping key, same as the batch form.
+    */
+  def sessionizeStream(events: DataFrame, gapMinutes: Int,
+      delay: String = "10 minutes"): org.apache.spark.sql.Dataset[UserSession] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60000000L
+    // the watermarked ts column must survive into the grouped Dataset —
+    // projecting it away makes the EventTimeTimeout checker reject the plan
+    val ds = events.withWatermark("ts", delay)
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"))
+      .as[StreamSessionEvent]
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Seq[(Long, Long, Long)], UserSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, events: Iterator[StreamSessionEvent], state: GroupState[Seq[(Long, Long, Long)]]) =>
+          val incoming = events.map(e => (e.ts_us, e.ts_us, 1L)).toList
+          val merged = (state.getOption.getOrElse(Seq.empty).toList ++ incoming)
+            .sortBy(s => (s._1, s._2))
+            .foldLeft(List.empty[(Long, Long, Long)]) {
+              case (cur :: acc, s) if s._1 - cur._2 <= gapUs => // inclusive merge, same as batch
+                (cur._1, math.max(cur._2, s._2), cur._3 + s._3) :: acc
+              case (acc, s) => s :: acc
+            }.reverse
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (closed, open) = merged.partition(s => wmUs > s._2 + gapUs)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(open)
+            // wake this key when the earliest open session can close
+            val nextMs = open.map(s => (s._2 + gapUs) / 1000L + 1L).min
+            state.setTimeoutTimestamp(math.max(state.getCurrentWatermarkMs() + 1L, nextMs))
+          }
+          closed.map(s => UserSession(user, s._1, s._3)).iterator
+      }
+  }
+
+  /** One idempotent micro-batch write: the batch OVERWRITES its own
+    * `batch_id=<id>` subdirectory, so foreachBatch's at-least-once retry
+    * contract becomes exactly-once at the sink — a replayed batch
+    * replaces its previous (possibly partial) output instead of
+    * appending. Readers see `batch_id` as a partition column via
+    * ordinary partition discovery.
+    */
+  def writeBatch(batch: DataFrame, path: String, id: Long): Unit =
+    batch.write.mode("overwrite").parquet(s"$path/batch_id=$id")
+
+  /** foreachBatch parquet sink built on `writeBatch` — the escape hatch
+    * for sinks Structured Streaming lacks natively (JDBC, multi-table,
+    * merge targets): full batch-DataFrame API per micro-batch, with
+    * idempotence supplied by the batch-id-scoped overwrite.
+    */
+  def idempotentParquetSink(df: DataFrame, path: String): DataStreamWriter[Row] =
+    df.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch((batch: DataFrame, id: Long) => writeBatch(batch, path, id))
 
   /** Stream-stream join: each purchase joined to the same user's clicks
     * from the preceding hour. Both sides watermarked (bounds the join

@@ -55,6 +55,64 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.select("user_id", "event_type").distinct().count() == nKeys)
   }
 
+  test("EventTimeTimeout sessionizer matches the batch sessionizer once the watermark clears") {
+    import spark.implicits._
+    import org.apache.spark.sql.Row
+    // own input dir — sentinel rows must not pollute the shared stream tests
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_fmgws").toString
+    Streams.prepareStreamInput(spark, sf, dir)
+    val real = spark.read.parquet(dir)
+    val maxTsMs = real.agg(max(unix_millis(col("ts")))).as[Long].head()
+    def appendSentinel(eventId: Long, tsMs: Long): Unit =
+      spark.createDataFrame(
+        java.util.Arrays.asList(Row(eventId, new java.sql.Timestamp(tsMs), -1L, "sentinel", 0.0)),
+        Streams.eventSchema).write.mode("append").parquet(dir)
+
+    // default trigger, NOT AvailableNow: the query must stay alive across
+    // the sentinel rounds (AvailableNow terminates after the first drain,
+    // silently ignoring later processAllAvailable calls)
+    val q = Streams.sessionizeStream(Streams.eventStream(spark, dir), 30).toDF()
+      .writeStream.format("memory").queryName("stream_fmgws")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable() // batch 1: all real events, watermark still 0
+      appendSentinel(-1L, maxTsMs + 3600000L)
+      q.processAllAvailable() // batch 2: watermark = max(real) - delay
+      appendSentinel(-2L, maxTsMs + 7200000L)
+      q.processAllAvailable() // batch 3: watermark = max+1h-delay → all real sessions close
+      appendSentinel(-3L, maxTsMs + 10800000L)
+      q.processAllAvailable() // batch 4: fire any timeouts registered during batch 3
+    } finally q.stop()
+
+    val streamed = spark.table("stream_fmgws")
+      .filter(col("user_id") >= 0)
+      .orderBy("user_id", "session_start_us")
+      .as[Streams.UserSession].collect().toSeq
+    // `real` re-lists the dir lazily and now sees the sentinel files too —
+    // restrict both sides to the real users
+    val batch = Streams.sessionize(
+      real.filter(col("user_id") >= 0)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us")).as[Streams.SessionEvent], 30)
+      .orderBy("user_id", "session_start_us").collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
+  test("foreachBatch idempotent sink: a retried batch does not duplicate rows") {
+    val out = java.nio.file.Files.createTempDirectory("graft_fb_sink").toString
+    val q = Streams.idempotentParquetSink(Streams.eventStream(spark, inputDir), out)
+      .queryName("fb_sink").start()
+    try q.processAllAvailable() finally q.stop()
+    val total = spark.read.parquet(out).count()
+    assert(total == spark.read.parquet(inputDir).count())
+    // simulate foreachBatch's at-least-once retry: replay batch 0 verbatim
+    val b0 = spark.read.parquet(s"$out/batch_id=0")
+    val replay = spark.createDataFrame(
+      java.util.Arrays.asList(b0.collect(): _*), b0.schema)
+    Streams.writeBatch(replay, out, 0L)
+    assert(spark.read.parquet(out).count() == total, "retry must replace, not append")
+  }
+
   test("stream-stream click-purchase join matches the batch join") {
     val q = Streams.toMemorySink(
       Streams.clickPurchaseJoin(Streams.eventStream(spark, inputDir)),
