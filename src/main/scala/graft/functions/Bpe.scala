@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding trainer as a loop of DataFrame aggregations — the
+  * classic tokenizer-training step of an LLM data pipeline, run on the
+  * engine itself instead of a single-node tool.
+  *
+  * Each round is: count adjacent symbol pairs across the corpus (explode
+  * + hash agg, map-side partial), pick the global argmax (orderBy.limit(1)
+  * = TakeOrderedAndProject, collects ONE row), apply the merge to every
+  * sequence with a codegen'd fold (no shuffle), repeat. Driver traffic is
+  * one (pair, freq) row per round; everything else stays distributed, so
+  * the same loop trains on a 100 TB corpus — wall-clock per round is one
+  * scan + one small shuffle. localCheckpoint truncates the per-round
+  * lineage (10 rounds of nested HOFs would otherwise stack analysis cost).
+  */
+object Bpe {
+
+  /** Adjacent (left, right) symbol pairs of a sequence. */
+  def adjacentPairs(syms: Column): Column =
+    transform(slice(syms, lit(1), size(syms) - 1),
+      (x, i) => struct(x.as("l"), element_at(syms, i + 2).as("r")))
+
+  /** One greedy left-to-right, non-overlapping merge pass: every adjacent
+    * (a, b) becomes the single symbol a+b ("aaa" + merge(a,a) → [aa, a]).
+    * A just-merged symbol never re-merges within the pass (its text is
+    * a+b, not a), which is exactly BPE's scan rule.
+    */
+  def applyMerge(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, x) =>
+      when(size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Learn up to `nMerges` merges from a corpus of symbol sequences
+    * (column `syms: array<string>`). Stops early when no pair occurs at
+    * least `minFreq` times. Ties break on (freq desc, left asc, right
+    * asc) — fully deterministic. Returns (rank, left, right, freq).
+    */
+  def train(corpus: DataFrame, nMerges: Int, minFreq: Long = 2L): Seq[(Int, String, String, Long)] = {
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var syms = corpus.select(col("syms")).localCheckpoint()
+    var rank = 1
+    var done = false
+    while (rank <= nMerges && !done) {
+      val top = syms.select(explode(adjacentPairs(col("syms"))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty || top(0).getLong(2) < minFreq) done = true
+      else {
+        val (a, b, f) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((rank, a, b, f))
+        syms = syms.select(applyMerge(col("syms"), a, b).as("syms")).localCheckpoint()
+        rank += 1
+      }
+    }
+    merges.toSeq
+  }
+}

@@ -330,6 +330,22 @@ object TextOps {
         .orderBy("doc_a", "doc_b")
     },
 
+    Q.noOracle("q_text_11_bpe") { (s, d) =>
+      // BPE tokenizer training (10 merges, min pair freq 2) over the
+      // corpus tokens' character sequences — graft.functions.Bpe runs the
+      // count→argmax→merge loop distributed, one collected row per round.
+      // No SQL oracle (iterative greedy argmax); pinned by a hand-computed
+      // unit test + the golden digest.
+      import s.implicits._
+      val toks = Tables(s, d, "documents").filter(col("doc_id") < 120)
+        .select(explode(tokens(col("text"))).as("tok"))
+        .select(split(col("tok"), "").as("syms"))
+      graft.functions.Bpe.train(toks, 10)
+        .toDF("rank", "left", "right", "freq")
+        .select(col("rank").cast("long").as("rank"), col("left"), col("right"), col("freq"))
+        .orderBy("rank")
+    },
+
     Q("q_dedup_7_lsh_cluster",
       s"""WITH RECURSIVE $duckLshBands,
          |pairs AS (

@@ -215,4 +215,20 @@ class OperatorUnitSpec extends SparkSpec {
     assert(enRate < 0.25, s"enRate=$enRate")
     assert(deRate > 0.25 && deRate < 0.75, s"deRate=$deRate")
   }
+
+  test("BPE train: classic low/lower corpus learns (l,o) then (lo,w) and stops") {
+    val corpus = Seq("low", "low", "lower")
+      .toDF("tok").select(split(col("tok"), "").as("syms"))
+    // pairs round 1: (l,o)×3 ties (o,w)×3 → lex tie-break picks (l,o);
+    // round 2: (lo,w)×3; round 3: all pairs freq 1 < minFreq → stop.
+    val merges = graft.functions.Bpe.train(corpus, 10)
+    assert(merges == Seq((1, "l", "o", 3L), (2, "lo", "w", 3L)))
+  }
+
+  test("BPE applyMerge is greedy left-to-right, non-overlapping") {
+    val df = Seq("aaaa", "aaa").toDF("tok").select(split(col("tok"), "").as("syms"))
+    val got = df.select(graft.functions.Bpe.applyMerge(col("syms"), "a", "a").as("m"))
+      .collect().map(_.getSeq[String](0).toList).toList
+    assert(got == List(List("aa", "aa"), List("aa", "a")))
+  }
 }
