@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Q
 import graft.expressions.VectorExpressions
-import graft.functions.VectorFunctions
+import graft.functions.{KMeans, VectorFunctions}
 import graft.functions.VectorFunctions.Duck
 import graft.sources.Tables
 import org.apache.spark.sql.DataFrame
@@ -234,25 +234,72 @@ object Similarity {
         .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
       val init = e.filter(col("vec_id") < 4)
         .select(col("vec_id").as("cid"), col("v").as("cvec"))
-
-      def assign(cents: DataFrame): DataFrame = {
-        val w = Window.partitionBy("vec_id")
-          .orderBy(VectorFunctions.sqDist(col("v"), col("cvec")), col("cid"))
-        e.crossJoin(broadcast(cents))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-      }
-      def update(assigned: DataFrame): DataFrame =
-        assigned.select(col("cid"), posexplode(col("v")))
-          .groupBy("cid", "pos").agg(avg("col").as("c"))
-          .groupBy("cid").agg(
-            transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-              _.getField("c")).as("cvec"))
-
-      assign(update(assign(init)))
+      KMeans.assign(e, KMeans.update(KMeans.assign(e, init)))
         .select(col("vec_id"), col("cid").as("cluster"),
           round(sqrt(VectorFunctions.sqDist(col("v"), col("cvec"))), 6).as("dist"))
         .orderBy("vec_id")
+    },
+
+    Q("q_sim_8_ann_multiprobe",
+      s"""WITH e AS (
+         | SELECT vec_id, unnest(generate_series(1, len(embedding))) AS pos,
+         |  CAST(unnest(embedding) AS DOUBLE) AS val
+         | FROM embeddings),
+         |c0 AS (SELECT vec_id AS cid, pos, val AS c FROM e WHERE vec_id < 8),
+         |d1 AS (SELECT e.vec_id, c.cid, sum((e.val - c.c) * (e.val - c.c)) AS d2
+         |       FROM e JOIN c0 c ON e.pos = c.pos GROUP BY e.vec_id, c.cid),
+         |a1 AS (SELECT vec_id, cid FROM (
+         |       SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d1)
+         |       WHERE rn = 1),
+         |c1 AS (SELECT a1.cid, e.pos, avg(e.val) AS c FROM e JOIN a1 ON e.vec_id = a1.vec_id GROUP BY a1.cid, e.pos),
+         |d2t AS (SELECT e.vec_id, c.cid, sum((e.val - c.c) * (e.val - c.c)) AS d2
+         |        FROM e JOIN c1 c ON e.pos = c.pos GROUP BY e.vec_id, c.cid),
+         |a2 AS (SELECT vec_id, cid FROM (
+         |       SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d2t)
+         |       WHERE rn = 1),
+         |pcell AS (SELECT cid FROM (
+         |       SELECT cid, row_number() OVER (ORDER BY d2, cid) AS rn FROM d2t WHERE vec_id = 0)
+         |       WHERE rn <= 2),
+         |cand AS (SELECT a2.vec_id FROM a2 JOIN pcell ON a2.cid = pcell.cid WHERE a2.vec_id <> 0)
+         |SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS rank,
+         | vec_id, floor((cos) * 1000000 + 0.5) / 1000000 AS cosine
+         |FROM (
+         | SELECT x.vec_id, ${Duck.cosine("x.embedding", "p.pvec")} AS cos
+         | FROM embeddings x JOIN cand ON x.vec_id = cand.vec_id,
+         |  (SELECT embedding AS pvec FROM embeddings WHERE vec_id = 0) p)
+         |ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin) { (s, d) =>
+      // The full IVF-Flat ANN pipeline, FAISS-style: TRAIN the coarse
+      // quantizer (one Lloyd round, k=8, deterministic init), build the
+      // IVF index (cell assignment per vector), then MULTI-PROBE search —
+      // the probe visits its 2 nearest cells (nprobe=2 recovers most of
+      // the recall single-probe IVF loses at cell boundaries), exact
+      // cosine only inside those cells. Unbounded input: the whole
+      // embeddings table is indexed.
+      //
+      // Scale notes: at 100 TB the cell id becomes the table's partition
+      // key, so a probe reads nprobe/k of the data (partition pruning);
+      // training samples, index build is one broadcast-assign pass, and
+      // the search fan-out is a broadcast of probe vectors — no shuffle
+      // of the corpus anywhere.
+      VectorExpressions.register(s)
+      val raw = Tables(s, d, "embeddings")
+      val e = raw.select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      val init = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("v").as("cvec"))
+      val cents = KMeans.update(KMeans.assign(e, init))
+      val ivf = KMeans.assign(e, cents).select("vec_id", "cid")
+      val pv = e.filter(col("vec_id") === 0).select(col("v").as("pv"))
+      val pcell = cents.crossJoin(broadcast(pv))
+        .select(col("cid"), VectorFunctions.sqDist(col("pv"), col("cvec")).as("d2"))
+        .orderBy(col("d2"), col("cid")).limit(2).select("cid")
+      val cand = ivf.join(broadcast(pcell), Seq("cid"))
+        .filter(col("vec_id") =!= 0).select("vec_id")
+      val probeRaw = raw.filter(col("vec_id") === 0).select(col("embedding").as("pvec"))
+      raw.join(cand, Seq("vec_id")).crossJoin(broadcast(probeRaw))
+        .select(col("vec_id"), expr("cosine_similarity(embedding, pvec)").as("cos"))
+        .orderBy(col("cos").desc, col("vec_id")).limit(5)
+        .select(row_number().over(Window.orderBy(col("cos").desc, col("vec_id"))).cast("long").as("rank"),
+          col("vec_id"), round(col("cos"), 6).as("cosine"))
     }
   )
 }
