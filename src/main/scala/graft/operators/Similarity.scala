@@ -300,6 +300,68 @@ object Similarity {
         .orderBy(col("cos").desc, col("vec_id")).limit(5)
         .select(row_number().over(Window.orderBy(col("cos").desc, col("vec_id"))).cast("long").as("rank"),
           col("vec_id"), round(col("cos"), 6).as("cosine"))
+    },
+
+    Q("q_sim_9_pq",
+      """WITH sub AS (
+        | SELECT vec_id, (pos - 1) // 8 AS ss, (pos - 1) % 8 AS spos, val FROM (
+        |  SELECT vec_id, unnest(generate_series(1, len(embedding))) AS pos,
+        |   CAST(unnest(embedding) AS DOUBLE) AS val
+        |  FROM embeddings)),
+        |cb AS (SELECT vec_id AS cid, ss, spos, val AS c FROM sub WHERE vec_id < 4),
+        |dist AS (SELECT s.vec_id, s.ss, b.cid, sum((s.val - b.c) * (s.val - b.c)) AS d2
+        |         FROM sub s JOIN cb b ON s.ss = b.ss AND s.spos = b.spos
+        |         GROUP BY s.vec_id, s.ss, b.cid),
+        |code AS (SELECT vec_id, ss, cid FROM (
+        |         SELECT vec_id, ss, cid, row_number() OVER (PARTITION BY vec_id, ss ORDER BY d2, cid) AS rn FROM dist)
+        |         WHERE rn = 1),
+        |padc AS (SELECT ss, cid, d2 FROM dist WHERE vec_id = 0)
+        |SELECT CAST(row_number() OVER (ORDER BY adc2, vec_id) AS BIGINT) AS rank,
+        | vec_id, floor(sqrt(adc2) * 1000000 + 0.5) / 1000000 AS adc_dist
+        |FROM (
+        | SELECT c.vec_id, sum(p.d2) AS adc2
+        | FROM code c JOIN padc p ON c.ss = p.ss AND c.cid = p.cid
+        | WHERE c.vec_id <> 0 GROUP BY c.vec_id)
+        |ORDER BY adc2, vec_id LIMIT 5""".stripMargin) { (s, d) =>
+      // Product quantization + asymmetric distance (PQ-ADC, the memory-
+      // compressed ANN sketch): split 64 dims into 8 subspaces of 8,
+      // quantize each subvector to the nearest of 4 deterministic
+      // codewords (vec_id 0..3's subvectors as codebook) → each vector
+      // compresses to 8 codes (64 floats → 8 small ints). Search scans
+      // CODES, not vectors: the probe precomputes its distance to every
+      // codeword once (8×4 table), and each candidate's approximate
+      // distance is just 8 lookups + adds.
+      //
+      // Scale notes: the codebook and the probe's ADC table are both tiny
+      // broadcasts; the code table is 8 bytes/vector — a 100 TB corpus
+      // compresses to a scannable sketch, which is the point of PQ. The
+      // encode step's groupBy shuffles n·64 exploded rows once at index-
+      // build time; at scale you'd encode per-row with the broadcast
+      // codebook in a single projection (no shuffle) — the exploded form
+      // here keeps the oracle SQL an exact mirror.
+      val raw = Tables(s, d, "embeddings")
+      val sub = raw
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), (col("pos") / 8).cast("long").as("ss"),
+          (col("pos") % 8).as("spos"), col("col").cast("double").as("val"))
+      val cb = sub.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("cid"), col("ss").as("b_ss"),
+          col("spos").as("b_spos"), col("val").as("c"))
+      val dist = sub.join(broadcast(cb),
+        col("ss") === col("b_ss") && col("spos") === col("b_spos"))
+        .groupBy("vec_id", "ss", "cid")
+        .agg(sum((col("val") - col("c")) * (col("val") - col("c"))).as("d2"))
+      val wCode = Window.partitionBy("vec_id", "ss").orderBy(col("d2"), col("cid"))
+      val code = dist.withColumn("rn", row_number().over(wCode))
+        .filter(col("rn") === 1).select(col("vec_id"), col("ss"), col("cid"))
+      val padc = dist.filter(col("vec_id") === 0)
+        .select(col("ss").as("p_ss"), col("cid").as("p_cid"), col("d2").as("pd2"))
+      code.join(broadcast(padc), col("ss") === col("p_ss") && col("cid") === col("p_cid"))
+        .filter(col("vec_id") =!= 0)
+        .groupBy("vec_id").agg(sum("pd2").as("adc2"))
+        .orderBy(col("adc2"), col("vec_id")).limit(5)
+        .select(row_number().over(Window.orderBy(col("adc2"), col("vec_id"))).cast("long").as("rank"),
+          col("vec_id"), round(sqrt(col("adc2")), 6).as("adc_dist"))
     }
   )
 }

@@ -211,6 +211,35 @@ object Streams {
         col("purchase_ts"), col("click_ts"))
   }
 
+  /** Stream-stream LEFT OUTER join: every purchase, matched to preceding-
+    * hour clicks when they exist, emitted with NULL click columns
+    * otherwise. The NULL rows can only be produced once the watermark
+    * passes the purchase's join window (before that a matching click
+    * could still arrive) — so unmatched results trail the inner results
+    * by up to the watermark delay; state for both sides is evicted on
+    * the same boundary. Identical join condition discipline as the inner
+    * form: endpoint precomputed per row, nothing but column comparisons
+    * in the condition.
+    */
+  def clickPurchaseLeftJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withColumn("click_end", col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "2 hours")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") < col("click_end"),
+      "left_outer")
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
+        col("purchase_ts"), col("click_ts"))
+  }
+
   /** Memory-sink writer used by the tests (complete mode for aggregates). */
   def toMemorySink(df: DataFrame, name: String, complete: Boolean): DataStreamWriter[Row] =
     df.writeStream

@@ -113,6 +113,43 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == total, "retry must replace, not append")
   }
 
+  test("stream-stream LEFT OUTER join emits null-click rows after watermark passes") {
+    import org.apache.spark.sql.Row
+    // own dir: sentinels advance the watermark so unmatched purchases flush
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_lo").toString
+    Streams.prepareStreamInput(spark, sf, dir)
+    val maxTsMs = spark.read.parquet(dir)
+      .agg(max(unix_millis(col("ts")))).head().getLong(0)
+    def appendSentinel(eventId: Long, tsMs: Long, eventType: String): Unit =
+      spark.createDataFrame(
+        java.util.Arrays.asList(Row(eventId, new java.sql.Timestamp(tsMs), -1L, eventType, 0.0)),
+        Streams.eventSchema).write.mode("append").parquet(dir)
+
+    val q = Streams.clickPurchaseLeftJoin(Streams.eventStream(spark, dir))
+      .writeStream.format("memory").queryName("stream_lo")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // both types so BOTH sides' watermarks advance (the join watermark
+      // is the min of the two inputs')
+      appendSentinel(-1L, maxTsMs + 10800000L, "click")
+      appendSentinel(-2L, maxTsMs + 10800000L, "purchase")
+      q.processAllAvailable()
+      appendSentinel(-3L, maxTsMs + 21600000L, "click")
+      appendSentinel(-4L, maxTsMs + 21600000L, "purchase")
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("stream_lo").filter(col("user_id") >= 0)
+      .orderBy("purchase_id", "click_id").collect().toSeq
+    val batchEvents = graft.sources.Tables(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val batch = Streams.clickPurchaseLeftJoin(batchEvents)
+      .orderBy("purchase_id", "click_id").collect().toSeq
+    assert(streamed.exists(_.isNullAt(2)), "expected unmatched purchases with null click_id")
+    assert(streamed == batch)
+  }
+
   test("stream-stream click-purchase join matches the batch join") {
     val q = Streams.toMemorySink(
       Streams.clickPurchaseJoin(Streams.eventStream(spark, inputDir)),
