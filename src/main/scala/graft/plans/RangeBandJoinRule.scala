@@ -53,6 +53,17 @@ case class RangeBandJoinRule(
   private val BandL = "__graft_band_l"
   private val BandR = "__graft_band_r"
 
+  /** Widths are session-tunable without reinstalling the rule (the knob
+    * for matching band width to a workload's typical [lo, hi] span):
+    * `SET spark.graft.rangeJoin.bandSeconds=86400` /
+    * `SET spark.graft.rangeJoin.numericBandWidth=5.0`. Constructor values
+    * are the defaults.
+    */
+  private def effBandSeconds: Long =
+    conf.getConfString("spark.graft.rangeJoin.bandSeconds", bandSeconds.toString).toLong
+  private def effNumericWidth: Double =
+    conf.getConfString("spark.graft.rangeJoin.numericBandWidth", numericBandWidth.toString).toDouble
+
   /** Long band index of a range-typed expression; monotone in e. For
     * timestamps: epoch_micros(e) div (bandSeconds·1e6) — ANSI mode
     * forbids CAST(timestamp AS BIGINT), so go through UnixMicros;
@@ -66,11 +77,11 @@ case class RangeBandJoinRule(
     case _: TimestampType | _: TimestampNTZType =>
       val ts = if (e.dataType == TimestampType) e
         else Cast(e, TimestampType, Some(conf.sessionLocalTimeZone))
-      IntegralDivide(UnixMicros(ts), Literal(bandSeconds * 1000000L))
+      IntegralDivide(UnixMicros(ts), Literal(effBandSeconds * 1000000L))
     case _: ByteType | _: ShortType | _: IntegerType | _: LongType =>
-      IntegralDivide(Cast(e, LongType), Literal(math.max(1L, numericBandWidth.toLong)))
+      IntegralDivide(Cast(e, LongType), Literal(math.max(1L, effNumericWidth.toLong)))
     case _: FloatType | _: DoubleType =>
-      Cast(Floor(Divide(Cast(e, DoubleType), Literal(numericBandWidth))), LongType)
+      Cast(Floor(Divide(Cast(e, DoubleType), Literal(effNumericWidth))), LongType)
     case other =>
       throw new IllegalStateException(s"unbandable type $other") // guarded by bandable()
   }

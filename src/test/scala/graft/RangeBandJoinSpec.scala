@@ -79,6 +79,25 @@ class RangeBandJoinSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  test("band width is session-tunable via spark.graft.rangeJoin.numericBandWidth") {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev.filterNot(_.isInstanceOf[RangeBandJoinRule])
+    try {
+      RangeBandJoinRule.install(spark)
+      val expected = naiveNumericRangeJoin().orderBy("pk", "pk_b").collect().toSeq
+      spark.conf.set("spark.graft.rangeJoin.numericBandWidth", "3.0")
+      val narrow = naiveNumericRangeJoin()
+      val plan = narrow.queryExecution.optimizedPlan.toString
+      assert(plan.contains("/ 3.0"), "expected width-3 banding in the plan:\n" + plan)
+      assert(narrow.orderBy("pk", "pk_b").collect().toSeq == expected,
+        "rewrite must stay exact at any width")
+    } finally {
+      spark.conf.unset("spark.graft.rangeJoin.numericBandWidth")
+      spark.experimental.extraOptimizations = prev
+    }
+  }
+
   test("rule leaves equi joins and already-banded joins untouched") {
     val prev = spark.experimental.extraOptimizations
     try {
