@@ -73,4 +73,61 @@ class PropertySpec extends SparkSpec {
       .filter(abs($"final_run" - $"total") > 1e-9)
     assert(bad.count() == 0)
   }
+
+  test("k-means final assignment is the argmin over the final centroids") {
+    // reconstruct the final centroids from the assignment itself and
+    // check no vector is closer to a foreign centroid than its own
+    val assigned = Registry.byName("q_sim_7_kmeans").fn(spark, sf)
+      .select($"vec_id", $"cluster", $"dist")
+    val e = graft.sources.Tables(spark, sf, "embeddings")
+      .filter($"vec_id" < 200)
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+    // the centroids the query assigns against: one Lloyd update from the
+    // deterministic init (NOT centroids recomputed from the final
+    // assignment — Lloyd hasn't converged after one round)
+    val init = e.filter($"vec_id" < 4).select($"vec_id".as("cid"), $"v".as("cvec"))
+    val cents = graft.functions.KMeans.update(graft.functions.KMeans.assign(e, init))
+    val worse = e.crossJoin(broadcast(cents))
+      .select($"vec_id", $"cid",
+        sqrt(VectorFunctions.sqDist($"v", $"cvec")).as("d"))
+      .join(assigned, "vec_id")
+      .filter($"d" < $"dist" - 2e-6) // strictly closer (beyond dist's 6dp rounding quantum)
+    assert(worse.count() == 0)
+  }
+
+  test("LSH clustering: every candidate pair lands in one component; non-candidates are singletons") {
+    val comp = Registry.byName("q_dedup_7_lsh_cluster").fn(spark, sf)
+      .select($"doc_id", $"component", $"csize").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val pairs = Registry.byName("q_dedup_3_minhash_lsh").fn(spark, sf)
+      .select($"doc_a", $"doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    for ((a, b) <- pairs)
+      assert(comp(a)._1 == comp(b)._1, s"pair ($a,$b) split across components")
+    val inPairs = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    for ((doc, (c, size)) <- comp if !inPairs.contains(doc)) {
+      assert(c == doc && size == 1L, s"doc $doc has no candidate edge but csize=$size")
+    }
+  }
+
+  test("PQ: codebook vectors encode to their own codeword in every subspace") {
+    // vectors 0..3 ARE the codebook → their per-subspace nearest codeword
+    // is themselves (distance 0), so their code must be their own id 8×.
+    val sub = graft.sources.Tables(spark, sf, "embeddings")
+      .select($"vec_id", posexplode($"embedding"))
+      .select($"vec_id", ($"pos" / 8).cast("long").as("ss"),
+        ($"pos" % 8).as("spos"), $"col".cast("double").as("val"))
+    val cb = sub.filter($"vec_id" < 4)
+      .select($"vec_id".as("cid"), $"ss".as("b_ss"), $"spos".as("b_spos"), $"val".as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id", "ss").orderBy($"d2", $"cid")
+    val code = sub.join(broadcast(cb), $"ss" === $"b_ss" && $"spos" === $"b_spos")
+      .groupBy("vec_id", "ss", "cid")
+      .agg(sum(($"val" - $"c") * ($"val" - $"c")).as("d2"))
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+    val selfMiscoded = code.filter($"vec_id" < 4 && $"cid" =!= $"vec_id")
+    assert(selfMiscoded.count() == 0)
+    // and every vector gets exactly 8 codes
+    val badArity = code.groupBy("vec_id").count().filter($"count" =!= 8)
+    assert(badArity.count() == 0)
+  }
 }
