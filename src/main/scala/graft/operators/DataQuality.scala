@@ -79,6 +79,26 @@ object DataQuality {
           date_trunc("second", col("m.ts")).as("ts_s"),
           col("m.event_type").as("event_type"))
         .orderBy("user_id")
+    },
+
+    Q("q_dq_4_outliers",
+      """WITH st AS (SELECT avg(o_totalprice) AS m, stddev_samp(o_totalprice) AS sd FROM orders),
+        |z AS (SELECT o_orderkey, o_custkey,
+        |       floor(((o_totalprice - st.m) / st.sd) * 1000000 + 0.5) / 1000000 AS z
+        |      FROM orders, st)
+        |SELECT o_orderkey, o_custkey, z FROM z
+        |ORDER BY abs(z) DESC, o_orderkey LIMIT 15""".stripMargin) { (s, d) =>
+      // Statistical outlier screen (z-score): one aggregate pass for the
+      // global moments, broadcast back, top-15 by |z|. Ordering is on the
+      // ROUNDED z so both engines rank identical values. At scale this is
+      // a scan + TakeOrderedAndProject — no shuffle of the fact table;
+      // per-group variants swap the broadcast for a groupBy moments pass.
+      val o = Tables(s, d, "orders")
+      val st = o.agg(avg("o_totalprice").as("m"), stddev_samp("o_totalprice").as("sd"))
+      o.crossJoin(broadcast(st))
+        .select(col("o_orderkey"), col("o_custkey"),
+          round((col("o_totalprice") - col("m")) / col("sd"), 6).as("z"))
+        .orderBy(abs(col("z")).desc, col("o_orderkey")).limit(15)
     }
   )
 }

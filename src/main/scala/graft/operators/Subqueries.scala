@@ -70,6 +70,42 @@ object Subqueries {
         .select(col("mon"), coalesce(col("n"), lit(0L)).as("n"),
           coalesce(col("total"), lit(0.0)).as("total"))
         .orderBy("mon")
+    },
+
+    Q("q_time_2_ffill",
+      """WITH ev AS (
+        | SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |  floor((max(value)) * 10000 + 0.5) / 10000 AS v
+        | FROM events WHERE user_id < 5 GROUP BY 1, 2),
+        |days AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-31', INTERVAL 1 DAY)) AS day),
+        |users AS (SELECT DISTINCT user_id FROM ev),
+        |grid AS (SELECT user_id, day FROM users, days)
+        |SELECT g.user_id, g.day,
+        | last_value(ev.v IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+        |FROM grid g LEFT JOIN ev ON g.user_id = ev.user_id AND g.day = ev.day
+        |ORDER BY g.user_id, g.day""".stripMargin) { (s, d) =>
+      // Forward fill (LOCF) over a dense daily spine — the gap-filling
+      // step of time-series feature pipelines. Missing days inherit the
+      // last observed value; days before a user's first observation stay
+      // NULL. One window sort per user partition; the spine cross join is
+      // users×days (tiny) and the fact side joins by (user, day) key.
+      val ev = Tables(s, d, "events").filter(col("user_id") < 5)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(round(max("value"), 4).as("v"))
+      val days = s.range(1).select(explode(sequence(
+        lit("2024-01-01").cast("timestamp"),
+        lit("2024-01-31").cast("timestamp"),
+        expr("INTERVAL 1 DAY"))).as("day"))
+      val users = ev.select("user_id").distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("day")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      users.crossJoin(days)
+        .join(ev, Seq("user_id", "day"), "left")
+        .withColumn("v_filled", last(col("v"), ignoreNulls = true).over(w))
+        .select(col("user_id"), col("day"), col("v_filled"))
+        .orderBy("user_id", "day")
     }
   )
 }
