@@ -346,6 +346,27 @@ object TextOps {
         .orderBy("rank")
     },
 
+    Q("q_dedup_8_editdist",
+      """SELECT a.p_partkey AS pk_a, b.p_partkey AS pk_b,
+        | CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+        |WHERE a.p_partkey < 60 AND b.p_partkey < 60
+        | AND levenshtein(a.p_name, b.p_name) <= 15
+        |ORDER BY pk_a, pk_b""".stripMargin) { (s, d) =>
+      // Edit-distance near-dup on short name strings (exact integer
+      // metric — bit-identical across engines). Demonstration-bounded
+      // all-pairs; the scale path blocks candidates first (LSH/length
+      // bucketing) and only then pays the O(len²) DP per pair.
+      val p = Tables(s, d, "part").filter(col("p_partkey") < 60)
+      val a = p.select(col("p_partkey").as("pk_a"), col("p_name").as("name_a"))
+      val b = p.select(col("p_partkey").as("pk_b"), col("p_name").as("name_b"))
+      a.join(b, col("pk_a") < col("pk_b"))
+        .select(col("pk_a"), col("pk_b"),
+          levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+        .filter(col("dist") <= 15)
+        .orderBy("pk_a", "pk_b")
+    },
+
     Q("q_dedup_7_lsh_cluster",
       s"""WITH RECURSIVE $duckLshBands,
          |pairs AS (
