@@ -23,7 +23,8 @@ object Registry {
       Extras.all ++
       Sinks.all ++
       Subqueries.all ++
-      DataQuality.all
+      DataQuality.all ++
+      TpchShapes.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(
