@@ -197,6 +197,43 @@ object Aggregations {
           max_by(col("p_name"), struct(col("p_retailprice"), col("p_name"))).as("priciest"),
           min_by(col("p_name"), struct(col("p_retailprice"), col("p_name"))).as("cheapest"))
         .orderBy("p_brand")
+    },
+
+    Q("q_agg_15_moments",
+      """SELECT l_returnflag,
+        | floor((s1 / n) * 1000000 + 0.5) / 1000000 AS mean,
+        | floor((s2 / n - (s1 / n) * (s1 / n)) * 1000000 + 0.5) / 1000000 AS var_pop,
+        | floor(((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n)) / pow(s2 / n - (s1 / n) * (s1 / n), 1.5)) * 1000000 + 0.5) / 1000000 AS skewness,
+        | floor(((s4 / n - 4 * (s1 / n) * (s3 / n) + 6 * (s1 / n) * (s1 / n) * (s2 / n) - 3 * pow(s1 / n, 4)) / pow(s2 / n - (s1 / n) * (s1 / n), 2)) * 1000000 + 0.5) / 1000000 AS kurtosis
+        |FROM (
+        | SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n, sum(l_quantity) AS s1,
+        |  sum(l_quantity * l_quantity) AS s2, sum(l_quantity * l_quantity * l_quantity) AS s3,
+        |  sum(l_quantity * l_quantity * l_quantity * l_quantity) AS s4
+        | FROM lineitem GROUP BY l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      // Higher central moments (population skewness/kurtosis) via raw
+      // power sums. l_quantity is integral and s4 ≤ 50⁴·|lineitem| stays
+      // far below 2^53, so every sum is EXACT in double on both engines —
+      // the derived ratios are bit-deterministic (engines' built-in
+      // skewness/kurtosis disagree on sample-vs-population, so the
+      // explicit formulation is also the portable one). One map-side-
+      // combined hash aggregate; moments merge associatively at any scale.
+      val q = col("l_quantity")
+      val agged = Tables(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).cast("double").as("n"), sum(q).as("s1"),
+          sum(q * q).as("s2"), sum(q * q * q).as("s3"), sum(q * q * q * q).as("s4"))
+      val m = col("s1") / col("n")
+      val vpop = col("s2") / col("n") - m * m
+      agged.select(col("l_returnflag"),
+        round(m, 6).as("mean"),
+        round(vpop, 6).as("var_pop"),
+        round((col("s3") / col("n") - lit(3) * m * (col("s2") / col("n")) + lit(2) * m * m * m)
+          / pow(vpop, 1.5), 6).as("skewness"),
+        round((col("s4") / col("n") - lit(4) * m * (col("s3") / col("n"))
+          + lit(6) * m * m * (col("s2") / col("n")) - lit(3) * pow(m, 4))
+          / pow(vpop, 2), 6).as("kurtosis"))
+        .orderBy("l_returnflag")
     }
   )
 }

@@ -134,6 +134,26 @@ object Windows {
         first("o_orderkey").over(w).as("first_key"),
         last("o_orderkey").over(wFull).as("last_key"))
         .orderBy("o_custkey", "o_orderkey")
+    },
+
+    Q("q_win_8_nth",
+      """SELECT o_custkey, o_orderkey,
+        | floor((nth_value(o_totalprice, 2) OVER w) * 100 + 0.5) / 100 AS second_price,
+        | floor((nth_value(o_totalprice, 3) OVER w) * 100 + 0.5) / 100 AS third_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        | ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      // nth_value over the full-partition frame (explicit on BOTH sides —
+      // engines' default frames differ, which silently nulls the tail
+      // rows otherwise). NULL where the partition has < n rows.
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables(s, d, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        round(nth_value(col("o_totalprice"), 2).over(w), 2).as("second_price"),
+        round(nth_value(col("o_totalprice"), 3).over(w), 2).as("third_price"))
+        .orderBy("o_custkey", "o_orderkey")
     }
   )
 }
