@@ -199,6 +199,19 @@ object Aggregations {
         .orderBy("p_brand")
     },
 
+    Q.noOracle("q_agg_16_approx_percentile") { (s, d) =>
+      // approx_percentile (GK sketch) next to the exact percentile —
+      // mergeable sketch state, the percentile analogue of the HLL pair
+      // (q_agg_4/q_udaf_2). No oracle: sketch internals differ across
+      // engines; the unit test bounds the approximation error instead.
+      Tables(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("approx_percentile(l_extendedprice, 0.5, 1000)"), 2).as("approx_p50"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 2).as("exact_p50"))
+        .orderBy("l_returnflag")
+    },
+
     Q("q_agg_15_moments",
       """SELECT l_returnflag,
         | floor((s1 / n) * 1000000 + 0.5) / 1000000 AS mean,

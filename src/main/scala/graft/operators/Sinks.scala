@@ -26,6 +26,31 @@ object Sinks {
       s.read.orc(tmp).orderBy("s_suppkey")
     },
 
+    Q("q_scan_9_schema_merge",
+      """SELECT count(*) AS n_rows,
+        | count(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS n_with_priority,
+        | floor((sum(o_totalprice)) * 100 + 0.5) / 100 AS total
+        |FROM orders""".stripMargin) { (s, d) =>
+      // Schema evolution: two parquet generations (v2 adds a column),
+      // read back with mergeSchema — v1 rows surface NULL for the new
+      // column. The oracle recomputes the same aggregate straight from
+      // the source table, proving the evolved read is lossless. At scale
+      // this is the schema-drift story for append-only lakes; merge cost
+      // is footer-only.
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_rt_merge"
+      val o = Tables(s, d, "orders")
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$tmp/v1")
+      o.filter(col("o_orderkey") % 2 =!= 0)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite").parquet(s"$tmp/v2")
+      s.read.option("mergeSchema", "true").parquet(s"$tmp/v1", s"$tmp/v2")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("o_orderpriority")).as("n_with_priority"),
+          round(sum("o_totalprice"), 2).as("total"))
+    },
+
     Q("q_sink_1_partitioned",
       """SELECT o_orderpriority, count(*) AS n, floor((sum(o_totalprice)) * 100 + 0.5) / 100 AS total
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>

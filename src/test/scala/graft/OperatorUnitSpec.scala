@@ -216,6 +216,22 @@ class OperatorUnitSpec extends SparkSpec {
     assert(deRate > 0.25 && deRate < 0.75, s"deRate=$deRate")
   }
 
+  test("approx_percentile within 2% of exact at accuracy 1000") {
+    val rows = Registry.byName("q_agg_16_approx_percentile").fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (approx, exact) = (r.getDouble(1), r.getDouble(2))
+      assert(math.abs(approx - exact) / exact < 0.02, s"${r.getString(0)}: $approx vs $exact")
+    }
+  }
+
+  test("schema-merge read: evolved column null exactly for the v1 half") {
+    val r = Registry.byName("q_scan_9_schema_merge").fn(spark, sf).collect()(0)
+    val o = graft.sources.Tables(spark, sf, "orders")
+    assert(r.getLong(0) == o.count())
+    assert(r.getLong(1) == o.filter(col("o_orderkey") % 2 === 1).count())
+  }
+
   test("BPE train: classic low/lower corpus learns (l,o) then (lo,w) and stops") {
     val corpus = Seq("low", "low", "lower")
       .toDF("tok").select(split(col("tok"), "").as("syms"))
