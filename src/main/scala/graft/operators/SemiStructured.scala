@@ -95,6 +95,47 @@ object SemiStructured {
           concat_ws(",", sort_array(map_keys(col("m")))).as("keys_sorted"),
           element_at(col("m"), "click").as("n_click"),
           size(col("m")).cast("long").as("n_types"))
+    },
+
+    Q("q_json_3_roundtrip",
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+      // Serde round-trip: struct → JSON string → parsed struct → columns.
+      // The oracle is simply the source columns — the query proves
+      // to_json/from_json are lossless inverses for this schema.
+      val n = Tables(s, d, "nation")
+      n.select(to_json(struct(col("n_nationkey"), col("n_name"), col("n_regionkey"))).as("js"))
+        .select(from_json(col("js"),
+          "n_nationkey INT, n_name STRING, n_regionkey INT",
+          Map.empty[String, String]).as("p"))
+        .select(col("p.n_nationkey").as("n_nationkey"), col("p.n_name").as("n_name"),
+          col("p.n_regionkey").as("n_regionkey"))
+        .orderBy("n_nationkey")
+    },
+
+    Q.noOracle("q_map_2_hof") { (s, d) =>
+      // Map higher-order functions: transform_values / map_filter /
+      // map_zip_with over per-type event stats. No oracle (map key order
+      // is engine-specific); pinned by unit test + golden on the sorted
+      // projection.
+      val stats = Tables(s, d, "events")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), sum("value").as("sv"))
+      stats
+        .agg(
+          map_from_entries(sort_array(collect_list(struct(col("event_type"), col("cnt"))))).as("counts"),
+          map_from_entries(sort_array(collect_list(struct(col("event_type"), col("sv"))))).as("sums"))
+        .select(
+          map_zip_with(col("counts"), col("sums"),
+            (_, c, sv) => round(sv / c, 4)).as("avg_by_type"),
+          transform_values(col("counts"), (_, v) => v * 2).as("doubled"),
+          map_filter(col("counts"), (k, _) => k.isin("click", "view")).as("clickview"))
+        .select(
+          concat_ws(",", transform(sort_array(map_entries(col("avg_by_type"))),
+            e => concat(e.getField("key"), lit(":"), e.getField("value").cast("string")))).as("avgs"),
+          concat_ws(",", transform(sort_array(map_entries(col("doubled"))),
+            e => concat(e.getField("key"), lit(":"), e.getField("value").cast("string")))).as("doubled"),
+          size(col("clickview")).cast("long").as("n_clickview"))
     }
   )
 }

@@ -216,6 +216,17 @@ class OperatorUnitSpec extends SparkSpec {
     assert(deRate > 0.25 && deRate < 0.75, s"deRate=$deRate")
   }
 
+  test("map HOFs: zip_with averages equal direct per-type averages") {
+    val r = Registry.byName("q_map_2_hof").fn(spark, sf).collect()(0)
+    val direct = graft.sources.Tables(spark, sf, "events")
+      .groupBy("event_type")
+      .agg(graft.functions.Num.round(sum("value") / count(lit(1)), 4).as("a"))
+      .orderBy("event_type").collect()
+      .map(x => s"${x.getString(0)}:${x.getDouble(1)}").mkString(",")
+    assert(r.getString(0) == direct)
+    assert(r.getLong(2) <= 2) // click/view filter keeps at most those two keys
+  }
+
   test("approx_percentile within 2% of exact at accuracy 1000") {
     val rows = Registry.byName("q_agg_16_approx_percentile").fn(spark, sf).collect()
     assert(rows.nonEmpty)
