@@ -330,6 +330,81 @@ object TextOps {
         .orderBy("doc_a", "doc_b")
     },
 
+    Q("q_text_12_contamination",
+      s"""WITH bench AS (
+         | SELECT DISTINCT unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
+         |   i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))) AS sh
+         | FROM documents WHERE doc_id < 5),
+         |docsh AS (
+         | SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+         |   i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')))) AS sh
+         | FROM documents WHERE doc_id >= 5),
+         |tot AS (SELECT doc_id, count(*) AS n_sh FROM docsh GROUP BY doc_id),
+         |hit AS (SELECT d.doc_id, count(*) AS n_hit FROM docsh d JOIN bench b ON d.sh = b.sh GROUP BY d.doc_id)
+         |SELECT tot.doc_id, tot.n_sh, coalesce(hit.n_hit, 0) AS n_hit,
+         | floor((CAST(coalesce(hit.n_hit, 0) AS DOUBLE) / tot.n_sh) * 1000000 + 0.5) / 1000000 AS overlap,
+         | CAST(coalesce(hit.n_hit, 0) AS DOUBLE) / tot.n_sh > 0.5 AS contaminated
+         |FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
+         |ORDER BY tot.doc_id""".stripMargin) { (s, d) =>
+      // Benchmark decontamination: fraction of each training doc's
+      // 3-gram shingles that appear in the held-out benchmark set
+      // (doc_id<5 stands in for the eval suite). The benchmark shingle
+      // set is tiny → broadcast semi-probe; each doc is scored in one
+      // pass — the standard n-gram-overlap contamination screen run
+      // before training, at any corpus size.
+      val docs = Tables(s, d, "documents")
+      val bench = docs.filter(col("doc_id") < 5)
+        .select(explode(tokenShingles(col("text"), 3)).as("sh")).distinct()
+      val docsh = docs.filter(col("doc_id") >= 5)
+        .select(col("doc_id"), explode(tokenShingles(col("text"), 3)).as("sh"))
+      val tot = docsh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val hit = docsh.join(broadcast(bench), "sh")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+      tot.join(hit, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_sh"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_sh"), 6).as("overlap"),
+          (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_sh") > 0.5).as("contaminated"))
+        .orderBy("doc_id")
+    },
+
+    Q("q_text_13_split",
+      """SELECT split, lang, count(*) AS n_docs FROM (
+        | SELECT lang, CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+        |  WHEN (doc_id * 2654435761) % 100 < 90 THEN 'valid' ELSE 'test' END AS split
+        | FROM documents)
+        |GROUP BY split, lang ORDER BY split, lang""".stripMargin) { (s, d) =>
+      // Deterministic train/valid/test split (80/10/10) by Knuth
+      // multiplicative hash of the stable id — reproducible across runs,
+      // engines, and partitionings (unlike rand()-based splits), and
+      // membership is computable from the id alone so the split never
+      // needs a lookup table. Exact integer arithmetic end to end.
+      val bucket = (col("doc_id") * 2654435761L) % 100
+      Tables(s, d, "documents")
+        .select(col("lang"),
+          when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test").as("split"))
+        .groupBy("split", "lang").agg(count(lit(1)).as("n_docs"))
+        .orderBy("split", "lang")
+    },
+
+    Q("q_dq_5_class_weights",
+      """SELECT label, count(*) AS n,
+        | floor((CAST((SELECT count(*) FROM embeddings) AS DOUBLE) / (CAST((SELECT count(DISTINCT label) FROM embeddings) AS DOUBLE) * count(*))) * 1000000 + 0.5) / 1000000 AS weight
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
+      // Inverse-frequency class weights (sklearn's "balanced" formula:
+      // total / (k · class_count)) for loss reweighting on an imbalanced
+      // label column. Two tiny scalar aggregates broadcast back over the
+      // per-class counts — one pass at any scale.
+      val e = Tables(s, d, "embeddings")
+      val totals = e.agg(count(lit(1)).cast("double").as("total"),
+        countDistinct("label").cast("double").as("k"))
+      e.groupBy("label").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(totals))
+        .select(col("label"), col("n"),
+          round(col("total") / (col("k") * col("n")), 6).as("weight"))
+        .orderBy("label")
+    },
+
     Q.noOracle("q_text_11_bpe") { (s, d) =>
       // BPE tokenizer training (10 merges, min pair freq 2) over the
       // corpus tokens' character sequences — graft.functions.Bpe runs the
