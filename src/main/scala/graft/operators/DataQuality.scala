@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Q
 import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Num.round
 
@@ -99,6 +100,38 @@ object DataQuality {
         .select(col("o_orderkey"), col("o_custkey"),
           round((col("o_totalprice") - col("m")) / col("sd"), 6).as("z"))
         .orderBy(abs(col("z")).desc, col("o_orderkey")).limit(15)
+    },
+
+    Q("q_dq_6_scd2",
+      """WITH ev AS (SELECT user_id, event_id, event_type, ts FROM events WHERE user_id < 10),
+        |ch AS (
+        | SELECT user_id, event_id, event_type, ts,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_type
+        | FROM ev),
+        |flt AS (SELECT * FROM ch WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id, event_id, event_type,
+        | CAST(date_trunc('second', ts) AS TIMESTAMP) AS valid_from,
+        | CAST(lead(date_trunc('second', ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS TIMESTAMP) AS valid_to,
+        | lead(date_trunc('second', ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL AS is_current
+        |FROM flt ORDER BY user_id, valid_from, event_id""".stripMargin) { (s, d) =>
+      // SCD-2 history build: collapse consecutive identical states per
+      // key (lag-compare), then derive [valid_from, valid_to) intervals
+      // with lead — the slowly-changing-dimension shape an ETL maintains.
+      // Two window passes over the SAME (key, time) sort: Spark plans one
+      // shuffle + one sort, both windows reuse it. Deterministic: window
+      // order carries event_id as tie-break; boundaries second-truncated
+      // identically on both engines.
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val changes = Tables(s, d, "events").filter(col("user_id") < 10)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      changes
+        .withColumn("valid_to", lead(date_trunc("second", col("ts")), 1).over(w))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          date_trunc("second", col("ts")).as("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current"))
+        .orderBy("user_id", "valid_from", "event_id")
     }
   )
 }
