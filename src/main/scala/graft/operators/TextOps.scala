@@ -352,19 +352,21 @@ object TextOps {
       // set is tiny → broadcast semi-probe; each doc is scored in one
       // pass — the standard n-gram-overlap contamination screen run
       // before training, at any corpus size.
+      // single pass over the exploded shingles: LEFT-join the broadcast
+      // benchmark set with a hit marker, count total + hits in one
+      // aggregate (two separate branches would re-explode the corpus)
       val docs = Tables(s, d, "documents")
       val bench = docs.filter(col("doc_id") < 5)
         .select(explode(tokenShingles(col("text"), 3)).as("sh")).distinct()
+        .withColumn("is_hit", lit(1))
       val docsh = docs.filter(col("doc_id") >= 5)
         .select(col("doc_id"), explode(tokenShingles(col("text"), 3)).as("sh"))
-      val tot = docsh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-      val hit = docsh.join(broadcast(bench), "sh")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
-      tot.join(hit, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_sh"),
-          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-          round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_sh"), 6).as("overlap"),
-          (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_sh") > 0.5).as("contaminated"))
+      docsh.join(broadcast(bench), Seq("sh"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_sh"), count(col("is_hit")).as("n_hit"))
+        .select(col("doc_id"), col("n_sh"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_sh"), 6).as("overlap"),
+          (col("n_hit").cast("double") / col("n_sh") > 0.5).as("contaminated"))
         .orderBy("doc_id")
     },
 
