@@ -66,6 +66,27 @@ object Multimodal {
         .orderBy("doc_id")
     },
 
+    Q("q_mm_3_frame_sample",
+      """SELECT doc_id, i AS frame_idx,
+        | md5(substring(text, CAST(i * 128 + 1 AS INTEGER), 64)) AS frame_digest,
+        | CAST(length(substring(text, CAST(i * 128 + 1 AS INTEGER), 64)) AS BIGINT) AS frame_len
+        |FROM documents, (SELECT unnest(range(0, 4)) AS i)
+        |WHERE doc_id < 50 AND length(text) > i * 128
+        |ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+      // Frame sampling over an opaque payload: every other 64-byte window
+      // (stride 128, up to 4 frames) sliced and digested WITHOUT decoding
+      // — the "sample k frames per video" shape. Pure per-row projection
+      // after a generator: no shuffle, blob bytes stay inside the scan
+      // task; a real codec swaps in at the digest step.
+      Tables(s, d, "documents").filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("text"), explode(sequence(lit(0L), lit(3L))).as("i"))
+        .filter(length(col("text")) > col("i") * 128)
+        .select(col("doc_id"), col("i").as("frame_idx"),
+          md5(expr("substring(text, CAST(i * 128 + 1 AS INT), 64)")).as("frame_digest"),
+          length(expr("substring(text, CAST(i * 128 + 1 AS INT), 64)")).cast("long").as("frame_len"))
+        .orderBy("doc_id", "frame_idx")
+    },
+
     Q.noOracle("q_mm_2_decode_features") { (s, d) =>
       // Decode + feature-extract via the stub codec: typed Dataset →
       // per-partition batch transform → columnar result. No oracle (the
