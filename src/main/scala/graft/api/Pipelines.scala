@@ -1,0 +1,153 @@
+package graft.api
+
+import graft.functions.{KMeans, TextFunctions}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The library's user-facing, column-parameterized API: the same
+  * training-data pipeline operators the declared queries pin against the
+  * DuckDB oracle, generalized to ANY DataFrame and column names. The
+  * declared queries in `graft.operators` remain the oracle-verified
+  * ground truth; `PipelinesSpec` asserts these generic forms reproduce
+  * them exactly on the fixtures.
+  *
+  * Everything here is lazy DataFrame composition over built-in functions
+  * — no UDFs, no collect (the connected-components loop drives O(1-row)
+  * convergence actions, documented there) — so each operator inherits
+  * the scaling notes of its underlying formulation.
+  */
+object Pipelines {
+
+  /** Exact dedup: keep the lowest-id row per normalized text. One
+    * shuffle keyed by the text digest.
+    */
+  def dedupExact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val norm = lower(trim(col(textCol)))
+    df.withColumn("__norm", norm)
+      .groupBy(col("__norm"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
+      .drop("__norm")
+  }
+
+  /** MinHash+LSH candidate near-dup pairs: (id_a, id_b, n_shared_bands).
+    * Shuffles O(n·bands) band keys, never the O(n²) pair space.
+    */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, bands: Int = 4): DataFrame = {
+    val rows = k / bands
+    val sigs = df.select(col(idCol).as("__id"),
+      TextFunctions.minhashSignature(col(textCol), k).as("__sig"))
+    val banded = sigs
+      .select(col("__id"), explode(sequence(lit(0L), lit(bands - 1L))).as("__j"), col("__sig"))
+      .select(col("__id"), col("__j"),
+        md5(concat_ws("-", transform(
+          slice(col("__sig"), (col("__j") * rows + 1).cast("int"), lit(rows)),
+          _.cast("string")))).as("__bk"))
+    val a = banded.select(col("__id").as("id_a"), col("__j"), col("__bk"))
+    val b = banded.select(col("__id").as("id_b"), col("__j").as("__j2"), col("__bk").as("__bk2"))
+    a.join(b, col("__j") === col("__j2") && col("__bk") === col("__bk2") && col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  /** Connected components over an undirected edge list: (id, component)
+    * where component = min id reachable. Pregel-style min-label
+    * propagation; one shuffle join + one O(1-row) driver action per
+    * round, lineage truncated via localCheckpoint.
+    */
+  def connectedComponents(nodes: DataFrame, idCol: String,
+      edges: DataFrame, srcCol: String, dstCol: String, maxIters: Int = 25): DataFrame = {
+    val bidir = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .union(edges.select(col(dstCol).as("__src"), col(srcCol).as("__dst")))
+      .localCheckpoint()
+    var labels = nodes.select(col(idCol).as("__id"), col(idCol).as("component")).localCheckpoint()
+    var changed = 1L
+    var pass = 0
+    while (changed > 0 && pass < maxIters) {
+      val nbrMin = bidir.join(labels, bidir("__dst") === labels("__id"))
+        .groupBy(col("__src")).agg(min("component").as("__nm"))
+        .withColumnRenamed("__src", "__id")
+      val upd = labels.join(nbrMin, Seq("__id"), "left")
+        .select(col("__id"), col("component"),
+          least(col("component"), coalesce(col("__nm"), col("component"))).as("__next"))
+        .localCheckpoint()
+      changed = upd.filter(col("__next") < col("component")).count()
+      labels = upd.select(col("__id"), col("__next").as("component"))
+      pass += 1
+    }
+    labels.withColumnRenamed("__id", idCol)
+  }
+
+  /** Near-dup clusters straight from text: LSH candidates → connected
+    * components → (id, component, csize).
+    */
+  def nearDupComponents(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, bands: Int = 4): DataFrame = {
+    val comp = connectedComponents(df, idCol,
+      minhashCandidates(df, idCol, textCol, k, bands), "id_a", "id_b")
+    comp.join(comp.groupBy("component").agg(count(lit(1)).as("csize")), "component")
+      .select(col(idCol), col("component"), col("csize"))
+  }
+
+  /** Brute-force cosine top-k against one probe vector (broadcast the
+    * probe; the corpus streams — the exact-search baseline).
+    */
+  def cosineKnn(corpus: DataFrame, idCol: String, vecCol: String,
+      probe: DataFrame, probeVecCol: String, topK: Int): DataFrame = {
+    val cos = graft.functions.VectorFunctions.cosine(col(vecCol), col("__pv"))
+    corpus.crossJoin(broadcast(probe.select(col(probeVecCol).as("__pv"))))
+      .select(col(idCol), cos.as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol)).limit(topK)
+  }
+
+  /** IVF index: k-means-trained cells (one Lloyd round from the first k
+    * vectors by id) + per-vector cell assignment. Returns (id, cell).
+    */
+  def ivfIndex(df: DataFrame, idCol: String, vecCol: String, cells: Int): DataFrame = {
+    val e = df.select(col(idCol).as("vec_id"), transform(col(vecCol), _.cast("double")).as("v"))
+    val initIds = e.select(col("vec_id")).orderBy("vec_id").limit(cells)
+    val init = e.join(initIds, "vec_id")
+      .select(col("vec_id").as("cid"), col("v").as("cvec"))
+    val cents = KMeans.update(KMeans.assign(e, init))
+    KMeans.assign(e, cents)
+      .select(col("vec_id").as(idCol), col("cid").as("cell"))
+  }
+
+  /** Deterministic train/valid/test split by multiplicative hash of the
+    * id — reproducible across runs, engines, partitionings; membership
+    * computable from the id alone.
+    */
+  def deterministicSplit(df: DataFrame, idCol: String,
+      trainPct: Int = 80, validPct: Int = 10): DataFrame = {
+    val bucket = (col(idCol) * 2654435761L) % 100
+    df.withColumn("split",
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + validPct, "valid")
+        .otherwise("test"))
+  }
+
+  /** Inverse-frequency class weights: total / (k · class_count). */
+  def classWeights(df: DataFrame, labelCol: String): DataFrame = {
+    val totals = df.agg(count(lit(1)).cast("double").as("__total"),
+      countDistinct(col(labelCol)).cast("double").as("__k"))
+    df.groupBy(col(labelCol)).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(totals))
+      .select(col(labelCol), col("n"), (col("__total") / (col("__k") * col("n"))).as("weight"))
+  }
+
+  /** Benchmark-contamination screen: fraction of each row's token
+    * n-gram shingles found in `benchmark`'s shingle set (broadcast).
+    * Returns (id, n_sh, n_hit, overlap).
+    */
+  def contaminationScreen(train: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int = 3): DataFrame = {
+    val bench = benchmark
+      .select(explode(TextFunctions.tokenShingles(col(benchTextCol), n)).as("__sh"))
+      .distinct().withColumn("__hit", lit(1))
+    train.select(col(idCol), explode(TextFunctions.tokenShingles(col(textCol), n)).as("__sh"))
+      .join(broadcast(bench), Seq("__sh"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_sh"), count(col("__hit")).as("n_hit"))
+      .select(col(idCol), col("n_sh"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_sh")).as("overlap"))
+  }
+}

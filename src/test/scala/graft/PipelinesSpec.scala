@@ -1,0 +1,88 @@
+package graft
+
+import graft.api.Pipelines
+import graft.functions.Num.round
+import org.apache.spark.sql.functions._
+
+/** The generic, column-parameterized `graft.api.Pipelines` forms must
+  * reproduce the oracle-pinned declared queries exactly on the fixtures
+  * — proving the public API and the verified inventory are the same
+  * computations.
+  */
+class PipelinesSpec extends SparkSpec {
+
+  private def docs = graft.sources.Tables(spark, sf, "documents")
+
+  test("minhashCandidates == q_dedup_3_minhash_lsh") {
+    val api = Pipelines.minhashCandidates(
+      docs.filter(col("doc_id") < 100).withColumnRenamed("doc_id", "id"), "id", "text")
+      .orderBy("id_a", "id_b").collect().toSeq
+    val pinned = Registry.byName("q_dedup_3_minhash_lsh").fn(spark, sf)
+      .collect().toSeq
+    assert(api == pinned)
+  }
+
+  test("nearDupComponents == q_dedup_7_lsh_cluster") {
+    val api = Pipelines.nearDupComponents(docs.filter(col("doc_id") < 100), "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val pinned = Registry.byName("q_dedup_7_lsh_cluster").fn(spark, sf).collect().toSeq
+    assert(api == pinned)
+  }
+
+  test("deterministicSplit == q_text_13_split") {
+    val api = Pipelines.deterministicSplit(docs, "doc_id")
+      .groupBy("split", "lang").agg(count(lit(1)).as("n_docs"))
+      .orderBy("split", "lang").collect().toSeq
+    val pinned = Registry.byName("q_text_13_split").fn(spark, sf).collect().toSeq
+    assert(api == pinned)
+  }
+
+  test("classWeights == q_dq_5_class_weights") {
+    val e = graft.sources.Tables(spark, sf, "embeddings")
+    val api = Pipelines.classWeights(e, "label")
+      .select(col("label"), col("n"), round(col("weight"), 6).as("weight"))
+      .orderBy("label").collect().toSeq
+    val pinned = Registry.byName("q_dq_5_class_weights").fn(spark, sf).collect().toSeq
+    assert(api == pinned)
+  }
+
+  test("contaminationScreen == q_text_12_contamination") {
+    val api = Pipelines.contaminationScreen(
+      docs.filter(col("doc_id") >= 5), "doc_id", "text",
+      docs.filter(col("doc_id") < 5), "text")
+      .select(col("doc_id"), col("n_sh"), col("n_hit"), round(col("overlap"), 6).as("overlap"))
+      .orderBy("doc_id").collect().toSeq
+    val pinned = Registry.byName("q_text_12_contamination").fn(spark, sf)
+      .select("doc_id", "n_sh", "n_hit", "overlap").collect().toSeq
+    assert(api == pinned)
+  }
+
+  test("cosineKnn == q_sim_2_knn on the label-matched corpus") {
+    val e = graft.sources.Tables(spark, sf, "embeddings")
+    val probe = e.filter(col("vec_id") === 0)
+    val plabel = probe.select("label").collect()(0).getInt(0)
+    val api = Pipelines.cosineKnn(
+      e.filter(col("label") === plabel && col("vec_id") =!= 0), "vec_id", "embedding",
+      probe, "embedding", 5)
+      .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+      .collect().toSeq
+    val pinned = Registry.byName("q_sim_2_knn").fn(spark, sf)
+      .select("vec_id", "cosine").collect().toSeq
+    assert(api == pinned)
+  }
+
+  test("ivfIndex assigns every vector to one of k cells") {
+    val e = graft.sources.Tables(spark, sf, "embeddings")
+    val idx = Pipelines.ivfIndex(e, "vec_id", "embedding", 8)
+    assert(idx.count() == e.count())
+    assert(idx.select("cell").distinct().count() <= 8)
+  }
+
+  test("dedupExact keeps the min id per normalized text") {
+    import spark.implicits._
+    val df = Seq((3L, "A b"), (1L, "a B "), (2L, "unique")).toDF("id", "text")
+    val got = Pipelines.dedupExact(df, "id", "text")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(got == List((1L, 2L), (2L, 1L)))
+  }
+}
