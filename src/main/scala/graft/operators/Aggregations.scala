@@ -199,6 +199,26 @@ object Aggregations {
         .orderBy("p_brand")
     },
 
+    Q("q_agg_17_mode",
+      """SELECT o_orderpriority, qty_mode, n FROM (
+        | SELECT o_orderpriority, l_quantity AS qty_mode, count(*) AS n,
+        |  row_number() OVER (PARTITION BY o_orderpriority ORDER BY count(*) DESC, l_quantity) AS rn
+        | FROM orders, lineitem WHERE o_orderkey = l_orderkey
+        | GROUP BY o_orderpriority, l_quantity)
+        |WHERE rn = 1 ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      // Mode via explicit (count desc, value asc) argmax — engines'
+      // built-in mode() leaves ties unspecified, this form pins them.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderpriority").orderBy(col("n").desc, col("qty_mode"))
+      Tables(s, d, "lineitem")
+        .join(Tables(s, d, "orders"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"), col("l_quantity").as("qty_mode"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("o_orderpriority", "qty_mode", "n")
+        .orderBy("o_orderpriority")
+    },
+
     Q.noOracle("q_agg_16_approx_percentile") { (s, d) =>
       // approx_percentile (GK sketch) next to the exact percentile —
       // mergeable sketch state, the percentile analogue of the HLL pair

@@ -87,6 +87,23 @@ object Extras {
         .orderBy("o_orderkey")
     },
 
+    Q("q_proj_7_bitwise",
+      """SELECT p_partkey,
+        | p_size & 12 AS b_and, p_size | 5 AS b_or, xor(p_size, 255) AS b_xor,
+        | CAST(p_size AS BIGINT) << 3 AS b_shl, CAST(p_size AS BIGINT) >> 1 AS b_shr
+        |FROM part WHERE p_partkey < 200 ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      // Bitwise operator surface (flag masks, hash mixing) — exact
+      // integer semantics, identical on both engines.
+      Tables(s, d, "part").filter(col("p_partkey") < 200)
+        .select(col("p_partkey"),
+          col("p_size").bitwiseAND(12).as("b_and"),
+          col("p_size").bitwiseOR(5).as("b_or"),
+          col("p_size").bitwiseXOR(255).as("b_xor"),
+          shiftleft(col("p_size").cast("long"), 3).as("b_shl"),
+          shiftright(col("p_size").cast("long"), 1).as("b_shr"))
+        .orderBy("p_partkey")
+    },
+
     Q("q_join_11_cross",
       """SELECT r_name, n_name FROM region CROSS JOIN nation
         |ORDER BY r_name, n_name""".stripMargin) { (s, d) =>
