@@ -96,9 +96,12 @@ object VectorExpressions {
     * `expr("cosine_similarity(a, b)")` resolves (used by query fns that
     * receive an extension-less session from the driver).
     */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_similarity", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "tokens_of", exprs => TokensOf(exprs.head), "built-in")
+  }
 }
 
 /** SparkSessionExtensions installer — the official injection route for
@@ -118,6 +121,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("hll_distinct"),
       new ExpressionInfo(classOf[HyperLogLogAgg].getName, "hll_distinct"),
       (exprs: Seq[Expression]) => HyperLogLogAgg(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("tokens_of"),
+      new ExpressionInfo(classOf[TokensOf].getName, "tokens_of"),
+      (exprs: Seq[Expression]) => TokensOf(exprs.head)))
     ext.injectOptimizerRule(_ => graft.plans.RangeBandJoinRule())
   }
 }

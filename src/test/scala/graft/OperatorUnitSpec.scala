@@ -120,6 +120,19 @@ class OperatorUnitSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("native tokens_of Generator matches explode(split) exactly") {
+    graft.expressions.VectorExpressions.register(spark)
+    val docs = graft.sources.Tables(spark, sf, "documents").filter(col("doc_id") < 50)
+    val native = docs.select(col("doc_id"), expr("tokens_of(text)"))
+      .orderBy("doc_id", "token").collect().toSeq
+    val builtin = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .orderBy("doc_id", "token").collect().toSeq
+    assert(native.nonEmpty && native == builtin)
+    // null input yields no rows, like explode of split(null)
+    val nulls = spark.sql("SELECT tokens_of(CAST(NULL AS STRING))").collect()
+    assert(nulls.isEmpty)
+  }
+
   test("as-of join: purchase picks latest click at-or-before, per user") {
     val events = Registry.byName("q_join_9_asof").fn(spark, sf)
     // recompute one user's answer naively on the driver
