@@ -114,15 +114,21 @@ object TpchShapes {
         |HAVING sum(l_quantity) > 120
         |ORDER BY totalprice DESC, o_orderkey LIMIT 25""".stripMargin) { (s, d) =>
       // l_quantity is integral in the fixtures, so the HAVING threshold
-      // compares exact values — no float-boundary risk
+      // compares exact values — no float-boundary risk.
+      // Aggregate lineitem by orderkey FIRST (narrow (key, qty) shuffle
+      // with map-side partial agg), apply the HAVING, and only then join
+      // the few surviving orders to the dimensions — at scale the
+      // survivors broadcast, so the fact table is shuffled once on a
+      // 2-column projection instead of a 5-column row. o_orderkey
+      // determines the other group columns, so this plan is equivalent
+      // to the textbook group-by-all formulation the oracle uses.
       val c = Tables(s, d, "customer")
       val o = Tables(s, d, "orders")
-      val l = Tables(s, d, "lineitem")
-      l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(c, col("o_custkey") === col("c_custkey"))
-        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(sum("l_quantity").as("sum_qty_d"))
+      val big = Tables(s, d, "lineitem")
+        .groupBy("l_orderkey").agg(sum("l_quantity").as("sum_qty_d"))
         .filter(col("sum_qty_d") > 120)
+      big.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_orderdate"),
           round(col("o_totalprice"), 2).as("totalprice"),
           col("sum_qty_d").cast("long").as("sum_qty"))
