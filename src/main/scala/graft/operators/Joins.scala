@@ -131,7 +131,8 @@ object Joins {
     },
 
     Q("q_join_8_theta_range",
-      """SELECT o_orderpriority, count(*) AS n_pairs, floor((sum(l_extendedprice)) * 100 + 0.5) / 100 AS sum_price
+      """SELECT o_orderpriority, count(*) AS n_pairs,
+        | CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sum_price
         |FROM lineitem, orders
         |WHERE l_shipdate >= TIMESTAMP '1996-06-01' AND l_shipdate < TIMESTAMP '1996-06-08'
         | AND o_orderdate >= TIMESTAMP '1996-03-01' AND o_orderdate <= TIMESTAMP '1996-06-08'
@@ -158,10 +159,15 @@ object Joins {
           date_trunc("month", col("o_orderdate")),
           date_trunc("month", col("valid_until")),
           expr("INTERVAL 1 MONTH"))))
+      // sum over ~10M pairs reaches 1e11 — double accumulation error
+      // exceeds 2dp there, so sum exact integer CENTS (≪ 2^53) and
+      // divide once: bit-deterministic at any scale factor
       li.join(o, Seq("band"))
         .filter(col("l_shipdate").between(col("o_orderdate"), col("valid_until")))
         .groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("n_pairs"), round(sum("l_extendedprice"), 2).as("sum_price"))
+        .agg(count(lit(1)).as("n_pairs"),
+          (sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long")).cast("double") / 100)
+            .as("sum_price"))
         .orderBy("o_orderpriority")
     },
 
