@@ -93,6 +93,55 @@ case class RangeBandJoinRule(
     case _ => false
   }
 
+  /** ADAPTIVE width: when the bounds are `base − c1` / `base + c2` with
+    * literal offsets around one base expression, the row's [lo, hi] span
+    * is exactly c1+c2 — using it as the band width guarantees ≤ 2 bands
+    * per bounds row regardless of how the query was written, no tuning
+    * needed. Falls back to the session/default width when the span isn't
+    * statically known (only numeric types; interval arithmetic on
+    * timestamps belongs pre-join per PERF.md finding 1 anyway).
+    */
+  private def literalSpan(lo: Expression, hi: Expression): Option[Double] = {
+    def num(a: Any): Option[Double] = a match {
+      case n: Number => Some(n.doubleValue())
+      case d: Decimal => Some(d.toDouble)
+      case _ => None
+    }
+    def baseAndOffset(e: Expression): Option[(Expression, Double)] = e match {
+      case Add(b, Literal(v, _), _) => num(v).map(b -> _)
+      case Add(Literal(v, _), b, _) => num(v).map(b -> _)
+      case Subtract(b, Literal(v, _), _) => num(v).map(x => b -> -x)
+      case other => Some(other -> 0.0)
+    }
+    for {
+      (bl, ol) <- baseAndOffset(lo)
+      (bh, oh) <- baseAndOffset(hi)
+      if bl.semanticEquals(bh) && oh - ol > 0
+    } yield oh - ol
+  }
+
+  /** Substitute attributes with the expressions that produced them,
+    * chasing Alias chains through the side's Projects — by the time the
+    * rule fires, `base ± c` usually sits in a child Project and the join
+    * condition only sees its output attribute.
+    */
+  private def resolveAliases(e: Expression, side: LogicalPlan): Expression = {
+    val aliasMap = side.collect { case Project(pl, _) => pl }
+      .flatten.collect { case a: Alias => a.toAttribute.exprId -> a.child }.toMap
+    var cur = e
+    var depth = 0
+    var changed = true
+    while (changed && depth < 10) {
+      val next = cur.transformUp {
+        case a: AttributeReference if aliasMap.contains(a.exprId) => aliasMap(a.exprId)
+      }
+      changed = !next.fastEquals(cur)
+      cur = next
+      depth += 1
+    }
+    cur
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(left, right, Inner, Some(cond), hint)
         if !alreadyBanded(cond) && noEquiPredicate(cond, j) =>
@@ -101,11 +150,30 @@ case class RangeBandJoinRule(
         case Some((v, lo, hi, valueOnLeft)) =>
           val (valueSide, boundsSide) = if (valueOnLeft) (left, right) else (right, left)
 
-          val bandV = Alias(bandOf(v), BandL)()
+          // precedence: explicit session knob > inferred span > default
+          val explicitWidth =
+            Option(conf.getConfString("spark.graft.rangeJoin.numericBandWidth", null)).map(_.toDouble)
+          val widthOverride: Option[Double] = v.dataType match {
+            case _: FloatType | _: DoubleType | _: ByteType | _: ShortType |
+                 _: IntegerType | _: LongType =>
+              explicitWidth.orElse(
+                literalSpan(resolveAliases(lo, boundsSide), resolveAliases(hi, boundsSide)))
+            case _ => None
+          }
+          def bandOfW(e: Expression): Expression =
+            widthOverride match {
+              case Some(w) if e.dataType.isInstanceOf[FloatType] || e.dataType.isInstanceOf[DoubleType] =>
+                Cast(Floor(Divide(Cast(e, DoubleType), Literal(w))), LongType)
+              case Some(w) =>
+                IntegralDivide(Cast(e, LongType), Literal(math.max(1L, w.toLong)))
+              case None => bandOf(e)
+            }
+
+          val bandV = Alias(bandOfW(v), BandL)()
           val newValueSide = Project(valueSide.output :+ bandV, valueSide)
 
-          val loB = bandOf(lo)
-          val hiB = bandOf(hi)
+          val loB = bandOfW(lo)
+          val hiB = bandOfW(hi)
           // Sequence is TimeZoneAwareExpression — resolved only with a
           // zone, even over longs. Branch types must match exactly
           // (containsNull = false) or the If is unresolved.

@@ -98,6 +98,33 @@ class RangeBandJoinSpec extends SparkSpec {
     }
   }
 
+  test("adaptive width: literal base±c bounds set the band width to the span") {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev.filterNot(_.isInstanceOf[RangeBandJoinRule])
+    try {
+      RangeBandJoinRule.install(spark)
+      val p = graft.sources.Tables(spark, sf, "part")
+      val a = p.select(col("p_partkey").as("pk"),
+        (col("p_retailprice") - lit(1.5)).as("lo"), (col("p_retailprice") + lit(1.0)).as("hi"))
+      val b = p.select(col("p_partkey").as("pk_b"), col("p_retailprice").as("bp"))
+      val joined = a.join(b, col("bp") >= col("lo") && col("bp") <= col("hi"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("/ 2.5"), "expected span-derived width 2.5 in:\n" + plan)
+      // exactness unchanged under the inferred width
+      val expected = p.select(col("p_partkey"), col("p_retailprice")).collect()
+        .flatMap { r =>
+          val (pk, pr) = (r.getLong(0), r.getDouble(1))
+          p.select(col("p_partkey"), col("p_retailprice")).collect()
+            .filter(x => x.getDouble(1) >= pr - 1.5 && x.getDouble(1) <= pr + 1.0)
+            .map(x => (pk, x.getLong(0)))
+        }.sortBy(identity).toSeq
+      val got = joined.select(col("pk"), col("pk_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(identity).toSeq
+      assert(got == expected)
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   test("rule leaves equi joins and already-banded joins untouched") {
     val prev = spark.experimental.extraOptimizations
     try {
