@@ -362,6 +362,76 @@ object Similarity {
         .orderBy(col("adc2"), col("vec_id")).limit(5)
         .select(row_number().over(Window.orderBy(col("adc2"), col("vec_id"))).cast("long").as("rank"),
           col("vec_id"), round(sqrt(col("adc2")), 6).as("adc_dist"))
+    },
+
+    Q("q_sim_10_pq_trained",
+      """WITH sub AS (
+        | SELECT vec_id, (pos - 1) // 8 AS ss, (pos - 1) % 8 AS spos, val FROM (
+        |  SELECT vec_id, unnest(generate_series(1, len(embedding))) AS pos,
+        |   CAST(unnest(embedding) AS DOUBLE) AS val
+        |  FROM embeddings)),
+        |cb0 AS (SELECT vec_id AS cid, ss, spos, val AS c FROM sub WHERE vec_id < 4),
+        |d0 AS (SELECT s.vec_id, s.ss, b.cid, sum((s.val - b.c) * (s.val - b.c)) AS d2
+        |       FROM sub s JOIN cb0 b ON s.ss = b.ss AND s.spos = b.spos
+        |       GROUP BY s.vec_id, s.ss, b.cid),
+        |a0 AS (SELECT vec_id, ss, cid FROM (
+        |       SELECT vec_id, ss, cid, row_number() OVER (PARTITION BY vec_id, ss ORDER BY d2, cid) AS rn FROM d0)
+        |       WHERE rn = 1),
+        |cb1 AS (SELECT a0.cid, s.ss, s.spos, avg(s.val) AS c
+        |        FROM sub s JOIN a0 ON s.vec_id = a0.vec_id AND s.ss = a0.ss
+        |        GROUP BY a0.cid, s.ss, s.spos),
+        |d1 AS (SELECT s.vec_id, s.ss, b.cid, sum((s.val - b.c) * (s.val - b.c)) AS d2
+        |       FROM sub s JOIN cb1 b ON s.ss = b.ss AND s.spos = b.spos
+        |       GROUP BY s.vec_id, s.ss, b.cid),
+        |code AS (SELECT vec_id, ss, cid FROM (
+        |        SELECT vec_id, ss, cid, row_number() OVER (PARTITION BY vec_id, ss ORDER BY d2, cid) AS rn FROM d1)
+        |        WHERE rn = 1),
+        |padc AS (SELECT ss, cid, d2 FROM d1 WHERE vec_id = 0)
+        |SELECT CAST(row_number() OVER (ORDER BY adc2, vec_id) AS BIGINT) AS rank,
+        | vec_id, floor(sqrt(adc2) * 1000000 + 0.5) / 1000000 AS adc_dist
+        |FROM (
+        | SELECT c.vec_id, sum(p.d2) AS adc2
+        | FROM code c JOIN padc p ON c.ss = p.ss AND c.cid = p.cid
+        | WHERE c.vec_id <> 0 GROUP BY c.vec_id)
+        |ORDER BY adc2, vec_id LIMIT 5""".stripMargin) { (s, d) =>
+      // PQ with TRAINED sub-codebooks: one Lloyd round of k-means run
+      // independently in each of the 8 subspaces (init = vectors 0..3's
+      // subvectors, argmin ties → lowest cid), then encode + ADC search
+      // as in q_sim_9. Training is per-subspace-parallel — the same
+      // exploded aggregates, just keyed by (ss, cid); at scale each
+      // subspace trains on a sample and the codebooks broadcast.
+      val raw = Tables(s, d, "embeddings")
+      val sub = raw
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), (col("pos") / 8).cast("long").as("ss"),
+          (col("pos") % 8).as("spos"), col("col").cast("double").as("val"))
+      def dists(cb: DataFrame): DataFrame =
+        sub.join(broadcast(cb), col("ss") === col("b_ss") && col("spos") === col("b_spos"))
+          .groupBy("vec_id", "ss", "cid")
+          .agg(sum((col("val") - col("c")) * (col("val") - col("c"))).as("d2"))
+      def argmin(d: DataFrame): DataFrame = {
+        val w = Window.partitionBy("vec_id", "ss").orderBy(col("d2"), col("cid"))
+        d.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("vec_id"), col("ss"), col("cid"))
+      }
+      val cb0 = sub.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("cid"), col("ss").as("b_ss"),
+          col("spos").as("b_spos"), col("val").as("c"))
+      val a0 = argmin(dists(cb0))
+        .select(col("vec_id").as("a_vid"), col("ss").as("a_ss"), col("cid"))
+      val cb1 = sub.join(a0, col("vec_id") === col("a_vid") && col("ss") === col("a_ss"))
+        .groupBy("cid", "ss", "spos").agg(avg("val").as("c"))
+        .select(col("cid"), col("ss").as("b_ss"), col("spos").as("b_spos"), col("c"))
+      val d1 = dists(cb1)
+      val code = argmin(d1)
+      val padc = d1.filter(col("vec_id") === 0)
+        .select(col("ss").as("p_ss"), col("cid").as("p_cid"), col("d2").as("pd2"))
+      code.join(broadcast(padc), col("ss") === col("p_ss") && col("cid") === col("p_cid"))
+        .filter(col("vec_id") =!= 0)
+        .groupBy("vec_id").agg(sum("pd2").as("adc2"))
+        .orderBy(col("adc2"), col("vec_id")).limit(5)
+        .select(row_number().over(Window.orderBy(col("adc2"), col("vec_id"))).cast("long").as("rank"),
+          col("vec_id"), round(sqrt(col("adc2")), 6).as("adc_dist"))
     }
   )
 }
