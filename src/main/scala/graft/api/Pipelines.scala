@@ -74,6 +74,12 @@ object Pipelines {
       labels = upd.select(col("__id"), col("__next").as("component"))
       pass += 1
     }
+    // silent non-convergence would return plausible-but-wrong components
+    // (propagation moves a label one hop per pass — a chain longer than
+    // maxIters splits into fake components); fail loudly instead
+    if (changed > 0) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIters passes " +
+        s"($changed labels still moving) — graph diameter exceeds maxIters; raise it")
     labels.withColumnRenamed("__id", idCol)
   }
 
@@ -93,6 +99,12 @@ object Pipelines {
     */
   def cosineKnn(corpus: DataFrame, idCol: String, vecCol: String,
       probe: DataFrame, probeVecCol: String, topK: Int): DataFrame = {
+    // a multi-row probe would silently interleave top-k across probes
+    // (no probe id in the output) — reject it loudly; probes are tiny,
+    // the count is cheap
+    val nProbe = probe.limit(2).count()
+    require(nProbe == 1, s"cosineKnn expects exactly one probe row, got $nProbe" +
+      (if (nProbe > 1) "+" else ""))
     val cos = graft.functions.VectorFunctions.cosine(col(vecCol), col("__pv"))
     corpus.crossJoin(broadcast(probe.select(col(probeVecCol).as("__pv"))))
       .select(col(idCol), cos.as("cosine"))
@@ -118,7 +130,14 @@ object Pipelines {
     */
   def deterministicSplit(df: DataFrame, idCol: String,
       trainPct: Int = 80, validPct: Int = 10): DataFrame = {
-    val bucket = (col(idCol) * 2654435761L) % 100
+    // numeric ids only — a silent cast-to-null would classify every row
+    // 'test'; fail loudly instead
+    require(df.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"deterministicSplit needs a numeric id column, got ${df.schema(idCol).dataType}")
+    // reduce mod a prime FIRST so the multiply can never wrap Long
+    // (id ≥ ~3.47e9 would otherwise go negative and land 100% 'train');
+    // identity for ids < 1e9+7, so small-id results are unchanged
+    val bucket = (pmod(col(idCol).cast("long"), lit(1000000007L)) * 2654435761L) % 100
     df.withColumn("split",
       when(bucket < trainPct, "train")
         .when(bucket < trainPct + validPct, "valid")

@@ -18,10 +18,14 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
-  /** Adjacent (left, right) symbol pairs of a sequence. */
+  /** Adjacent (left, right) symbol pairs of a sequence. Empty/singleton
+    * sequences yield no pairs (a bare slice would throw on length -1).
+    */
   def adjacentPairs(syms: Column): Column =
-    transform(slice(syms, lit(1), size(syms) - 1),
-      (x, i) => struct(x.as("l"), element_at(syms, i + 2).as("r")))
+    when(size(syms) >= 2,
+      transform(slice(syms, lit(1), size(syms) - 1),
+        (x, i) => struct(x.as("l"), element_at(syms, i + 2).as("r"))))
+      .otherwise(array().cast("array<struct<l:string,r:string>>"))
 
   /** One greedy left-to-right, non-overlapping merge pass: every adjacent
     * (a, b) becomes the single symbol a+b ("aaa" + merge(a,a) → [aa, a]).

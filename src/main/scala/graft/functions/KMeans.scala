@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Lloyd-iteration building blocks over (vec_id, v: array<double>)
@@ -18,14 +17,24 @@ import org.apache.spark.sql.functions._
   */
 object KMeans {
 
-  /** Nearest-centroid assignment; keeps (vec_id, v, cid, cvec). */
+  /** Nearest-centroid assignment; keeps (vec_id, v, cid, cvec).
+    * Implemented as a map-side-combined min_by aggregation, NOT a
+    * row_number window: the window would exchange all n·k crossed rows
+    * (each carrying both vector arrays) and sort them; min_by partial-
+    * aggregates inside the input partitions, so only n single-row
+    * states cross the wire. Ties break on cid via the (d2, cid) struct
+    * ordering — identical results to the window formulation (golden
+    * digests unchanged).
+    */
   def assign(e: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id")
-      .orderBy(VectorFunctions.sqDist(col("v"), col("cvec")), col("cid"))
+    val d2 = VectorFunctions.sqDist(col("v"), col("cvec"))
     e.crossJoin(broadcast(cents))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("cid"), col("cvec"))
+      .groupBy("vec_id")
+      .agg(
+        first(col("v")).as("v"), // constant within the group
+        min_by(struct(col("cid"), col("cvec")), struct(d2, col("cid"))).as("__best"))
+      .select(col("vec_id"), col("v"),
+        col("__best.cid").as("cid"), col("__best.cvec").as("cvec"))
   }
 
   /** Recompute centroids as per-dimension means of their members. */

@@ -48,7 +48,7 @@ object Scans {
     Q.noOracle("q_scan_3_csv_roundtrip") { (s, d) =>
       // fixed dir + overwrite: Bench invokes each fn twice (warm + timed)
       // and a fresh createTempDirectory per call would litter /tmp
-      val tmp = s"${sys.props("java.io.tmpdir")}/graft_rt_csv"
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_rt_csv_${s.sparkContext.applicationId}"
       Tables(s, d, "region").write.mode("overwrite")
         .option("header", "true").csv(tmp)
       s.read.schema(regionSchema).option("header", "true").csv(tmp)
@@ -56,7 +56,7 @@ object Scans {
     },
 
     Q.noOracle("q_scan_4_jsonlines") { (s, d) =>
-      val tmp = s"${sys.props("java.io.tmpdir")}/graft_rt_json"
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_rt_json_${s.sparkContext.applicationId}"
       Tables(s, d, "nation").write.mode("overwrite").json(tmp)
       s.read.schema(nationSchema).json(tmp).orderBy("n_nationkey")
     },

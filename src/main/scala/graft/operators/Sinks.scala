@@ -21,7 +21,7 @@ object Sinks {
   val all: Seq[Q] = Seq(
 
     Q.noOracle("q_scan_8_orc_roundtrip") { (s, d) =>
-      val tmp = s"${sys.props("java.io.tmpdir")}/graft_rt_orc"
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_rt_orc_${s.sparkContext.applicationId}"
       Tables(s, d, "supplier").write.mode("overwrite").orc(tmp)
       s.read.orc(tmp).orderBy("s_suppkey")
     },
@@ -37,7 +37,7 @@ object Sinks {
       // the source table, proving the evolved read is lossless. At scale
       // this is the schema-drift story for append-only lakes; merge cost
       // is footer-only.
-      val tmp = s"${sys.props("java.io.tmpdir")}/graft_rt_merge"
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_rt_merge_${s.sparkContext.applicationId}"
       val o = Tables(s, d, "orders")
       o.filter(col("o_orderkey") % 2 === 0)
         .select("o_orderkey", "o_totalprice")
@@ -58,7 +58,7 @@ object Sinks {
       // partition-pruned scan, aggregate per partition value. The oracle
       // sees the same numbers straight from the source table — proving
       // the partitioned layout round-trips losslessly.
-      val tmp = s"${sys.props("java.io.tmpdir")}/graft_rt_part"
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_rt_part_${s.sparkContext.applicationId}"
       Tables(s, d, "orders").write.mode("overwrite")
         .partitionBy("o_orderpriority").parquet(tmp)
       s.read.parquet(tmp)

@@ -372,16 +372,18 @@ object TextOps {
 
     Q("q_text_13_split",
       """SELECT split, lang, count(*) AS n_docs FROM (
-        | SELECT lang, CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
-        |  WHEN (doc_id * 2654435761) % 100 < 90 THEN 'valid' ELSE 'test' END AS split
+        | SELECT lang, CASE WHEN ((doc_id % 1000000007) * 2654435761) % 100 < 80 THEN 'train'
+        |  WHEN ((doc_id % 1000000007) * 2654435761) % 100 < 90 THEN 'valid' ELSE 'test' END AS split
         | FROM documents)
         |GROUP BY split, lang ORDER BY split, lang""".stripMargin) { (s, d) =>
       // Deterministic train/valid/test split (80/10/10) by Knuth
       // multiplicative hash of the stable id — reproducible across runs,
       // engines, and partitionings (unlike rand()-based splits), and
       // membership is computable from the id alone so the split never
-      // needs a lookup table. Exact integer arithmetic end to end.
-      val bucket = (col("doc_id") * 2654435761L) % 100
+      // needs a lookup table. Exact integer arithmetic end to end; the
+      // mod-a-prime prefix keeps the multiply inside Long at any id
+      // magnitude (identity for ids < 1e9+7, so fixtures are unchanged).
+      val bucket = (pmod(col("doc_id"), lit(1000000007L)) * 2654435761L) % 100
       Tables(s, d, "documents")
         .select(col("lang"),
           when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test").as("split"))
@@ -467,6 +469,10 @@ object TextOps {
       // iterative lineage. At 100 TB the identical loop gets the
       // alternating large-star/small-star optimization (O(log n) rounds,
       // Kiveris et al.) — unnecessary at near-dup diameters.
+      // candidate pairs from the shared band keys, then the one canonical
+      // propagation loop in graft.api.Pipelines (converge-or-throw) —
+      // keeping a second copy of iterative logic here invited silent
+      // drift between the API and the oracle-pinned query
       val docs = Tables(s, d, "documents").filter(col("doc_id") < 100)
       val bands = lshBandKeys(docs)
       val ba = bands.select(col("doc_id").as("doc_a"), col("j"), col("band_key"))
@@ -474,24 +480,8 @@ object TextOps {
       val pairs = ba.join(bb,
         col("j") === col("j2") && col("band_key") === col("band_key2") && col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b").distinct()
-      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        .localCheckpoint()
-      var labels = docs.select(col("doc_id"), col("doc_id").as("component")).localCheckpoint()
-      var changed = 1L
-      var pass = 0
-      while (changed > 0 && pass < 25) { // guard: diameter ≤ 25 at these bounds
-        val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
-          .groupBy(col("src")).agg(min("component").as("nbr_min"))
-          .withColumnRenamed("src", "doc_id")
-        val upd = labels.join(nbrMin, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("component"),
-            least(col("component"), coalesce(col("nbr_min"), col("component"))).as("next"))
-          .localCheckpoint()
-        changed = upd.filter(col("next") < col("component")).count()
-        labels = upd.select(col("doc_id"), col("next").as("component"))
-        pass += 1
-      }
+      val labels = graft.api.Pipelines.connectedComponents(
+        docs, "doc_id", pairs, "doc_a", "doc_b")
       val sizes = labels.groupBy("component").agg(count(lit(1)).as("csize"))
       labels.join(sizes, Seq("component"))
         .select(col("doc_id"), col("component"), col("csize"))

@@ -18,7 +18,7 @@ object GoldenGen {
   }
 
   def main(args: Array[String]): Unit = {
-    val spark = LocalSession()
+    val spark = LocalSession("8") // MUST match SparkSpec: goldens are digested at local[8]/shuffle=8
     spark.sparkContext.setLogLevel("ERROR")
     val sf = "/root/testdata/sf0.001"
     val out = new StringBuilder
