@@ -134,10 +134,13 @@ object Pipelines {
     // 'test'; fail loudly instead
     require(df.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"deterministicSplit needs a numeric id column, got ${df.schema(idCol).dataType}")
-    // reduce mod a prime FIRST so the multiply can never wrap Long
-    // (id ≥ ~3.47e9 would otherwise go negative and land 100% 'train');
-    // identity for ids < 1e9+7, so small-id results are unchanged
-    val bucket = (pmod(col(idCol).cast("long"), lit(1000000007L)) * 2654435761L) % 100
+    // (id mod P)·A mod P mod 100: the mod-P before the multiply keeps the
+    // product inside Long at any id magnitude (a bare id·A wraps negative
+    // past ~3.47e9 and lands 100% 'train'); the mod-P AFTER the multiply
+    // makes the bucket depend on the whole product, not its low bits — a
+    // bare `· A mod 100` collapses any id stride divisible by 100 into
+    // one split
+    val bucket = (pmod(col(idCol).cast("long"), lit(1000000007L)) * 2654435761L) % 1000000007L % 100
     df.withColumn("split",
       when(bucket < trainPct, "train")
         .when(bucket < trainPct + validPct, "valid")

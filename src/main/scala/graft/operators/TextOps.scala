@@ -372,18 +372,20 @@ object TextOps {
 
     Q("q_text_13_split",
       """SELECT split, lang, count(*) AS n_docs FROM (
-        | SELECT lang, CASE WHEN ((doc_id % 1000000007) * 2654435761) % 100 < 80 THEN 'train'
-        |  WHEN ((doc_id % 1000000007) * 2654435761) % 100 < 90 THEN 'valid' ELSE 'test' END AS split
+        | SELECT lang, CASE WHEN ((doc_id % 1000000007) * 2654435761) % 1000000007 % 100 < 80 THEN 'train'
+        |  WHEN ((doc_id % 1000000007) * 2654435761) % 1000000007 % 100 < 90 THEN 'valid' ELSE 'test' END AS split
         | FROM documents)
         |GROUP BY split, lang ORDER BY split, lang""".stripMargin) { (s, d) =>
-      // Deterministic train/valid/test split (80/10/10) by Knuth
-      // multiplicative hash of the stable id — reproducible across runs,
-      // engines, and partitionings (unlike rand()-based splits), and
-      // membership is computable from the id alone so the split never
-      // needs a lookup table. Exact integer arithmetic end to end; the
-      // mod-a-prime prefix keeps the multiply inside Long at any id
-      // magnitude (identity for ids < 1e9+7, so fixtures are unchanged).
-      val bucket = (pmod(col("doc_id"), lit(1000000007L)) * 2654435761L) % 100
+      // Deterministic train/valid/test split (80/10/10) by multiplicative
+      // hash of the stable id — reproducible across runs, engines, and
+      // partitionings (unlike rand()-based splits), and membership is
+      // computable from the id alone so the split never needs a lookup
+      // table. Exact integer arithmetic end to end; mod-P around the
+      // multiply prevents Long wrap at any id magnitude AND keeps the
+      // bucket sensitive to the whole product (see Pipelines
+      // .deterministicSplit — a bare `· A mod 100` collapses id strides
+      // divisible by 100 into one split).
+      val bucket = (pmod(col("doc_id"), lit(1000000007L)) * 2654435761L) % 1000000007L % 100
       Tables(s, d, "documents")
         .select(col("lang"),
           when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test").as("split"))

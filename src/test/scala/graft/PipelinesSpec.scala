@@ -78,6 +78,54 @@ class PipelinesSpec extends SparkSpec {
     assert(idx.select("cell").distinct().count() <= 8)
   }
 
+  test("deterministicSplit: ids past the old Long-wrap point still distribute 80/10/10-ish") {
+    import spark.implicits._
+    // ids ≥ ~3.47e9 used to wrap (id * 2654435761L) negative → 100% 'train'
+    val big = spark.range(3470000000L, 3480000000L, 100000L).toDF("id") // 100k-spaced, 100 ids
+    val counts = Pipelines.deterministicSplit(big, "id")
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "valid", "test"), counts.toString)
+    val trainFrac = counts("train").toDouble / counts.values.sum
+    assert(trainFrac > 0.6 && trainFrac < 0.95, s"trainFrac=$trainFrac")
+  }
+
+  test("deterministicSplit rejects non-numeric id columns loudly") {
+    import spark.implicits._
+    val df = Seq(("a", 1), ("b", 2)).toDF("id", "x")
+    intercept[IllegalArgumentException] {
+      Pipelines.deterministicSplit(df, "id")
+    }
+  }
+
+  test("connectedComponents throws instead of returning unconverged components") {
+    import spark.implicits._
+    // a 30-node chain has diameter 29 > maxIters 5
+    val nodes = spark.range(0, 30).toDF("id")
+    val edges = spark.range(0, 29).select(col("id").as("s"), (col("id") + 1).as("t"))
+    intercept[IllegalStateException] {
+      Pipelines.connectedComponents(nodes, "id", edges, "s", "t", maxIters = 5)
+    }
+    // and converges fine with enough passes
+    val ok = Pipelines.connectedComponents(nodes, "id", edges, "s", "t", maxIters = 35)
+    assert(ok.select("component").distinct().count() == 1)
+  }
+
+  test("cosineKnn rejects multi-row probes") {
+    val e = graft.sources.Tables(spark, sf, "embeddings")
+    intercept[IllegalArgumentException] {
+      Pipelines.cosineKnn(e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 2), "embedding", 5)
+    }
+  }
+
+  test("BPE handles empty and singleton symbol sequences") {
+    import spark.implicits._
+    val corpus = Seq(Seq.empty[String], Seq("x"), Seq("a", "b"), Seq("a", "b"))
+      .toDF("syms")
+    val merges = graft.functions.Bpe.train(corpus, 5)
+    assert(merges == Seq((1, "a", "b", 2L)))
+  }
+
   test("dedupExact keeps the min id per normalized text") {
     import spark.implicits._
     val df = Seq((3L, "A b"), (1L, "a B "), (2L, "unique")).toDF("id", "text")
