@@ -39,6 +39,42 @@ object TpchShapes {
         .orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
     },
 
+    // Q4: orders with ≥1 late-shipped lineitem, counted by priority
+    Q("q_tpch_4_priority",
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+        | AND EXISTS (SELECT 1 FROM lineitem
+        |             WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      // EXISTS → left_semi join (never a count-then-filter on the fact);
+      // the +30d endpoint precomputed on the orders side pre-join
+      val o = Tables(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+        .withColumn("o_cut", col("o_orderdate") + expr("INTERVAL 30 DAY"))
+      val l = Tables(s, d, "lineitem")
+      o.join(l, col("l_orderkey") === col("o_orderkey") && col("l_shipdate") > col("o_cut"), "left_semi")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+
+    // Q6: the canonical scan-aggregate (forecast revenue change)
+    Q("q_tpch_6_forecast",
+      """SELECT floor((sum(l_extendedprice * l_discount)) * 100 + 0.5) / 100 AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        | AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin) { (s, d) =>
+      // pure pushed-down-filter scan + single agg: every predicate is on
+      // a raw column (PushedFilters reaches the parquet row groups),
+      // ReadSchema prunes to 4 columns
+      Tables(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1998-01-01").cast("timestamp")
+          && col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+    },
+
     // Q10: revenue lost to returned items per customer, one quarter
     Q("q_tpch_10_returns",
       """SELECT c_custkey, c_name, n_name,
