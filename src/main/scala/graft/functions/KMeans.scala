@@ -18,23 +18,25 @@ import org.apache.spark.sql.functions._
 object KMeans {
 
   /** Nearest-centroid assignment; keeps (vec_id, v, cid, cvec).
-    * Implemented as a map-side-combined min_by aggregation, NOT a
-    * row_number window: the window would exchange all n·k crossed rows
-    * (each carrying both vector arrays) and sort them; min_by partial-
-    * aggregates inside the input partitions, so only n single-row
-    * states cross the wire. Ties break on cid via the (d2, cid) struct
-    * ordering — identical results to the window formulation (golden
-    * digests unchanged).
+    * The k centroids are packed cid-sorted into ONE broadcast row and
+    * the argmin is a single native `argmin_sqdist` projection — the
+    * vector row never leaves its partition (zero shuffle; the round-1
+    * min_by formulation still exchanged n single-row aggregation states).
+    * Ties keep the lowest index = lowest cid (cid-sorted packing), so
+    * results are identical to the `row_number() OVER (ORDER BY d2, cid)`
+    * oracle formulation.
     */
   def assign(e: DataFrame, cents: DataFrame): DataFrame = {
-    val d2 = VectorFunctions.sqDist(col("v"), col("cvec"))
-    e.crossJoin(broadcast(cents))
-      .groupBy("vec_id")
-      .agg(
-        first(col("v")).as("v"), // constant within the group
-        min_by(struct(col("cid"), col("cvec")), struct(d2, col("cid"))).as("__best"))
+    graft.expressions.VectorExpressions.register(e.sparkSession)
+    val packed = cents
+      .agg(array_sort(collect_list(struct(col("cid"), col("cvec")))).as("cs"))
+      .select(transform(col("cs"), _.getField("cid")).as("cids"),
+        transform(col("cs"), _.getField("cvec")).as("cvecs"))
+    e.crossJoin(broadcast(packed))
+      .withColumn("__i", expr("argmin_sqdist(v, cvecs)") + 1)
       .select(col("vec_id"), col("v"),
-        col("__best.cid").as("cid"), col("__best.cvec").as("cvec"))
+        element_at(col("cids"), col("__i")).as("cid"),
+        element_at(col("cvecs"), col("__i")).as("cvec"))
   }
 
   /** Recompute centroids as per-dimension means of their members. */

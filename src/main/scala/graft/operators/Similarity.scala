@@ -109,22 +109,24 @@ object Similarity {
          |ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin) { (s, d) =>
       // IVF-style ANN: coarse quantization to 8 fixed centroids (vec_id<8
       // as deterministic "trained" centroids), then exact search inside
-      // the probe's cell only. The assignment join is broadcast (centroids
-      // are tiny); only the probe cell is scanned at query time.
+      // the probe's cell only. The 8 centroids are packed cid-sorted into
+      // ONE broadcast row and each vector's cell id is a single native
+      // argmin_sqdist projection — the corpus is never shuffled, never
+      // windowed, never joined on itself (the round-1 crossJoin+window
+      // formulation shuffled n×k wide vector rows; this shuffles nothing).
       VectorExpressions.register(s)
       val e = Tables(s, d, "embeddings")
-      val cents = e.filter(col("vec_id") < 8)
+      val packed = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      val wAssign = Window.partitionBy("vec_id")
-        .orderBy(VectorFunctions.sqDist(col("embedding"), col("cvec")), col("cid"))
-      val assign = e.crossJoin(broadcast(cents))
-        .withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("cid"))
+        .agg(array_sort(collect_list(struct(col("cid"), col("cvec")))).as("cs"))
+        .select(transform(col("cs"), _.getField("cid")).as("cids"),
+          transform(col("cs"), _.getField("cvec")).as("cvecs"))
+      val withCell = e.crossJoin(broadcast(packed))
+        .withColumn("cid", element_at(col("cids"), expr("argmin_sqdist(embedding, cvecs)") + 1))
+        .select(col("vec_id"), col("embedding"), col("cid"))
       val probe = e.filter(col("vec_id") === 0).select(col("embedding").as("pvec"))
-      val pcell = assign.filter(col("vec_id") === 0).select(col("cid").as("pcid"))
-      e.join(assign.withColumnRenamed("vec_id", "a_vec_id"), col("vec_id") === col("a_vec_id"))
-        .join(broadcast(pcell), col("cid") === col("pcid"))
+      val pcell = withCell.filter(col("vec_id") === 0).select(col("cid").as("pcid"))
+      withCell.join(broadcast(pcell), col("cid") === col("pcid"))
         .filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(probe))
         .select(col("vec_id"), expr("cosine_similarity(embedding, pvec)").as("cos"))
@@ -151,18 +153,16 @@ object Similarity {
       // hyperplanes (w[i,j] = ((31i+17j) mod 7) − 3) → 8 sign bits →
       // 256 buckets; exact cosine only INSIDE a bucket. This is the
       // embeddings twin of MinHash-LSH: candidate generation shuffles
-      // O(n) bucket keys, never the O(n²) pair space.
+      // O(n) bucket keys, never the O(n²) pair space. The bucket is the
+      // native codegen'd lsh_bucket Expression — the round-1 nested-HOF
+      // formulation (aggregate inside aggregate with a captured lambda
+      // variable) fell out of whole-stage codegen and dominated the
+      // driver bench; bit-identical output (same fold order, same sign
+      // test), one tight loop per row.
       VectorExpressions.register(s)
-      val planes = sequence(lit(0L), lit(7L))
-      def dotPlane(j: org.apache.spark.sql.Column) =
-        aggregate(
-          transform(col("embedding"), (x, i) => x.cast("double") * (((i * 31 + j * 17) % 7) - 3)),
-          lit(0.0), (a, x) => a + x)
-      val bucket = aggregate(planes, lit(0L), (acc, j) =>
-        acc + when(dotPlane(j) > 0, pow(lit(2.0), j).cast("long")).otherwise(0L))
       val sig = Tables(s, d, "embeddings")
         .filter(col("vec_id") < 500)
-        .select(col("vec_id"), col("embedding"), bucket.as("bucket"))
+        .select(col("vec_id"), col("embedding"), expr("lsh_bucket(embedding, 8)").as("bucket"))
       val a = sig.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("va"))
       val b = sig.select(col("bucket").as("bucket_b"), col("vec_id").as("id_b"), col("embedding").as("vb"))
       a.join(b, col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))

@@ -105,7 +105,7 @@ object TpchShapes {
     // Q12 shape: late-shipment counts by order priority class
     Q("q_tpch_12_late",
       """SELECT o_orderpriority, count(*) AS n_late,
-        | sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS n_high
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS n_high
         |FROM orders, lineitem
         |WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
