@@ -158,18 +158,22 @@ object Pipelines {
 
   /** Benchmark-contamination screen: fraction of each row's token
     * n-gram shingles found in `benchmark`'s shingle set (broadcast).
-    * Returns (id, n_sh, n_hit, overlap).
+    * Returns (id, n_sh, n_hit, overlap). Documents with fewer than `n`
+    * tokens have no shingles and are kept with (n_sh=0, n_hit=0,
+    * overlap=0.0) — explode_outer + non-null counts — so corpus-wide
+    * contamination rates computed downstream see every input row.
     */
   def contaminationScreen(train: DataFrame, idCol: String, textCol: String,
       benchmark: DataFrame, benchTextCol: String, n: Int = 3): DataFrame = {
     val bench = benchmark
       .select(explode(TextFunctions.tokenShingles(col(benchTextCol), n)).as("__sh"))
       .distinct().withColumn("__hit", lit(1))
-    train.select(col(idCol), explode(TextFunctions.tokenShingles(col(textCol), n)).as("__sh"))
+    train.select(col(idCol), explode_outer(TextFunctions.tokenShingles(col(textCol), n)).as("__sh"))
       .join(broadcast(bench), Seq("__sh"), "left")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_sh"), count(col("__hit")).as("n_hit"))
+      .agg(count(col("__sh")).as("n_sh"), count(col("__hit")).as("n_hit"))
       .select(col(idCol), col("n_sh"), col("n_hit"),
-        (col("n_hit").cast("double") / col("n_sh")).as("overlap"))
+        when(col("n_sh") === 0, lit(0.0))
+          .otherwise(col("n_hit").cast("double") / col("n_sh")).as("overlap"))
   }
 }

@@ -59,10 +59,22 @@ case class RangeBandJoinRule(
     * `SET spark.graft.rangeJoin.numericBandWidth=5.0`. Constructor values
     * are the defaults.
     */
-  private def effBandSeconds: Long =
-    conf.getConfString("spark.graft.rangeJoin.bandSeconds", bandSeconds.toString).toLong
-  private def effNumericWidth: Double =
-    conf.getConfString("spark.graft.rangeJoin.numericBandWidth", numericBandWidth.toString).toDouble
+  // A non-positive (or NaN) width would make the band function
+  // non-monotone (fractional floor-division flips sign) or null
+  // (IntegralDivide by 0), silently emptying every band array — all
+  // matches dropped. Misconfigured knobs therefore fall back to the
+  // constructor value, and a bad constructor value to the class default.
+  private def effBandSeconds: Long = {
+    val w = conf.getConfString("spark.graft.rangeJoin.bandSeconds", bandSeconds.toString).toLong
+    if (w > 0) w else if (bandSeconds > 0) bandSeconds else 30L * 86400
+  }
+  private def effNumericWidth: Double = {
+    val w = conf.getConfString(
+      "spark.graft.rangeJoin.numericBandWidth", numericBandWidth.toString).toDouble
+    if (w > 0 && !w.isNaN && !w.isInfinity) w
+    else if (numericBandWidth > 0 && !numericBandWidth.isNaN && !numericBandWidth.isInfinity) numericBandWidth
+    else 10.0
+  }
 
   /** Long band index of a range-typed expression; monotone in e. For
     * timestamps: epoch_micros(e) div (bandSeconds·1e6) — ANSI mode
@@ -150,9 +162,12 @@ case class RangeBandJoinRule(
         case Some((v, lo, hi, valueOnLeft)) =>
           val (valueSide, boundsSide) = if (valueOnLeft) (left, right) else (right, left)
 
-          // precedence: explicit session knob > inferred span > default
+          // precedence: explicit session knob > inferred span > default.
+          // Non-positive/NaN knob values are ignored (same rationale as
+          // effNumericWidth): a bad width silently empties every band.
           val explicitWidth =
             Option(conf.getConfString("spark.graft.rangeJoin.numericBandWidth", null)).map(_.toDouble)
+              .filter(w => w > 0 && !w.isNaN && !w.isInfinity)
           val widthOverride: Option[Double] = v.dataType match {
             case _: FloatType | _: DoubleType | _: ByteType | _: ShortType |
                  _: IntegerType | _: LongType =>

@@ -98,6 +98,35 @@ class RangeBandJoinSpec extends SparkSpec {
     }
   }
 
+  test("misconfigured knobs (zero/negative width) fall back to defaults, not silent empties") {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev.filterNot(_.isInstanceOf[RangeBandJoinRule])
+    try {
+      RangeBandJoinRule.install(spark)
+      val expectedN = naiveNumericRangeJoin().orderBy("pk", "pk_b").collect().toSeq
+      val expectedT = naiveRangeJoin().orderBy("l_orderkey", "l_linenumber", "o_orderkey").collect().toSeq
+      // A non-positive width would flip the fractional floor-division's
+      // monotonicity (band(lo) > band(hi) → empty band arrays → all
+      // matches silently dropped) or null the timestamp bands
+      // (IntegralDivide by 0). The rule must ignore such values.
+      for (bad <- Seq("-5.0", "0", "NaN")) {
+        spark.conf.set("spark.graft.rangeJoin.numericBandWidth", bad)
+        assert(naiveNumericRangeJoin().orderBy("pk", "pk_b").collect().toSeq == expectedN,
+          s"numericBandWidth=$bad must not change results")
+      }
+      for (bad <- Seq("0", "-86400")) {
+        spark.conf.set("spark.graft.rangeJoin.bandSeconds", bad)
+        assert(naiveRangeJoin().orderBy("l_orderkey", "l_linenumber", "o_orderkey").collect().toSeq == expectedT,
+          s"bandSeconds=$bad must not change results")
+      }
+    } finally {
+      spark.conf.unset("spark.graft.rangeJoin.numericBandWidth")
+      spark.conf.unset("spark.graft.rangeJoin.bandSeconds")
+      spark.experimental.extraOptimizations = prev
+    }
+  }
+
   test("adaptive width: literal base±c bounds set the band width to the span") {
     val prev = spark.experimental.extraOptimizations
     spark.experimental.extraOptimizations =
