@@ -24,7 +24,8 @@ object Registry {
       Sinks.all ++
       Subqueries.all ++
       DataQuality.all ++
-      TpchShapes.all
+      TpchShapes.all ++
+      Round2Ops.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(

@@ -1,0 +1,280 @@
+package graft.operators
+
+import graft.Q
+import graft.expressions.VectorExpressions
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Num.round
+
+/** Round-2 inventory additions (SURVEY §2.11c): graph operators over a
+  * fact-derived edge list, training-data chunking/packing, exact heavy
+  * hitters, windowed top-k, ANN recall evaluation, and split-drift
+  * measurement. Same conventions as every other declared query: paired
+  * DuckDB oracle, total output order, engine-neutral rounding.
+  */
+object Round2Ops {
+
+  /** Supplier "handoff" edge list: within an order, consecutive line
+    * numbers link their suppliers (src → dst). Derived purely from the
+    * lineitem fact — the repo's stand-in for a real edge table.
+    */
+  private def handoffEdges(li: DataFrame): DataFrame = {
+    val a = li.select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+      col("l_suppkey").as("src"))
+    val b = li.select(col("l_orderkey").as("ok2"), col("l_linenumber").as("ln2"),
+      col("l_suppkey").as("dst"))
+    a.join(b, col("ok") === col("ok2") && (col("ln") + 1) === col("ln2"))
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst")
+  }
+
+  private val duckEdges =
+    """SELECT a.l_suppkey AS src, b.l_suppkey AS dst
+      | FROM lineitem a JOIN lineitem b
+      |  ON a.l_orderkey = b.l_orderkey AND a.l_linenumber + 1 = b.l_linenumber
+      | WHERE a.l_suppkey <> b.l_suppkey""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    Q("q_graph_1_edges",
+      s"""SELECT src, dst, count(*) AS weight
+         |FROM ($duckEdges)
+         |GROUP BY src, dst ORDER BY weight DESC, src, dst LIMIT 50""".stripMargin) { (s, d) =>
+      // Edge-list construction + weighting: the self-join is an equi hash
+      // join on (orderkey, linenumber+1) — Catalyst extracts the arithmetic
+      // equality as a join key, no nested loop. At 100 TB the fact is
+      // date-partitioned and the self-join co-partitions on orderkey.
+      handoffEdges(Tables(s, d, "lineitem"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("weight"))
+        .orderBy(col("weight").desc, col("src"), col("dst")).limit(50)
+    },
+
+    Q("q_graph_2_pagerank",
+      s"""WITH e AS (SELECT DISTINCT src, dst FROM ($duckEdges)),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         |od AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM e GROUP BY src),
+         |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes),
+         |c1 AS (SELECT e.dst, sum(r.rank / od.outdeg) AS inr
+         |       FROM e JOIN r0 r ON e.src = r.node JOIN od ON e.src = od.src GROUP BY e.dst),
+         |r1 AS (SELECT node, CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+         |        + CAST(0.85 AS DOUBLE) * coalesce(inr, CAST(0 AS DOUBLE)) AS rank
+         |       FROM nodes LEFT JOIN c1 ON node = c1.dst),
+         |c2 AS (SELECT e.dst, sum(r.rank / od.outdeg) AS inr
+         |       FROM e JOIN r1 r ON e.src = r.node JOIN od ON e.src = od.src GROUP BY e.dst),
+         |r2 AS (SELECT node, CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+         |        + CAST(0.85 AS DOUBLE) * coalesce(inr, CAST(0 AS DOUBLE)) AS rank
+         |       FROM nodes LEFT JOIN c2 ON node = c2.dst),
+         |c3 AS (SELECT e.dst, sum(r.rank / od.outdeg) AS inr
+         |       FROM e JOIN r2 r ON e.src = r.node JOIN od ON e.src = od.src GROUP BY e.dst),
+         |r3 AS (SELECT node, CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+         |        + CAST(0.85 AS DOUBLE) * coalesce(inr, CAST(0 AS DOUBLE)) AS rank
+         |       FROM nodes LEFT JOIN c3 ON node = c3.dst)
+         |SELECT node, floor(rank * 1000000 + 0.5) / 1000000 AS rank
+         |FROM r3 ORDER BY floor(rank * 1000000 + 0.5) / 1000000 DESC, node LIMIT 20""".stripMargin) { (s, d) =>
+      // PageRank (damping 0.85, 3 unrolled iterations, simplified: no
+      // dangling-mass redistribution) over the distinct handoff edges.
+      // Fully declarative Pregel shape: each iteration is
+      // edges ⋈ ranks ⋈ outdeg → groupBy(dst) partial-aggregated sum —
+      // the classic message-passing round as one shuffle on dst. At
+      // scale: ranks/outdeg are node-sized (≪ edges, broadcastable or
+      // co-partitioned on src with the edge list); a convergence-driven
+      // variant would localCheckpoint per round like q_dedup_7.
+      // Ordering is on the ROUNDED rank (both engines agree on ties).
+      val edges = handoffEdges(Tables(s, d, "lineitem")).distinct()
+      val nodes = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst"))).distinct()
+      val nn = nodes.agg(count(lit(1)).cast("double").as("n"))
+      val outdeg = edges.groupBy("src").agg(count(lit(1)).cast("double").as("outdeg"))
+      var rank = nodes.crossJoin(broadcast(nn))
+        .select(col("node"), (lit(1.0) / col("n")).as("rank"))
+      for (_ <- 1 to 3) {
+        val contrib = edges.join(rank, col("src") === col("node"))
+          .join(broadcast(outdeg), "src")
+          .groupBy(col("dst")).agg(sum(col("rank") / col("outdeg")).as("inr"))
+        rank = nodes.crossJoin(broadcast(nn))
+          .join(contrib, col("node") === col("dst"), "left")
+          .select(col("node"),
+            (lit(0.15) / col("n") + lit(0.85) * coalesce(col("inr"), lit(0.0))).as("rank"))
+      }
+      rank.select(col("node"), round(col("rank"), 6).as("rank"))
+        .orderBy(col("rank").desc, col("node")).limit(20)
+    },
+
+    Q("q_text_14_chunk",
+      """SELECT doc_id, chunk_id, CAST(len(list_slice(toks, chunk_id * 24 + 1, chunk_id * 24 + 32)) AS BIGINT) AS n_toks,
+        | md5(array_to_string(list_slice(toks, chunk_id * 24 + 1, chunk_id * 24 + 32), ' ')) AS chunk_md5
+        |FROM (
+        | SELECT doc_id, string_split(text, ' ') AS toks,
+        |  unnest(range(0, (len(string_split(text, ' ')) - 1) // 24 + 1)) AS chunk_id
+        | FROM documents)
+        |ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+      // Training-data chunking: fixed 32-token windows with stride 24
+      // (8-token overlap) — the standard long-document → context-window
+      // preprocessing step. One explode per document (no shuffle until
+      // the final sort); chunk text is emitted as its md5 so declared
+      // output stays bounded. At 100 TB this is a pure map stage.
+      val docs = Tables(s, d, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+      docs
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0L), floor((size(col("toks")) - 1) / lit(24)))).as("chunk_id"))
+        .select(col("doc_id"), col("chunk_id"),
+          size(slice(col("toks"), (col("chunk_id") * 24 + 1).cast("int"), lit(32))).cast("long").as("n_toks"),
+          md5(array_join(slice(col("toks"), (col("chunk_id") * 24 + 1).cast("int"), lit(32)), " ")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")
+    },
+
+    Q("q_text_15_pack",
+      """WITH d AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok FROM documents),
+        |c AS (SELECT doc_id, lang, n_tok,
+        |  sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        | FROM d)
+        |SELECT lang, (cum - n_tok) // 512 AS pack_id, count(*) AS n_docs,
+        | CAST(sum(n_tok) AS BIGINT) AS pack_tokens
+        |FROM c GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin) { (s, d) =>
+      // Sequence packing for training batches: documents stream in stable
+      // (lang, doc_id) order; a running token count assigns each doc to
+      // the 512-token pack its prefix sum lands in. Deterministic (no
+      // rand, no greedy state), exact integer arithmetic, one window pass
+      // — the declarative approximation of first-fit packing. At scale
+      // the window partitions by lang (parallel across languages); a
+      // per-file pack id (hash-partitioned) removes even that window.
+      val w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+      Tables(s, d, "documents")
+        .select(col("doc_id"), col("lang"), size(tokens(col("text"))).cast("long").as("n_tok"))
+        .withColumn("cum", sum("n_tok").over(w))
+        .select(col("lang"), floor((col("cum") - col("n_tok")) / lit(512)).as("pack_id"), col("n_tok"))
+        .groupBy("lang", "pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("pack_tokens"))
+        .orderBy("lang", "pack_id")
+    },
+
+    Q("q_agg_18_heavyhitters",
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM t)
+        |SELECT tok, count(*) AS cnt,
+        | floor((count(*) / (SELECT n FROM tot)) * 1000000 + 0.5) / 1000000 AS freq
+        |FROM t GROUP BY tok HAVING count(*) > (SELECT n FROM tot) / 200
+        |ORDER BY cnt DESC, tok""".stripMargin) { (s, d) =>
+      // Exact heavy hitters: tokens above 0.5% of the total token stream.
+      // Two-level aggregate (map-side partial combine → merge), one tiny
+      // scalar broadcast for the threshold — the exact counterpart of a
+      // count-min/space-saving sketch, valid at any scale because the
+      // group count is vocabulary-bounded, not corpus-bounded.
+      val t = Tables(s, d, "documents").select(explode(tokens(col("text"))).as("tok"))
+      val tot = t.agg(count(lit(1)).cast("double").as("n"))
+      t.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(tot))
+        .filter(col("cnt") > col("n") / 200)
+        .select(col("tok"), col("cnt"), round(col("cnt") / col("n"), 6).as("freq"))
+        .orderBy(col("cnt").desc, col("tok"))
+    },
+
+    Q("q_stream_8_topk_window",
+      """WITH w AS (
+        | SELECT time_bucket(INTERVAL '6 hours', ts::TIMESTAMP) AS win_start, event_type, count(*) AS n
+        | FROM events GROUP BY 1, 2)
+        |SELECT win_start, event_type, n, CAST(rk AS BIGINT) AS rk FROM (
+        | SELECT win_start, event_type, n,
+        |  row_number() OVER (PARTITION BY win_start ORDER BY n DESC, event_type) AS rk
+        | FROM w)
+        |WHERE rk <= 2 ORDER BY win_start, rk""".stripMargin) { (s, d) =>
+      // Windowed top-k: the trending-items shape (per 6h window, 2 most
+      // frequent event types). The rank runs over the already-aggregated
+      // (window × type) table — tiny — and Spark plans the rk<=2 filter
+      // as WindowGroupLimit (per-partition heaps, no full sort of the
+      // aggregate). Streaming twin: the same agg under readStream with
+      // the rank in foreachBatch.
+      val agg = Tables(s, d, "events")
+        .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+      val w = Window.partitionBy("win_start").orderBy(col("n").desc, col("event_type"))
+      agg.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 2)
+        .orderBy("win_start", "rk")
+    },
+
+    Q("q_sim_11_recall",
+      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+         |assign AS (
+         | SELECT vec_id, cid FROM (
+         |  SELECT e.vec_id, c.cid,
+         |   row_number() OVER (PARTITION BY e.vec_id ORDER BY ${graft.functions.VectorFunctions.Duck.sqDist("e.embedding", "c.cvec")}, c.cid) AS rn
+         |  FROM embeddings e, cents c) WHERE rn = 1),
+         |probe AS (SELECT embedding AS pvec FROM embeddings WHERE vec_id = 0),
+         |pcell AS (SELECT cid AS pcid FROM assign WHERE vec_id = 0),
+         |brute AS (SELECT vec_id FROM (
+         | SELECT e.vec_id, row_number() OVER (ORDER BY ${graft.functions.VectorFunctions.Duck.cosine("e.embedding", "p.pvec")} DESC, e.vec_id) AS rk
+         | FROM embeddings e, probe p WHERE e.vec_id <> 0) WHERE rk <= 5),
+         |ivf AS (SELECT vec_id FROM (
+         | SELECT e.vec_id, row_number() OVER (ORDER BY ${graft.functions.VectorFunctions.Duck.cosine("e.embedding", "p.pvec")} DESC, e.vec_id) AS rk
+         | FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id, probe p, pcell
+         | WHERE a.cid = pcell.pcid AND e.vec_id <> 0) WHERE rk <= 5)
+         |SELECT CAST((SELECT count(*) FROM brute JOIN ivf USING (vec_id)) AS BIGINT) AS n_hit,
+         | floor((CAST((SELECT count(*) FROM brute JOIN ivf USING (vec_id)) AS DOUBLE) / 5) * 1000000 + 0.5) / 1000000 AS recall_at_5""".stripMargin) { (s, d) =>
+      // ANN quality evaluation: recall@5 of single-probe IVF (fixed
+      // 8-centroid quantizer, q_sim_4's index) against the brute-force
+      // ground truth — the metric that decides nprobe/k tradeoffs before
+      // a 100 TB index build. Both rankings are top-5 heaps over one
+      // corpus scan each; the recall join is 5×5.
+      VectorExpressions.register(s)
+      val e = Tables(s, d, "embeddings")
+      val packed = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        .agg(array_sort(collect_list(struct(col("cid"), col("cvec")))).as("cs"))
+        .select(transform(col("cs"), _.getField("cid")).as("cids"),
+          transform(col("cs"), _.getField("cvec")).as("cvecs"))
+      val withCell = e.crossJoin(broadcast(packed))
+        .withColumn("cid", element_at(col("cids"), expr("argmin_sqdist(embedding, cvecs)") + 1))
+        .select(col("vec_id"), col("embedding"), col("cid"))
+      val probe = e.filter(col("vec_id") === 0).select(col("embedding").as("pvec"))
+      val pcell = withCell.filter(col("vec_id") === 0).select(col("cid").as("pcid"))
+      val brute = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(probe))
+        .select(col("vec_id"), expr("cosine_similarity(embedding, pvec)").as("cos"))
+        .orderBy(col("cos").desc, col("vec_id")).limit(5).select("vec_id")
+      val ivf = withCell.join(broadcast(pcell), col("cid") === col("pcid"))
+        .filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id"), expr("cosine_similarity(embedding, pvec)").as("cos"))
+        .orderBy(col("cos").desc, col("vec_id")).limit(5).select("vec_id")
+      brute.join(ivf, Seq("vec_id"))
+        .agg(count(lit(1)).as("n_hit"))
+        .select(col("n_hit"), round(col("n_hit").cast("double") / 5, 6).as("recall_at_5"))
+    },
+
+    Q("q_dq_7_drift",
+      """WITH d AS (
+        | SELECT CASE WHEN ((doc_id % 1000000007) * 2654435761) % 1000000007 % 100 < 80
+        |   THEN 'train' ELSE 'other' END AS split,
+        |  unnest(string_split(text, ' ')) AS tok
+        | FROM documents),
+        |p AS (SELECT tok,
+        |  CAST(count(CASE WHEN split = 'train' THEN 1 END) AS DOUBLE) AS c_tr,
+        |  CAST(count(CASE WHEN split = 'other' THEN 1 END) AS DOUBLE) AS c_ot
+        | FROM d GROUP BY tok),
+        |tot AS (SELECT sum(c_tr) AS t_tr, sum(c_ot) AS t_ot FROM p)
+        |SELECT floor((sum(abs(c_tr / (SELECT t_tr FROM tot) - c_ot / (SELECT t_ot FROM tot))) / 2) * 1000000 + 0.5) / 1000000 AS tv_dist
+        |FROM p""".stripMargin) { (s, d) =>
+      // Split-distribution drift: total-variation distance between the
+      // train split's token distribution and the rest (same deterministic
+      // multiplicative-hash split as q_text_13). Catches a skewed split /
+      // distribution shift before training. One exploded aggregate with a
+      // vocabulary-sized drift sum — corpus-size-independent state.
+      val bucket = (pmod(col("doc_id"), lit(1000000007L)) * 2654435761L) % 1000000007L % 100
+      val d0 = Tables(s, d, "documents")
+        .select(when(bucket < 80, "train").otherwise("other").as("split"),
+          explode(tokens(col("text"))).as("tok"))
+      val p = d0.groupBy("tok").agg(
+        count(when(col("split") === "train", 1)).cast("double").as("c_tr"),
+        count(when(col("split") === "other", 1)).cast("double").as("c_ot"))
+      val tot = p.agg(sum("c_tr").as("t_tr"), sum("c_ot").as("t_ot"))
+      p.crossJoin(broadcast(tot))
+        .agg(round(sum(abs(col("c_tr") / col("t_tr") - col("c_ot") / col("t_ot"))) / 2, 6).as("tv_dist"))
+    }
+  )
+}
