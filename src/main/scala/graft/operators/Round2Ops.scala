@@ -247,6 +247,67 @@ object Round2Ops {
         .select(col("n_hit"), round(col("n_hit").cast("double") / 5, 6).as("recall_at_5"))
     },
 
+    Q("q_join_14_salted",
+      """SELECT s_name, floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name ORDER BY s_name""".stripMargin) { (s, d) =>
+      // Salted skew join as a declared operator: the fact side gets a
+      // deterministic 8-way salt (hash of its unique row key), the
+      // supplier dim is replicated 8x, and the join key becomes
+      // (suppkey, salt) — each hot key's rows spread across 8 reducers.
+      // Results are identical to the plain join (the oracle IS the plain
+      // join); this is the pathological-hot-key escape hatch when AQE's
+      // skew splitting can't shrink a single build-side key.
+      val li = Tables(s, d, "lineitem")
+      val sup = Tables(s, d, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+      graft.functions.Skew.saltedJoin(li, sup, "l_suppkey", 8,
+        Seq("l_orderkey", "l_linenumber", "l_extendedprice"))
+        .groupBy("s_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("s_name")
+    },
+
+    Q("q_time_3_ohlc",
+      """WITH r AS (
+        | SELECT event_type, time_bucket(INTERVAL '6 hours', ts::TIMESTAMP) AS bar, value,
+        |  row_number() OVER (PARTITION BY event_type, time_bucket(INTERVAL '6 hours', ts::TIMESTAMP)
+        |   ORDER BY ts, event_id) AS rn_a,
+        |  row_number() OVER (PARTITION BY event_type, time_bucket(INTERVAL '6 hours', ts::TIMESTAMP)
+        |   ORDER BY ts DESC, event_id DESC) AS rn_d
+        | FROM events)
+        |SELECT event_type, bar,
+        | floor((max(CASE WHEN rn_a = 1 THEN value END)) * 100 + 0.5) / 100 AS open,
+        | floor((max(value)) * 100 + 0.5) / 100 AS high,
+        | floor((min(value)) * 100 + 0.5) / 100 AS low,
+        | floor((max(CASE WHEN rn_d = 1 THEN value END)) * 100 + 0.5) / 100 AS close,
+        | count(*) AS n
+        |FROM r GROUP BY event_type, bar ORDER BY event_type, bar""".stripMargin) { (s, d) =>
+      // Time-series resampling to OHLC bars (6 h, per event type): open =
+      // first value in the bar, close = last, by (ts, event_id) — the
+      // unique tie-break the fixture guarantees. Two ranking windows over
+      // the same partitioning collapse into one sort per direction; the
+      // bar assignment itself is a pure projection. The streaming twin is
+      // the same agg with first/last replaced by min_by/max_by over
+      // (ts, event_id) structs.
+      val bar = window(col("ts"), "6 hours")
+      val wa = Window.partitionBy(col("event_type"), col("bar")).orderBy(col("ts"), col("event_id"))
+      val wd = Window.partitionBy(col("event_type"), col("bar")).orderBy(col("ts").desc, col("event_id").desc)
+      Tables(s, d, "events")
+        .withColumn("bar", bar)
+        .withColumn("rn_a", row_number().over(wa))
+        .withColumn("rn_d", row_number().over(wd))
+        .groupBy(col("event_type"), col("bar.start").as("bar"))
+        .agg(round(max(when(col("rn_a") === 1, col("value"))), 2).as("open"),
+          round(max("value"), 2).as("high"),
+          round(min("value"), 2).as("low"),
+          round(max(when(col("rn_d") === 1, col("value"))), 2).as("close"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type", "bar")
+    },
+
     Q("q_dq_7_drift",
       """WITH d AS (
         | SELECT CASE WHEN ((doc_id % 1000000007) * 2654435761) % 1000000007 % 100 < 80
