@@ -247,6 +247,110 @@ object Round2Ops {
         .select(col("n_hit"), round(col("n_hit").cast("double") / 5, 6).as("recall_at_5"))
     },
 
+    Q("q_text_16_bigram_lm",
+      """WITH b AS (
+        | SELECT doc_id, struct_extract(p, 1) AS w1, struct_extract(p, 2) AS w2 FROM (
+        |  SELECT doc_id, unnest(list_zip(
+        |    list_slice(string_split(text, ' '), 1, len(string_split(text, ' ')) - 1),
+        |    list_slice(string_split(text, ' '), 2, len(string_split(text, ' '))))) AS p
+        |  FROM documents)),
+        |lm AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c12 FROM b GROUP BY w1, w2),
+        |uni AS (SELECT w1, CAST(count(*) AS DOUBLE) AS c1 FROM b GROUP BY w1)
+        |SELECT b.doc_id,
+        | count(*) AS n_bigrams,
+        | floor((sum(lm.c12 / uni.c1) / count(*)) * 1000000 + 0.5) / 1000000 AS avg_bigram_p
+        |FROM b JOIN lm ON b.w1 = lm.w1 AND b.w2 = lm.w2 JOIN uni ON b.w1 = uni.w1
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin) { (s, d) =>
+      // Bigram language-model fluency score: train a corpus-wide bigram
+      // MLE (c(w1,w2)/c(w1·)) and score each document by its mean bigram
+      // conditional probability — the log-free cousin of perplexity
+      // filtering (no cross-engine libm-log drift; the ordering of docs
+      // is the same signal). Two aggregates over the exploded bigram
+      // stream + one re-join; at 100 TB the LM is vocabulary²-bounded
+      // (broadcastable for any real tokenizer vocab), so scoring is a
+      // map-side join over a corpus scanned once.
+      val toks = tokens(col("text"))
+      val big = Tables(s, d, "documents")
+        .select(col("doc_id"),
+          explode(arrays_zip(
+            slice(toks, lit(1), size(toks) - 1).as("w1"),
+            slice(toks, lit(2), size(toks) - 1).as("w2"))).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val lm = big.groupBy("w1", "w2").agg(count(lit(1)).cast("double").as("c12"))
+      val uni = big.groupBy("w1").agg(count(lit(1)).cast("double").as("c1"))
+        .withColumnRenamed("w1", "u1")
+      big.join(broadcast(lm), Seq("w1", "w2"))
+        .join(broadcast(uni), col("w1") === col("u1"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum(col("c12") / col("c1")) / count(lit(1)), 6).as("avg_bigram_p"))
+        .orderBy("doc_id")
+    },
+
+    Q("q_graph_3_twohop",
+      s"""WITH e AS (SELECT DISTINCT src, dst FROM ($duckEdges)),
+         |seeds AS (SELECT DISTINCT src FROM e WHERE src < 5),
+         |hop1 AS (SELECT s.src AS seed, e.dst AS node FROM seeds s JOIN e ON e.src = s.src),
+         |hop2 AS (SELECT h.seed, e2.dst AS node FROM hop1 h JOIN e e2 ON e2.src = h.node),
+         |reach AS (SELECT seed, node FROM hop1 UNION SELECT seed, node FROM hop2)
+         |SELECT seed, count(*) AS n_reachable
+         |FROM reach WHERE node <> seed GROUP BY seed ORDER BY seed""".stripMargin) { (s, d) =>
+      // Bounded multi-hop traversal: distinct nodes reachable from each
+      // seed in ≤2 hops (the neighborhood-expansion primitive under
+      // friend-of-friend / related-items queries). Each hop is one equi
+      // join seed-frontier ⋈ edges — frontier-sized, never |E|² — and
+      // the UNION dedups the reach set; unbounded traversal is the
+      // iterative min-label loop q_dedup_7 already ships.
+      val edges = handoffEdges(Tables(s, d, "lineitem")).distinct()
+      val seeds = edges.filter(col("src") < 5).select(col("src").as("seed")).distinct()
+      val hop1 = seeds.join(edges, col("src") === col("seed"))
+        .select(col("seed"), col("dst").as("node"))
+      val hop2 = hop1.select(col("seed"), col("node").as("mid"))
+        .join(edges.select(col("src").as("mid2"), col("dst")), col("mid") === col("mid2"))
+        .select(col("seed"), col("dst").as("node"))
+      hop1.union(hop2).distinct()
+        .filter(col("node") =!= col("seed"))
+        .groupBy("seed").agg(count(lit(1)).as("n_reachable"))
+        .orderBy("seed")
+    },
+
+    Q("q_dq_8_mad_outliers",
+      """WITH med AS (
+        | SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med
+        | FROM orders GROUP BY o_orderpriority),
+        |dev AS (
+        | SELECT o.o_orderpriority, o.o_totalprice, m.med, abs(o.o_totalprice - m.med) AS adev
+        | FROM orders o JOIN med m ON o.o_orderpriority = m.o_orderpriority),
+        |mad AS (
+        | SELECT o_orderpriority, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY o_orderpriority)
+        |SELECT d.o_orderpriority,
+        | floor(d.med * 100 + 0.5) / 100 AS med,
+        | floor(m.mad * 100 + 0.5) / 100 AS mad,
+        | CAST(count(CASE WHEN d.adev > 3 * CAST(1.4826 AS DOUBLE) * m.mad THEN 1 END) AS BIGINT) AS n_outliers
+        |FROM dev d JOIN mad m ON d.o_orderpriority = m.o_orderpriority
+        |GROUP BY d.o_orderpriority, d.med, m.mad ORDER BY d.o_orderpriority""".stripMargin) { (s, d) =>
+      // Robust outlier screen: median absolute deviation per group with
+      // the 1.4826 normal-consistency constant — the robust twin of
+      // q_dq_4's z-score (one extreme value cannot drag the threshold).
+      // Two exact-percentile aggregates with the group medians broadcast
+      // back between them; at scale the exact median becomes
+      // approx_percentile with the same plan shape.
+      val o = Tables(s, d, "orders")
+      val med = o.groupBy("o_orderpriority")
+        .agg(percentile(col("o_totalprice"), lit(0.5)).as("med"))
+      val dev = o.join(broadcast(med), Seq("o_orderpriority"))
+        .withColumn("adev", abs(col("o_totalprice") - col("med")))
+      val mad = dev.groupBy("o_orderpriority")
+        .agg(percentile(col("adev"), lit(0.5)).as("mad"))
+        .withColumnRenamed("o_orderpriority", "mp")
+      dev.join(broadcast(mad), col("o_orderpriority") === col("mp"))
+        .groupBy("o_orderpriority", "med", "mad")
+        .agg(count(when(col("adev") > lit(3) * 1.4826 * col("mad"), 1)).as("n_outliers"))
+        .select(col("o_orderpriority"), round(col("med"), 2).as("med"),
+          round(col("mad"), 2).as("mad"), col("n_outliers"))
+        .orderBy("o_orderpriority")
+    },
+
     Q("q_join_14_salted",
       """SELECT s_name, floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue,
         | count(*) AS n_items
