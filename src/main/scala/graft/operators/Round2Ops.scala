@@ -412,6 +412,70 @@ object Round2Ops {
         .orderBy("event_type", "bar")
     },
 
+    Q("q_agg_19_histogram",
+      """WITH mm AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders)
+        |SELECT CAST(least(floor((o_totalprice - mm.mn) / ((mm.mx - mm.mn) / 20)), 19) AS BIGINT) AS bin,
+        | count(*) AS n,
+        | floor((min(o_totalprice)) * 100 + 0.5) / 100 AS lo,
+        | floor((max(o_totalprice)) * 100 + 0.5) / 100 AS hi
+        |FROM orders, mm GROUP BY 1 ORDER BY bin""".stripMargin) { (s, d) =>
+      // Equi-width histogram (20 bins over [min, max], top edge closed):
+      // the profiling primitive behind range-partitioning decisions and
+      // data-skew dashboards. Two passes — a scalar min/max broadcast,
+      // then a pure-projection bin id + one aggregate. Bin edges are the
+      // same doubles on both engines, so bin membership is exact.
+      val o = Tables(s, d, "orders")
+      val mm = o.agg(min("o_totalprice").as("mn"), max("o_totalprice").as("mx"))
+      o.crossJoin(broadcast(mm))
+        .select(least(floor((col("o_totalprice") - col("mn")) / ((col("mx") - col("mn")) / 20)), lit(19L))
+          .cast("long").as("bin"), col("o_totalprice"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          round(min("o_totalprice"), 2).as("lo"),
+          round(max("o_totalprice"), 2).as("hi"))
+        .orderBy("bin")
+    },
+
+    Q("q_agg_20_windowed_distinct",
+      """SELECT time_bucket(INTERVAL '6 hours', ts::TIMESTAMP) AS win_start,
+        | count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY win_start""".stripMargin) { (s, d) =>
+      // Distinct users per time window (the DAU/WAU shape). Exact
+      // count-distinct expands to a two-phase aggregate (partial on
+      // (window, user), merge on window); the approximate twin at 100 TB
+      // is approx_count_distinct / the HLL sketch (q_udaf_2), same plan
+      // shape with mergeable state.
+      Tables(s, d, "events")
+        .groupBy(window(col("ts"), "6 hours"))
+        .agg(countDistinct("user_id").as("n_users"), count(lit(1)).as("n_events"))
+        .select(col("window.start").as("win_start"), col("n_users"), col("n_events"))
+        .orderBy("win_start")
+    },
+
+    Q("q_sub_3_lateral",
+      """SELECT c.c_custkey, t.o_orderkey, floor((t.o_totalprice) * 100 + 0.5) / 100 AS price
+        |FROM customer c, LATERAL (
+        | SELECT o_orderkey, o_totalprice FROM orders o
+        | WHERE o.o_custkey = c.c_custkey
+        | ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |WHERE c.c_custkey < 100
+        |ORDER BY c_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      // Correlated LATERAL subquery with per-row ORDER BY + LIMIT (top-2
+      // orders per customer) via the SQL entry — Catalyst decorrelates it
+      // into a ranked window join, the same plan family as q_sort_3's
+      // explicit formulation; declared to pin the SQL surface itself.
+      Tables(s, d, "customer").createOrReplaceTempView("customer_v")
+      Tables(s, d, "orders").createOrReplaceTempView("orders_lat_v")
+      s.sql("""
+        SELECT c.c_custkey, t.o_orderkey, floor(t.o_totalprice * 100 + 0.5) / 100 AS price
+        FROM customer_v c, LATERAL (
+         SELECT o_orderkey, o_totalprice FROM orders_lat_v o
+         WHERE o.o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        WHERE c.c_custkey < 100
+        ORDER BY c_custkey, o_orderkey""")
+    },
+
     Q("q_dq_7_drift",
       """WITH d AS (
         | SELECT CASE WHEN ((doc_id % 1000000007) * 2654435761) % 1000000007 % 100 < 80

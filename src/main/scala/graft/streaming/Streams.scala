@@ -62,6 +62,29 @@ object Streams {
       .agg(count(lit(1)).as("n_events"))
       .select(col("session_window.start").as("session_start"), col("user_id"), col("n_events"))
 
+  /** Windowed top-k — streaming twin of q_stream_8_topk_window: the
+    * watermarked 6h window×type counts stream into foreachBatch, where
+    * the per-window rank runs on each (tiny, window×type-sized) batch.
+    * Ranking is not an incremental-state operator, so it belongs on the
+    * batch side of the sink — the standard pattern for top-k over
+    * streaming aggregates.
+    */
+  def topkPerWindow(events: DataFrame, k: Int): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+
+  /** The rank step applied per emitted batch (foreachBatch / memory-sink
+    * post-processing). Identical expression to q_stream_8's batch rank.
+    */
+  def rankTopK(batch: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("win_start").orderBy(col("n").desc, col("event_type"))
+    batch.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
+  }
+
   /** Streaming keyed dedupe — twin of q_stream_5_dedupe_keyed.
     * dropDuplicatesWithinWatermark so per-key state is EVICTED once the
     * watermark passes (plain dropDuplicates on a key subset without the

@@ -43,6 +43,18 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming windowed top-k (agg stream + per-batch rank) matches q_stream_8") {
+    val q = Streams.toMemorySink(
+      Streams.topkPerWindow(Streams.eventStream(spark, inputDir), 2),
+      "stream_topk", complete = true).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = Streams.rankTopK(spark.table("stream_topk"), 2)
+      .orderBy("win_start", "rk").collect().toSeq
+    val batch = Registry.byName("q_stream_8_topk_window").fn(spark, sf)
+      .collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("streaming dropDuplicates keeps one row per (user, type)") {
     val q = Streams.toMemorySink(
       Streams.dedupeKeyed(Streams.eventStream(spark, inputDir)),
