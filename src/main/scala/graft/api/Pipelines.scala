@@ -156,6 +156,48 @@ object Pipelines {
       .select(col(labelCol), col("n"), (col("__total") / (col("__k") * col("n"))).as("weight"))
   }
 
+  /** Context-window chunking: one row per (id, chunk) of `window` tokens
+    * with stride `stride` (overlap = window − stride). Pure map stage —
+    * generalizes q_text_14_chunk.
+    */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 32, stride: Int = 24): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    df.select(col(idCol), toks.as("__toks"),
+        explode(sequence(lit(0L), floor((size(toks) - 1) / lit(stride)))).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        slice(col("__toks"), (col("chunk_id") * stride + 1).cast("int"), lit(window)).as("chunk_tokens"))
+      .withColumn("n_toks", size(col("chunk_tokens")).cast("long"))
+  }
+
+  /** Deterministic sequence packing: assigns each row a `pack_id` such
+    * that rows stream into `capacity`-token packs in stable
+    * (group, id) order — generalizes q_text_15_pack's bucketing.
+    */
+  def pack(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, capacity: Int = 512): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(idCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.withColumn("__n_tok", size(TextFunctions.tokens(col(textCol))).cast("long"))
+      .withColumn("__cum", sum("__n_tok").over(w))
+      .withColumn("pack_id", floor((col("__cum") - col("__n_tok")) / lit(capacity)))
+      .drop("__cum")
+      .withColumnRenamed("__n_tok", "n_tok")
+  }
+
+  /** Exact heavy hitters: tokens whose corpus share exceeds
+    * `minShare` — generalizes q_agg_18_heavyhitters.
+    */
+  def heavyHitters(df: DataFrame, textCol: String, minShare: Double = 0.005): DataFrame = {
+    val t = df.select(explode(TextFunctions.tokens(col(textCol))).as("token"))
+    val tot = t.agg(count(lit(1)).cast("double").as("__n"))
+    t.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(tot))
+      .filter(col("cnt") > col("__n") * minShare)
+      .select(col("token"), col("cnt"), (col("cnt") / col("__n")).as("share"))
+  }
+
   /** Benchmark-contamination screen: fraction of each row's token
     * n-gram shingles found in `benchmark`'s shingle set (broadcast).
     * Returns (id, n_sh, n_hit, overlap). Documents with fewer than `n`

@@ -37,6 +37,32 @@ class PipelinesSpec extends SparkSpec {
     assert(api == pinned)
   }
 
+  test("chunk == q_text_14_chunk") {
+    val api = Pipelines.chunk(docs, "doc_id", "text")
+      .select(col("doc_id"), col("chunk_id"), col("n_toks"),
+        md5(array_join(col("chunk_tokens"), " ")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id").collect().toSeq
+    val pinned = Registry.byName("q_text_14_chunk").fn(spark, sf).collect().toSeq
+    assert(api == pinned)
+  }
+
+  test("pack == q_text_15_pack") {
+    val api = Pipelines.pack(docs, "doc_id", "text", "lang")
+      .groupBy("lang", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("pack_tokens"))
+      .orderBy("lang", "pack_id").collect().toSeq
+    val pinned = Registry.byName("q_text_15_pack").fn(spark, sf).collect().toSeq
+    assert(api == pinned)
+  }
+
+  test("heavyHitters == q_agg_18_heavyhitters") {
+    val api = Pipelines.heavyHitters(docs, "text")
+      .select(col("token"), col("cnt"), round(col("share"), 6).as("freq"))
+      .orderBy(col("cnt").desc, col("token")).collect().toSeq
+    val pinned = Registry.byName("q_agg_18_heavyhitters").fn(spark, sf).collect().toSeq
+    assert(api == pinned)
+  }
+
   test("classWeights == q_dq_5_class_weights") {
     val e = graft.sources.Tables(spark, sf, "embeddings")
     val api = Pipelines.classWeights(e, "label")
