@@ -412,6 +412,73 @@ object Round2Ops {
         .orderBy("event_type", "bar")
     },
 
+    Q("q_dq_9_observed",
+      """SELECT count(*) AS n_rows,
+        | CAST(sum(CASE WHEN l_discount > CAST(0.05 AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT) AS n_disc,
+        | floor((sum(l_extendedprice)) * 100 + 0.5) / 100 AS sum_price
+        |FROM lineitem""".stripMargin) { (s, d) =>
+      // Pipeline observability via Spark's observe() API: metrics ride
+      // along INSIDE a pass over the data (here a full scan) and are
+      // harvested from the listener after one action — the zero-extra-
+      // pass way to monitor row counts / quality signals in a 100 TB
+      // pipeline (a separate aggregate query would re-scan). The
+      // harvested metrics are re-emitted as a 1-row DataFrame so the
+      // oracle can verify the instrumentation returns exactly what a
+      // direct aggregate computes.
+      val obs = org.apache.spark.sql.Observation()
+      Tables(s, d, "lineitem").observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(when(col("l_discount") > 0.05, 1).otherwise(0)).as("n_disc"),
+        sum("l_extendedprice").as("sum_price_raw"))
+        .foreach(_ => ()) // one action; metrics accumulate task-side
+      val m = obs.get
+      import s.implicits._
+      Seq((m("n_rows").asInstanceOf[Long], m("n_disc").asInstanceOf[Long],
+        m("sum_price_raw").asInstanceOf[Double]))
+        .toDF("n_rows", "n_disc", "sum_price_raw")
+        .select(col("n_rows"), col("n_disc"), round(col("sum_price_raw"), 2).as("sum_price"))
+    },
+
+    Q("q_dq_10_rolling_anomaly",
+      """WITH c AS (
+        | SELECT event_id, user_id, ts, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+        |w AS (
+        | SELECT event_id, user_id, vc,
+        |  sum(vc) OVER win AS s, sum(vc * vc) OVER win AS sq, count(*) OVER win AS n
+        | FROM c
+        | WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id,
+        | floor((CAST(vc AS DOUBLE) / 100) * 100 + 0.5) / 100 AS value,
+        | floor((CAST(s AS DOUBLE) / n / 100) * 100 + 0.5) / 100 AS mu
+        |FROM w
+        |WHERE n >= 10 AND (n * vc - s) * (n * vc - s) * (n - 1) > 9 * n * (n * sq - s * s)
+        |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+      // Rolling anomaly screen: flag events more than 3 rolling standard
+      // deviations from the mean of the previous ≤20 events per user.
+      // The 3σ test is EXACT INTEGER arithmetic in cents —
+      // (n·v − Σ)²·(n−1) > 9·n·(n·Σv² − Σ²) is the σ-test cleared of
+      // divisions — so the flagged row SET is bit-identical on both
+      // engines no matter how each engine orders its window-frame sums
+      // (Spark linear vs DuckDB segment-tree: float sums would differ in
+      // the last bits and flip boundary rows). Sliding frames ship with
+      // partial aggregation per frame; at scale this is the per-key
+      // streaming anomaly shape (state = 20-row ring buffer).
+      val vc = floor(col("value") * 100 + 0.5).cast("long")
+      val win = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-20, -1)
+      Tables(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), vc.as("vc"))
+        .withColumn("s", sum("vc").over(win))
+        .withColumn("sq", sum(col("vc") * col("vc")).over(win))
+        .withColumn("n", count(lit(1)).over(win))
+        .filter(col("n") >= 10 &&
+          (col("n") * col("vc") - col("s")) * (col("n") * col("vc") - col("s")) * (col("n") - 1) >
+            lit(9) * col("n") * (col("n") * col("sq") - col("s") * col("s")))
+        .select(col("event_id"), col("user_id"),
+          round(col("vc").cast("double") / 100, 2).as("value"),
+          round(col("s").cast("double") / col("n") / 100, 2).as("mu"))
+        .orderBy("user_id", "event_id")
+    },
+
     Q("q_agg_19_histogram",
       """WITH mm AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders)
         |SELECT CAST(least(floor((o_totalprice - mm.mn) / ((mm.mx - mm.mn) / 20)), 19) AS BIGINT) AS bin,
