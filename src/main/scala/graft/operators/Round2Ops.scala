@@ -467,9 +467,11 @@ object Round2Ops {
       val win = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-20, -1)
       Tables(s, d, "events")
         .select(col("event_id"), col("user_id"), col("ts"), vc.as("vc"))
-        .withColumn("s", sum("vc").over(win))
-        .withColumn("sq", sum(col("vc") * col("vc")).over(win))
-        .withColumn("n", count(lit(1)).over(win))
+        // one projection → one Window node (separate withColumns left two)
+        .select(col("event_id"), col("user_id"), col("vc"),
+          sum("vc").over(win).as("s"),
+          sum(col("vc") * col("vc")).over(win).as("sq"),
+          count(lit(1)).over(win).as("n"))
         .filter(col("n") >= 10 &&
           (col("n") * col("vc") - col("s")) * (col("n") * col("vc") - col("s")) * (col("n") - 1) >
             lit(9) * col("n") * (col("n") * col("sq") - col("s") * col("s")))
