@@ -412,6 +412,88 @@ object Round2Ops {
         .orderBy("event_type", "bar")
     },
 
+    Q("q_sim_12_int8_quant",
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd FROM embeddings),
+        |p AS (SELECT vec_id, xd, list_min(xd) AS mn, (list_max(xd) - list_min(xd)) / 255 AS scale FROM e),
+        |c AS (SELECT vec_id, mn, scale, xd,
+        |  list_transform(xd, x -> least(floor((x - mn) / scale + 0.5), CAST(255 AS DOUBLE))) AS codes FROM p)
+        |SELECT vec_id,
+        | floor(mn * 1000000 + 0.5) / 1000000 AS q_min,
+        | floor(scale * 1000000000 + 0.5) / 1000000000 AS scale,
+        | floor((list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |   list_transform(list_zip(codes, xd),
+        |     z -> abs(mn + struct_extract(z, 1) * scale - struct_extract(z, 2)))),
+        |   (a, b) -> a + b) / 64) * 1000000000 + 0.5) / 1000000000 AS mean_abs_err
+        |FROM c ORDER BY vec_id""".stripMargin) { (s, d) =>
+      // Embedding int8 quantization (affine, per-vector min/max range):
+      // 64 floats → 64 byte codes + (min, scale), the 4× memory
+      // compression applied before shipping embeddings to an ANN index
+      // or a training shard; the emitted reconstruction error is the
+      // quality gate. Pure per-row HOFs over the vector — no shuffle, no
+      // lambda nesting (scalar columns, not captured lambda vars, feed
+      // the transforms), stays in whole-stage codegen.
+      // NOTE: the internal scale column is "__sc", NOT "scale" — aliasing
+      // the rounded output as "scale" in the same select would otherwise
+      // LATERALLY shadow col("scale") inside the sibling HOF lambda
+      // (Spark lateral column alias resolution), silently feeding the
+      // ROUNDED scale into the error terms (caught by the oracle hash).
+      val xd = transform(col("embedding"), _.cast("double"))
+      val base = Tables(s, d, "embeddings")
+        .select(col("vec_id"), xd.as("xd"))
+        .select(col("vec_id"), col("xd"), array_min(col("xd")).as("mn"),
+          ((array_max(col("xd")) - array_min(col("xd"))) / 255).as("__sc"))
+      val codes = transform(col("xd"), x => least(floor((x - col("mn")) / col("__sc") + 0.5), lit(255L)))
+      base.withColumn("codes", codes)
+        .select(col("vec_id"),
+          round(col("mn"), 6).as("q_min"),
+          round(col("__sc"), 9).as("scale"),
+          round(aggregate(
+            zip_with(col("codes"), col("xd"),
+              (c, x) => abs(col("mn") + c.cast("double") * col("__sc") - x)),
+            lit(0.0), (a, b) => a + b) / 64, 9).as("mean_abs_err"))
+        .orderBy("vec_id")
+    },
+
+    Q("q_json_4_variant",
+      """SELECT event_type,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | count(*) AS cnt
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      // Spark 4 VARIANT ingestion: parse_json() produces the binary
+      // semi-structured VariantType (shredded, typed access without a
+      // fixed schema — the OPEN format for JSON at scale), and
+      // variant_get extracts typed paths. Same answer as the
+      // from_json route (q_json_2), pinning the new surface.
+      Tables(s, d, "events")
+        .select(col("event_type"),
+          expr("variant_get(parse_json(props), '$.k', 'long')").as("k"))
+        .groupBy("event_type")
+        .agg(sum("k").as("sum_k"), count(lit(1)).as("cnt"))
+        .orderBy("event_type")
+    },
+
+    Q.noOracle("q_scan_10_malformed") { (s, d) =>
+      // Tolerant ingestion: PERMISSIVE CSV parse with a corrupt-record
+      // column — malformed rows land in __bad instead of failing the
+      // job, and the query reports the good/bad split per file. The
+      // dead-letter pattern every production ETL ingest needs; no oracle
+      // (DuckDB cannot see the temp dir), structurally unit-tested.
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_rt_bad_${s.sparkContext.applicationId}"
+      val good = (0 until 20).map(i => s"$i,name_$i,${i * 1.5}")
+      val bad = Seq("not,enough", "x,y,notanumber,extra,cols", "justonefield")
+      import s.implicits._
+      s.createDataset(good ++ bad).coalesce(1).write.mode("overwrite").text(tmp)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "id INT, name STRING, score DOUBLE, __bad STRING")
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "__bad")
+        .csv(tmp)
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("__bad")).as("n_corrupt"),
+          sum("id").cast("long").as("id_sum"))
+    },
+
     Q("q_dq_9_observed",
       """SELECT count(*) AS n_rows,
         | CAST(sum(CASE WHEN l_discount > CAST(0.05 AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT) AS n_disc,
