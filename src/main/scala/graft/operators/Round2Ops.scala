@@ -412,6 +412,73 @@ object Round2Ops {
         .orderBy("event_type", "bar")
     },
 
+    Q("q_agg_21_corr_exact",
+      """WITH s AS (
+        | SELECT l_returnflag, count(*) AS n,
+        |  sum(CAST(l_quantity AS BIGINT)) AS sx,
+        |  sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sy,
+        |  sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+        |  sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS syy,
+        |  sum(CAST(l_quantity AS BIGINT) * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sxy
+        | FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        | floor(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+        |  * 1000000 + 0.5) / 1000000 AS corr_qty_price
+        |FROM s ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      // Pearson correlation WITHOUT the engines' corr() built-ins (their
+      // streaming-moment implementations differ in the last bits): the
+      // five power sums accumulate as EXACT integers (quantity is
+      // integral, price in cents), and only the final closed form runs
+      // in double — identical inputs ⇒ identical output on any engine,
+      // any partitioning. The sums are map-side combinable, so this is
+      // one shuffle of six numbers per group at any scale.
+      val q = col("l_quantity").cast("long")
+      val p = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+      val st = Tables(s, d, "lineitem")
+        .select(col("l_returnflag"), q.as("q"), p.as("p"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("q").as("sx"), sum("p").as("sy"),
+          sum(col("q") * col("q")).as("sxx"), sum(col("p") * col("p")).as("syy"),
+          sum(col("q") * col("p")).as("sxy"))
+      def dbl(c: String) = col(c).cast("double")
+      st.select(col("l_returnflag"),
+        round((dbl("n") * dbl("sxy") - dbl("sx") * dbl("sy"))
+          / sqrt((dbl("n") * dbl("sxx") - dbl("sx") * dbl("sx"))
+            * (dbl("n") * dbl("syy") - dbl("sy") * dbl("sy"))), 6).as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    },
+
+    Q("q_time_4_ewma",
+      """WITH w AS (
+        | SELECT event_id, user_id, ts,
+        |  list(CAST(value AS DOUBLE)) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS vals
+        | FROM events)
+        |SELECT event_id, user_id,
+        | floor((list_reduce(vals, (a, x) -> CAST(0.75 AS DOUBLE) * a + CAST(0.25 AS DOUBLE) * x)) * 1000000 + 0.5) / 1000000 AS ewma
+        |FROM w WHERE user_id < 10 ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+      // Exponentially weighted moving average (α=0.25) over each user's
+      // last ≤10 values — the recursive smoother that plain window sums
+      // can't express. The frame's values fold left in frame order with
+      // the FIRST value as seed (DuckDB list_reduce's no-init semantics,
+      // mirrored with slice+element_at); 0.75/0.25 are exact binary
+      // doubles, so the fold is bit-identical across engines. State is a
+      // 10-value ring per key — the same shape as its streaming twin.
+      val win = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-9, 0)
+      Tables(s, d, "events")
+        .filter(col("user_id") < 10)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          collect_list(col("value").cast("double")).over(win).as("vals"))
+        .select(col("event_id"), col("user_id"),
+          round(aggregate(
+            slice(col("vals"), lit(2), size(col("vals")) - 1),
+            element_at(col("vals"), 1),
+            (a, x) => lit(0.75) * a + lit(0.25) * x), 6).as("ewma"))
+        .orderBy("user_id", "event_id")
+    },
+
     Q("q_sim_12_int8_quant",
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd FROM embeddings),
         |p AS (SELECT vec_id, xd, list_min(xd) AS mn, (list_max(xd) - list_min(xd)) / 255 AS scale FROM e),
