@@ -27,14 +27,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  // ~80 distinct queries × whole-stage-codegen classes overflow the
+  // 160 distinct queries × whole-stage-codegen classes overflow the
   // default 240m JIT code cache mid-suite; once full, compilation stops
-  // and later queries run interpreted (observed 5-40× slowdowns).
-  "-XX:ReservedCodeCacheSize=512m",
-  // C1-only JIT: for a suite of ~80 short queries, C2's compile queue
-  // becomes the bottleneck (late queries run interpreted while C2 churns);
-  // C1 compiles instantly and is within noise for sub-second queries.
-  // A long-running cluster job would drop this flag — it is harness
-  // tuning, not an engine requirement.
-  "-XX:TieredStopAtLevel=1",
+  // and later queries run interpreted (observed 5-40× slowdowns). 1g
+  // headroom also covers C2 recompilation of hot codegen loops.
+  "-XX:ReservedCodeCacheSize=1g",
+  // NOTE: do NOT re-add -XX:TieredStopAtLevel=1 here. It was a round-1
+  // workaround for C2 compile-queue churn, but C1-only code runs the
+  // token-explode/HOF codegen shapes 25-100x slower (116s vs 1s measured
+  // on the bigram-LM query) — far worse than the churn it avoided.
 )

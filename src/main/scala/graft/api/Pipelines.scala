@@ -83,6 +83,76 @@ object Pipelines {
     labels.withColumnRenamed("__id", idCol)
   }
 
+  /** PageRank with dangling-node mass redistribution over a directed
+    * edge list. Returns (node, rank) with ranks summing to 1.
+    *
+    * Each iteration is the declarative Pregel round: edges ⋈ ranks ⋈
+    * outdeg → groupBy(dst) sum, plus the dangling correction — nodes
+    * with no out-edges would leak their mass, so their summed rank is
+    * redistributed uniformly:
+    *   rank'(v) = (1-d)/n + d·(Σ_{u→v} rank(u)/outdeg(u) + D/n),
+    * D = Σ rank over dangling u. This keeps Σ rank = 1 every iteration
+    * (the property `GraphSpec` pins).
+    *
+    * Iteration-invariant inputs (edges, nodes, outdeg) are materialized
+    * once via localCheckpoint — without it each unrolled iteration
+    * re-derives the edge list (re-scanning + re-shuffling the fact
+    * table per round: the round-2 plan had the edge-derivation subtree
+    * 4× in a 368-node plan). Ranks are checkpointed per round to
+    * truncate the otherwise-exponential lineage, same as
+    * [[connectedComponents]].
+    *
+    * `tol <= 0` runs exactly `maxIters` rounds fully declaratively (no
+    * per-round driver action) — the form the declared query pins
+    * against its unrolled DuckDB oracle. `tol > 0` adds one O(1-row)
+    * convergence action per round and stops when the L1 rank delta
+    * drops below tol; throws if maxIters rounds don't get there
+    * (silent non-convergence would return plausible-but-wrong ranks).
+    *
+    * At 100 TB: edges shuffle once at checkpoint time; ranks/outdeg are
+    * node-sized (≪ edges) and broadcast; each round is one shuffle on
+    * dst. The checkpoint is the difference between O(iters) and
+    * O(iters²) fact-table scans.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      damping: Double = 0.85, maxIters: Int = 20, tol: Double = 0.0): DataFrame = {
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .distinct().localCheckpoint()
+    val nodes = e.select(col("__src").as("node"))
+      .union(e.select(col("__dst"))).distinct().localCheckpoint()
+    val outdeg = e.groupBy("__src")
+      .agg(count(lit(1)).cast("double").as("__outdeg")).localCheckpoint()
+    val nn = nodes.agg(count(lit(1)).cast("double").as("__n"))
+    var rank = nodes.crossJoin(broadcast(nn))
+      .select(col("node"), (lit(1.0) / col("__n")).as("rank")).localCheckpoint()
+    var iter = 0
+    var delta = Double.MaxValue
+    while (iter < maxIters && delta >= tol) {
+      val prev = rank
+      // dangling mass: one broadcastable row, computed declaratively so
+      // the tol<=0 path stays action-free
+      val dm = prev.join(outdeg, prev("node") === outdeg("__src"), "left_anti")
+        .agg(coalesce(sum("rank"), lit(0.0)).as("__dm"))
+      val contrib = e.join(prev, col("__src") === col("node"))
+        .join(broadcast(outdeg), Seq("__src"))
+        .groupBy(col("__dst")).agg(sum(col("rank") / col("__outdeg")).as("__inr"))
+      rank = nodes.crossJoin(broadcast(nn)).crossJoin(broadcast(dm))
+        .join(contrib, col("node") === col("__dst"), "left")
+        .select(col("node"),
+          (lit(1.0 - damping) / col("__n") + lit(damping) *
+            (coalesce(col("__inr"), lit(0.0)) + col("__dm") / col("__n"))).as("rank"))
+        .localCheckpoint()
+      if (tol > 0) {
+        delta = rank.join(prev.withColumnRenamed("rank", "__pr"), Seq("node"))
+          .agg(sum(abs(col("rank") - col("__pr")))).first().getDouble(0)
+      }
+      iter += 1
+    }
+    if (tol > 0 && delta >= tol) throw new IllegalStateException(
+      s"pageRank did not converge in $maxIters iterations (L1 delta $delta >= $tol); raise maxIters")
+    rank
+  }
+
   /** Near-dup clusters straight from text: LSH candidates → connected
     * components → (id, component, csize).
     */

@@ -58,48 +58,45 @@ object Round2Ops {
          |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
          |od AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM e GROUP BY src),
          |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes),
+         |d1 AS (SELECT coalesce(sum(rank), CAST(0 AS DOUBLE)) AS dm FROM r0
+         |       WHERE node NOT IN (SELECT src FROM od)),
          |c1 AS (SELECT e.dst, sum(r.rank / od.outdeg) AS inr
          |       FROM e JOIN r0 r ON e.src = r.node JOIN od ON e.src = od.src GROUP BY e.dst),
          |r1 AS (SELECT node, CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
-         |        + CAST(0.85 AS DOUBLE) * coalesce(inr, CAST(0 AS DOUBLE)) AS rank
+         |        + CAST(0.85 AS DOUBLE) * (coalesce(inr, CAST(0 AS DOUBLE))
+         |          + (SELECT dm FROM d1) / (SELECT n FROM nn)) AS rank
          |       FROM nodes LEFT JOIN c1 ON node = c1.dst),
+         |d2 AS (SELECT coalesce(sum(rank), CAST(0 AS DOUBLE)) AS dm FROM r1
+         |       WHERE node NOT IN (SELECT src FROM od)),
          |c2 AS (SELECT e.dst, sum(r.rank / od.outdeg) AS inr
          |       FROM e JOIN r1 r ON e.src = r.node JOIN od ON e.src = od.src GROUP BY e.dst),
          |r2 AS (SELECT node, CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
-         |        + CAST(0.85 AS DOUBLE) * coalesce(inr, CAST(0 AS DOUBLE)) AS rank
+         |        + CAST(0.85 AS DOUBLE) * (coalesce(inr, CAST(0 AS DOUBLE))
+         |          + (SELECT dm FROM d2) / (SELECT n FROM nn)) AS rank
          |       FROM nodes LEFT JOIN c2 ON node = c2.dst),
+         |d3 AS (SELECT coalesce(sum(rank), CAST(0 AS DOUBLE)) AS dm FROM r2
+         |       WHERE node NOT IN (SELECT src FROM od)),
          |c3 AS (SELECT e.dst, sum(r.rank / od.outdeg) AS inr
          |       FROM e JOIN r2 r ON e.src = r.node JOIN od ON e.src = od.src GROUP BY e.dst),
          |r3 AS (SELECT node, CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
-         |        + CAST(0.85 AS DOUBLE) * coalesce(inr, CAST(0 AS DOUBLE)) AS rank
+         |        + CAST(0.85 AS DOUBLE) * (coalesce(inr, CAST(0 AS DOUBLE))
+         |          + (SELECT dm FROM d3) / (SELECT n FROM nn)) AS rank
          |       FROM nodes LEFT JOIN c3 ON node = c3.dst)
          |SELECT node, floor(rank * 1000000 + 0.5) / 1000000 AS rank
          |FROM r3 ORDER BY floor(rank * 1000000 + 0.5) / 1000000 DESC, node LIMIT 20""".stripMargin) { (s, d) =>
-      // PageRank (damping 0.85, 3 unrolled iterations, simplified: no
-      // dangling-mass redistribution) over the distinct handoff edges.
-      // Fully declarative Pregel shape: each iteration is
-      // edges ⋈ ranks ⋈ outdeg → groupBy(dst) partial-aggregated sum —
-      // the classic message-passing round as one shuffle on dst. At
-      // scale: ranks/outdeg are node-sized (≪ edges, broadcastable or
-      // co-partitioned on src with the edge list); a convergence-driven
-      // variant would localCheckpoint per round like q_dedup_7.
-      // Ordering is on the ROUNDED rank (both engines agree on ties).
-      val edges = handoffEdges(Tables(s, d, "lineitem")).distinct()
-      val nodes = edges.select(col("src").as("node"))
-        .union(edges.select(col("dst"))).distinct()
-      val nn = nodes.agg(count(lit(1)).cast("double").as("n"))
-      val outdeg = edges.groupBy("src").agg(count(lit(1)).cast("double").as("outdeg"))
-      var rank = nodes.crossJoin(broadcast(nn))
-        .select(col("node"), (lit(1.0) / col("n")).as("rank"))
-      for (_ <- 1 to 3) {
-        val contrib = edges.join(rank, col("src") === col("node"))
-          .join(broadcast(outdeg), "src")
-          .groupBy(col("dst")).agg(sum(col("rank") / col("outdeg")).as("inr"))
-        rank = nodes.crossJoin(broadcast(nn))
-          .join(contrib, col("node") === col("dst"), "left")
-          .select(col("node"),
-            (lit(0.15) / col("n") + lit(0.85) * coalesce(col("inr"), lit(0.0))).as("rank"))
-      }
+      // PageRank (damping 0.85, 3 fixed iterations, WITH dangling-node
+      // mass redistribution) over the distinct handoff edges, via the
+      // one canonical implementation in graft.api.Pipelines.pageRank —
+      // which localCheckpoints the iteration-invariant edges/nodes/
+      // outdeg (the round-2 unrolled form re-derived the fact-table
+      // self-join 4× in one 368-node plan) and truncates rank lineage
+      // per round. tol=0 keeps the loop fully declarative to match the
+      // unrolled DuckDB CTE oracle above; GraphSpec pins Σ rank ≈ 1 per
+      // iteration and the single-scan plan shape. Ordering is on the
+      // ROUNDED rank (both engines agree on ties).
+      val rank = graft.api.Pipelines.pageRank(
+        handoffEdges(Tables(s, d, "lineitem")), "src", "dst",
+        damping = 0.85, maxIters = 3, tol = 0.0)
       rank.select(col("node"), round(col("rank"), 6).as("rank"))
         .orderBy(col("rank").desc, col("node")).limit(20)
     },
@@ -133,7 +130,7 @@ object Round2Ops {
         |c AS (SELECT doc_id, lang, n_tok,
         |  sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
         | FROM d)
-        |SELECT lang, (cum - n_tok) // 512 AS pack_id, count(*) AS n_docs,
+        |SELECT lang, CAST((cum - n_tok) // 512 AS BIGINT) AS pack_id, count(*) AS n_docs,
         | CAST(sum(n_tok) AS BIGINT) AS pack_tokens
         |FROM c GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin) { (s, d) =>
       // Sequence packing for training batches: documents stream in stable
@@ -300,8 +297,11 @@ object Round2Ops {
       // friend-of-friend / related-items queries). Each hop is one equi
       // join seed-frontier ⋈ edges — frontier-sized, never |E|² — and
       // the UNION dedups the reach set; unbounded traversal is the
-      // iterative min-label loop q_dedup_7 already ships.
-      val edges = handoffEdges(Tables(s, d, "lineitem")).distinct()
+      // iterative min-label loop q_dedup_7 already ships. The edge list
+      // is referenced three times (seeds, hop1, hop2) — localCheckpoint
+      // materializes the fact-table self-join ONCE instead of
+      // re-deriving it per reference (GraphSpec pins the single scan).
+      val edges = handoffEdges(Tables(s, d, "lineitem")).distinct().localCheckpoint()
       val seeds = edges.filter(col("src") < 5).select(col("src").as("seed")).distinct()
       val hop1 = seeds.join(edges, col("src") === col("seed"))
         .select(col("seed"), col("dst").as("node"))
