@@ -66,12 +66,20 @@ object Aggregations {
         round(sum_distinct(col("l_quantity")), 2).as("sd_qty"))
     },
 
-    // HLL implementations differ across engines — no stable oracle; the
-    // unit test asserts the approximation is within rsd of exact.
-    Q.noOracle("q_agg_4_approx") { (s, d) =>
+    // HLL implementations differ across engines, so the raw estimate has
+    // no stable oracle — instead EACH engine checks its own estimate
+    // against its own exact count and emits the band verdict: the hash
+    // gate then enforces "exact counts equal AND both approximations
+    // in-band" (rsd=0.01 → 5% is a ~5σ band).
+    Q("q_agg_4_approx",
+      """SELECT count(DISTINCT o_custkey) AS exact_cust,
+        | CAST(abs(approx_count_distinct(o_custkey) - count(DISTINCT o_custkey))
+        |       <= count(DISTINCT o_custkey) * 0.05 AS BIGINT) AS approx_ok
+        |FROM orders""".stripMargin) { (s, d) =>
       Tables(s, d, "orders").agg(
-        approx_count_distinct(col("o_custkey"), 0.01).as("approx_cust"),
-        countDistinct(col("o_custkey")).as("exact_cust"))
+        countDistinct(col("o_custkey")).as("exact_cust"),
+        (abs(approx_count_distinct(col("o_custkey"), 0.01) - countDistinct(col("o_custkey")))
+          <= countDistinct(col("o_custkey")) * lit(0.05)).cast("long").as("approx_ok"))
     },
 
     Q("q_agg_5_rollup",
@@ -219,16 +227,25 @@ object Aggregations {
         .orderBy("o_orderpriority")
     },
 
-    Q.noOracle("q_agg_16_approx_percentile") { (s, d) =>
-      // approx_percentile (GK sketch) next to the exact percentile —
-      // mergeable sketch state, the percentile analogue of the HLL pair
-      // (q_agg_4/q_udaf_2). No oracle: sketch internals differ across
-      // engines; the unit test bounds the approximation error instead.
+    Q("q_agg_16_approx_percentile",
+      """SELECT l_returnflag,
+        | floor(quantile_cont(l_extendedprice, 0.5) * 100 + 0.5) / 100 AS exact_p50,
+        | CAST(abs(approx_quantile(l_extendedprice, 0.5) - quantile_cont(l_extendedprice, 0.5))
+        |       <= quantile_cont(l_extendedprice, 0.5) * 0.02 AS BIGINT) AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      // approx_percentile (GK sketch) banded against the exact percentile
+      // — mergeable sketch state, the percentile analogue of the HLL pair
+      // (q_agg_4/q_udaf_2). Sketch internals differ across engines
+      // (Spark GK vs DuckDB t-digest) so the raw estimate has no stable
+      // oracle; each engine instead verdicts its own estimate inside the
+      // exact p50 ± 2% band and the hash gate compares exact + verdict.
       Tables(s, d, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-          round(expr("approx_percentile(l_extendedprice, 0.5, 1000)"), 2).as("approx_p50"),
-          round(expr("percentile(l_extendedprice, 0.5)"), 2).as("exact_p50"))
+          round(expr("percentile(l_extendedprice, 0.5)"), 2).as("exact_p50"),
+          (abs(expr("approx_percentile(l_extendedprice, 0.5, 1000)")
+            - expr("percentile(l_extendedprice, 0.5)"))
+            <= expr("percentile(l_extendedprice, 0.5)") * lit(0.02)).cast("long").as("approx_ok"))
         .orderBy("l_returnflag")
     },
 

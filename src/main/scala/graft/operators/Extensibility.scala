@@ -61,14 +61,22 @@ object Extensibility {
         .orderBy("l_returnflag")
     },
 
-    // Custom TypedImperativeAggregate HLL vs exact — implementations
-    // differ across engines, so no oracle; the unit test bounds the error.
-    Q.noOracle("q_udaf_2_hll_custom") { (s, d) =>
+    // Custom TypedImperativeAggregate HLL banded against exact — sketch
+    // values differ across engines (ours vs DuckDB's HLL), so each
+    // engine verdicts its own estimate inside the 5% band (p=12 →
+    // ~1.6% standard error, so 5% ≈ 3σ) and the hash gate compares
+    // exact counts + verdicts.
+    Q("q_udaf_2_hll_custom",
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS exact_cust,
+        | CAST(abs(approx_count_distinct(o_custkey) - count(DISTINCT o_custkey))
+        |       <= count(DISTINCT o_custkey) * 0.05 AS BIGINT) AS approx_ok
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
       graft.expressions.HyperLogLogAgg.register(s)
       Tables(s, d, "orders")
         .groupBy("o_orderpriority")
-        .agg(expr("hll_distinct(o_custkey)").as("hll_cust"),
-          countDistinct(col("o_custkey")).as("exact_cust"))
+        .agg(countDistinct(col("o_custkey")).as("exact_cust"),
+          (abs(expr("hll_distinct(o_custkey)") - countDistinct(col("o_custkey")))
+            <= countDistinct(col("o_custkey")) * lit(0.05)).cast("long").as("approx_ok"))
         .orderBy("o_orderpriority")
     },
 

@@ -263,9 +263,12 @@ object Round2Ops {
       // conditional probability — the log-free cousin of perplexity
       // filtering (no cross-engine libm-log drift; the ordering of docs
       // is the same signal). Two aggregates over the exploded bigram
-      // stream + one re-join; at 100 TB the LM is vocabulary²-bounded
-      // (broadcastable for any real tokenizer vocab), so scoring is a
-      // map-side join over a corpus scanned once.
+      // stream + one re-join. NO broadcast() hints on the LM tables: a
+      // post-tokenizer vocab is bounded (broadcastable), but raw 100 TB
+      // text has an unbounded "vocab" of typos/URLs, so the safe form
+      // lets AQE pick broadcast from the MEASURED aggregate size and
+      // degrade to a shuffle join when the LM outgrows the driver —
+      // Round2OpsSpec pins that AQE still broadcasts at this scale.
       val toks = tokens(col("text"))
       val big = Tables(s, d, "documents")
         .select(col("doc_id"),
@@ -276,8 +279,8 @@ object Round2Ops {
       val lm = big.groupBy("w1", "w2").agg(count(lit(1)).cast("double").as("c12"))
       val uni = big.groupBy("w1").agg(count(lit(1)).cast("double").as("c1"))
         .withColumnRenamed("w1", "u1")
-      big.join(broadcast(lm), Seq("w1", "w2"))
-        .join(broadcast(uni), col("w1") === col("u1"))
+      big.join(lm, Seq("w1", "w2"))
+        .join(uni, col("w1") === col("u1"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"),
           round(sum(col("c12") / col("c1")) / count(lit(1)), 6).as("avg_bigram_p"))

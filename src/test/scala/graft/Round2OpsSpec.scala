@@ -18,6 +18,16 @@ class Round2OpsSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("q_text_16_bigram_lm: AQE broadcasts the un-hinted LM tables (no SMJ regression)") {
+    val df = Registry.byName("q_text_16_bigram_lm").fn(spark, sf)
+    df.count() // materialize so AQE's final (measured-size) plan is visible
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "LM scoring joins must stay broadcast at this scale without an explicit hint:\n" + plan)
+    assert(!plan.contains("SortMergeJoin"),
+      "dropping the broadcast() hint must not regress the LM joins to SMJ:\n" + plan)
+  }
+
   test("q_stream_8_topk_window: rank filter plans as WindowGroupLimit") {
     val plan = Registry.byName("q_stream_8_topk_window").fn(spark, sf)
       .queryExecution.executedPlan.toString
