@@ -80,6 +80,39 @@ object Extensibility {
         .orderBy("o_orderpriority")
     },
 
+    // Arbitrary-language UDF surface (the one capability a Scala-only
+    // engine otherwise lacks): JSON-lines through a stdlib-only python3
+    // subprocess, ONE process per partition via
+    // graft.api.ExternalProcess.pipeLines. to_json/from_json frame the
+    // payloads (JSON escapes embedded newlines, so the line protocol is
+    // safe for arbitrary text). No oracle: the result depends on an
+    // external interpreter; the unit suite proves the python-side
+    // values equal the Spark-native computation row for row, plus the
+    // loud-failure contract (row-count mismatch, non-zero exit).
+    Q.noOracle("q_udf_2_pipe") { (s, d) =>
+      import org.apache.spark.sql.types.{LongType, StructType}
+      val py = Seq("python3", "-c",
+        """import sys, json, unicodedata
+          |for line in sys.stdin:
+          |    o = json.loads(line)
+          |    t = unicodedata.normalize("NFC", o["text"])
+          |    toks = t.split(" ")
+          |    print(json.dumps({"nfc_len": len(t), "n_uniq": len(set(toks))},
+          |                     sort_keys=True))
+          |""".stripMargin)
+      val in = Tables(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          to_json(struct(coalesce(col("text"), lit("")).as("text"))).as("__in"))
+      val sch = new StructType().add("nfc_len", LongType).add("n_uniq", LongType)
+      graft.api.ExternalProcess.pipeLines(in, "__in", "__out", py)
+        .select(col("lang"), from_json(col("__out"), sch).as("o"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("o.nfc_len").as("sum_nfc_len"),
+          sum("o.n_uniq").as("sum_uniq_toks"))
+        .orderBy("lang")
+    },
+
     Q("q_udtf_1_generator",
       """SELECT doc_id, unnest(generate_series(0, len(string_split(text, ' ')) - 1)) AS pos,
         | unnest(string_split(text, ' ')) AS token
