@@ -6,11 +6,12 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column operators: media payloads as opaque `binary` columns
   * with typed metadata, plus decode/feature-extract pipelines. As of
-  * round 2 the image path is a REAL codec (`q_mm_4_image_decode`: PNG
-  * encode + decode through JDK `javax.imageio`, oracle-checked via the
-  * lossless round-trip); the generic stub (`decodeStub`) remains as the
-  * documented swap point for formats whose codecs aren't in this
-  * environment (JPEG/webp/audio).
+  * round 3 BOTH decode paths are real codecs through JDK `javax.imageio`
+  * and oracle-checked end to end: `q_mm_4_image_decode` (PNG round-trip
+  * pixel stats) and `q_mm_2_decode_features` (decode → 4×4 mean-pool
+  * downsample → feature norm). Formats whose codecs aren't in this
+  * environment (JPEG/webp/audio) swap in at the encode step with a
+  * tolerance oracle instead of a hash.
   *
   * Scale notes: blobs ride along as columns — Parquet stores them
   * contiguously per row-group and column pruning skips them unless
@@ -21,7 +22,8 @@ import org.apache.spark.sql.functions._
 object Multimodal {
 
   final case class Media(doc_id: Long, blob: Array[Byte], fmt: String)
-  final case class MediaFeatures(doc_id: Long, n_bytes: Long, n_frames: Long, feat_norm: Double)
+  final case class PooledFeatures(doc_id: Long, pool_first_raw: Double,
+      pool_last_raw: Double, feat_norm_raw: Double)
   final case class PxFeatures(doc_id: Long, width: Long, height: Long,
       px_mean_raw: Double, px_min: Long, px_max: Long)
 
@@ -59,21 +61,58 @@ object Multimodal {
       sum.toDouble / 256.0, mn, mx)
   }
 
-  /** STUB decoder — stands in for an image/audio codec. Deterministic:
-    * "frames" = every 16th byte, "features" = 4 fixed byte statistics.
-    * Swap this single function for a real codec (JPEG decode, PCM frame
-    * split, …) without touching any of the Spark plumbing around it.
+  /** REAL decode → transform → feature-extract (the round-2 stub,
+    * replaced): the payload renders a 16×16 grayscale image, is encoded
+    * to genuine PNG bytes, DECODED back through `javax.imageio`, then
+    * DOWNSAMPLED by 4×4 mean-pooling into a 16-dim feature vector — the
+    * decode/resize/embed shape of an image-ingest pipeline. Every value
+    * downstream of the decode is exact (block sums are integers, /16 is
+    * a power-of-two division, squares of k/16 stay inside double's 53
+    * bits), so the whole pipeline hash-oracles against ascii()
+    * arithmetic in SQL — any codec or pooling bug (stride, channel,
+    * clamp, block indexing) breaks the hash. A lossy codec (JPEG) would
+    * swap in at the encode step with a tolerance oracle instead.
     */
-  private def decodeStub(m: Media): MediaFeatures = {
-    val frames = m.blob.indices.collect { case i if i % 16 == 0 => m.blob(i) }
-    val feats = Array[Double](
-      m.blob.length.toDouble,
-      if (m.blob.nonEmpty) m.blob.head.toDouble else 0.0,
-      if (m.blob.nonEmpty) m.blob.last.toDouble else 0.0,
-      frames.length.toDouble)
-    val norm = math.sqrt(feats.map(f => f * f).sum)
-    MediaFeatures(m.doc_id, m.blob.length.toLong, frames.length.toLong,
-      math.rint(norm * 1e6) / 1e6)
+  private def decodePooled(id: Long, text: String): PooledFeatures = {
+    val bytes = text.getBytes("UTF-8")
+    val img = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < 256) {
+      raster.setSample(i % 16, i / 16, 0, bytes(i % bytes.length) & 0xFF)
+      i += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val dec = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(baos.toByteArray))
+    val r = dec.getRaster
+    val pool = new Array[Double](16)
+    var by = 0
+    while (by < 4) {
+      var bx = 0
+      while (bx < 4) {
+        var s = 0L
+        var dy = 0
+        while (dy < 4) {
+          var dx = 0
+          while (dx < 4) {
+            s += r.getSample(bx * 4 + dx, by * 4 + dy, 0)
+            dx += 1
+          }
+          dy += 1
+        }
+        pool(by * 4 + bx) = s.toDouble / 16.0
+        bx += 1
+      }
+      by += 1
+    }
+    var ss = 0.0
+    var k = 0
+    while (k < 16) { ss += pool(k) * pool(k); k += 1 }
+    PooledFeatures(id, pool(0), pool(15), math.sqrt(ss))
   }
 
   /** The `documents` table dressed as a media table: text bytes as the
@@ -153,15 +192,36 @@ object Multimodal {
         .orderBy("doc_id")
     },
 
-    Q.noOracle("q_mm_2_decode_features") { (s, d) =>
-      // Decode + feature-extract via the stub codec: typed Dataset →
-      // per-partition batch transform → columnar result. No oracle (the
-      // codec is engine-side logic); unit-tested against hand-computed
-      // features.
+    Q("q_mm_2_decode_features",
+      """WITH px AS (
+        | SELECT doc_id,
+        |  ((i // 16) // 4) * 4 + ((i % 16) // 4) AS blk,
+        |  ascii(substring(text, (i % len(text)) + 1, 1)) AS v
+        | FROM documents, (SELECT unnest(range(0, 256)) AS i)),
+        |pool AS (
+        | SELECT doc_id, blk, CAST(sum(v) AS DOUBLE) / 16.0 AS p
+        | FROM px GROUP BY doc_id, blk)
+        |SELECT doc_id,
+        | floor(sum(CASE WHEN blk = 0 THEN p END) * 1000000 + 0.5) / 1000000 AS pool_first,
+        | floor(sum(CASE WHEN blk = 15 THEN p END) * 1000000 + 0.5) / 1000000 AS pool_last,
+        | floor(sqrt(sum(p * p)) * 1000000 + 0.5) / 1000000 AS feat_norm
+        |FROM pool GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // Decode + transform + feature-extract over EVERY document (no id
+      // cap — the decode is the workload): real PNG decode via
+      // javax.imageio, 4×4 mean-pool downsample, 16-dim feature norm.
+      // Per-partition mapPartitions amortizes codec init; blobs never
+      // shuffle (features are 3 doubles/row). All post-decode arithmetic
+      // is exact in double (see decodePooled), so the hash oracle covers
+      // the full decode→pool→norm path cross-engine.
       import s.implicits._
-      mediaTable(s, d).select("doc_id", "blob", "fmt").as[Media]
-        .mapPartitions(_.map(decodeStub))
+      Tables(s, d, "documents")
+        .select("doc_id", "text").as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) => decodePooled(id, text) })
         .toDF()
+        .select(col("doc_id"),
+          graft.functions.Num.round(col("pool_first_raw"), 6).as("pool_first"),
+          graft.functions.Num.round(col("pool_last_raw"), 6).as("pool_last"),
+          graft.functions.Num.round(col("feat_norm_raw"), 6).as("feat_norm"))
         .orderBy("doc_id")
     }
   )

@@ -106,6 +106,72 @@ object Subqueries {
         .withColumn("v_filled", last(col("v"), ignoreNulls = true).over(w))
         .select(col("user_id"), col("day"), col("v_filled"))
         .orderBy("user_id", "day")
+    },
+
+    Q("q_time_5_interp",
+      """WITH ev AS (
+        | SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |  floor((max(value)) * 10000 + 0.5) / 10000 AS v
+        | FROM events WHERE user_id < 5 GROUP BY 1, 2),
+        |days AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-31', INTERVAL 1 DAY)) AS day),
+        |users AS (SELECT DISTINCT user_id FROM ev),
+        |grid AS (
+        | SELECT u.user_id, d.day, ev.v FROM users u CROSS JOIN days d
+        | LEFT JOIN ev ON u.user_id = ev.user_id AND d.day = ev.day),
+        |anch AS (
+        | SELECT user_id, day, v,
+        |  last_value(v IGNORE NULLS) OVER wp AS pv,
+        |  last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER wp AS pd,
+        |  first_value(v IGNORE NULLS) OVER wf AS nv,
+        |  first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER wf AS nd
+        | FROM grid
+        | WINDOW wp AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |        wf AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, day,
+        | floor((CASE WHEN v IS NOT NULL THEN v
+        |   WHEN pv IS NULL OR nv IS NULL THEN NULL
+        |   ELSE pv + (nv - pv) * (CAST(epoch_us(day) - epoch_us(pd) AS DOUBLE)
+        |                          / CAST(epoch_us(nd) - epoch_us(pd) AS DOUBLE)) END) * 10000 + 0.5) / 10000 AS v_interp
+        |FROM anch ORDER BY user_id, day""".stripMargin) { (s, d) =>
+      // Linear interpolation between observations — the step past LOCF
+      // (q_time_2) for numeric series: missing days get the straight
+      // line between the surrounding anchors; the head (no previous
+      // anchor) and tail (no next) stay NULL, observed days pass
+      // through. Four anchor columns from two frames over ONE
+      // (user | day) sort → one shuffle + one sort, both Window
+      // operators reuse it. The time ratio is integer epoch-µs
+      // arithmetic before the single double division, so both engines
+      // compute bit-identical interpolants.
+      val ev = Tables(s, d, "events").filter(col("user_id") < 5)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(round(max("value"), 4).as("v"))
+      val days = s.range(1).select(explode(sequence(
+        lit("2024-01-01").cast("timestamp"),
+        lit("2024-01-31").cast("timestamp"),
+        expr("INTERVAL 1 DAY"))).as("day"))
+      val users = ev.select("user_id").distinct()
+      val wp = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("day")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val wf = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("day")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      users.crossJoin(days)
+        .join(ev, Seq("user_id", "day"), "left")
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(wp))
+        .withColumn("pd", last(when(col("v").isNotNull, col("day")), ignoreNulls = true).over(wp))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(wf))
+        .withColumn("nd", first(when(col("v").isNotNull, col("day")), ignoreNulls = true).over(wf))
+        .select(col("user_id"), col("day"),
+          round(when(col("v").isNotNull, col("v"))
+            .when(col("pv").isNull || col("nv").isNull, lit(null))
+            .otherwise(col("pv") + (col("nv") - col("pv")) *
+              ((unix_micros(col("day")) - unix_micros(col("pd"))).cast("double") /
+               (unix_micros(col("nd")) - unix_micros(col("pd"))).cast("double"))), 4)
+            .as("v_interp"))
+        .orderBy("user_id", "day")
     }
   )
 }

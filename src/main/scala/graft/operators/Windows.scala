@@ -154,6 +154,46 @@ object Windows {
         round(nth_value(col("o_totalprice"), 2).over(w), 2).as("second_price"),
         round(nth_value(col("o_totalprice"), 3).over(w), 2).as("third_price"))
         .orderBy("o_custkey", "o_orderkey")
+    },
+
+    Q("q_win_9_gaps_islands",
+      """WITH e AS (SELECT user_id, event_id, ts FROM events WHERE user_id < 50),
+        |f AS (
+        | SELECT user_id, event_id, ts,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 3600000000 THEN 1 ELSE 0 END AS brk
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (
+        | SELECT user_id, ts,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id
+        | FROM f)
+        |SELECT user_id, island_id, count(*) AS n_events,
+        | min(ts) AS start_ts, max(ts) AS end_ts
+        |FROM g GROUP BY user_id, island_id
+        |ORDER BY user_id, island_id""".stripMargin) { (s, d) =>
+      // Gaps-and-islands: consecutive events per user collapse into one
+      // island while the gap stays ≤ 1 h; a strictly-greater gap starts
+      // a new island (same strict-> convention as the session oracle —
+      // an exact-gap event continues the island). The lag+running-sum
+      // form is the declarative sessionizer: two window passes over the
+      // SAME (user_id | ts, event_id) sort order, so Catalyst plans one
+      // shuffle + one sort and both Window operators reuse it — the
+      // shape that holds at 100 TB (no per-session state, no iteration).
+      // Integer epoch-µs arithmetic keeps the gap test engine-exact.
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, d, "events").filter(col("user_id") < 50)
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .withColumn("brk",
+          when(lag(col("ts"), 1).over(w).isNull
+            || unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) > 3600000000L, 1L)
+            .otherwise(0L))
+        .withColumn("island_id", sum(col("brk")).over(wRun))
+        .groupBy("user_id", "island_id")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"))
+        .orderBy("user_id", "island_id")
     }
   )
 }

@@ -44,15 +44,23 @@ class OperatorUnitSpec extends SparkSpec {
     assert(r.getAs[Long]("n_types") == 5L)
   }
 
-  test("multimodal decode stub: hand-computed features for one doc") {
+  test("multimodal decode features: hand-computed 4x4 pool for one doc") {
     val doc = graft.sources.Tables(spark, sf, "documents")
       .filter(col("doc_id") === 0).select("text").as[String].head()
     val bytes = doc.getBytes("UTF-8")
-    val expFrames = (bytes.indices.count(_ % 16 == 0)).toLong
+    // same raster fill as the query, pooled by hand without any codec
+    def px(x: Int, y: Int): Int = bytes((y * 16 + x) % bytes.length) & 0xFF
+    def pool(b: Int): Double = {
+      val (bx, by) = (b % 4, b / 4)
+      (for (dy <- 0 until 4; dx <- 0 until 4) yield px(bx * 4 + dx, by * 4 + dy))
+        .sum.toDouble / 16.0
+    }
+    val norm = math.sqrt((0 until 16).map(b => pool(b) * pool(b)).sum)
     val row = Registry.byName("q_mm_2_decode_features").fn(spark, sf)
       .filter(col("doc_id") === 0).collect().head
-    assert(row.getAs[Long]("n_bytes") == bytes.length.toLong)
-    assert(row.getAs[Long]("n_frames") == expFrames)
+    assert(row.getAs[Double]("pool_first") == math.floor(pool(0) * 1e6 + 0.5) / 1e6)
+    assert(row.getAs[Double]("pool_last") == math.floor(pool(15) * 1e6 + 0.5) / 1e6)
+    assert(row.getAs[Double]("feat_norm") == math.floor(norm * 1e6 + 0.5) / 1e6)
   }
 
   test("charHash matches hand-computed polynomial fold") {
