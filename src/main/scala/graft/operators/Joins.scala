@@ -251,6 +251,44 @@ object Joins {
         .orderBy("event_id")
     },
 
+    Q("q_join_16_asof_tol",
+      """SELECT event_id, user_id, ts_s,
+        | CASE WHEN next_view_ts IS NOT NULL
+        |       AND epoch_us(next_view_ts) - epoch_us(ts_f) <= 1800000000
+        |      THEN date_trunc('second', next_view_ts) END AS followup_view_ts
+        |FROM (
+        | SELECT event_id, user_id, event_type, ts::TIMESTAMP AS ts_f,
+        |  date_trunc('second', ts::TIMESTAMP) AS ts_s,
+        |  min(CASE WHEN event_type = 'view' THEN ts::TIMESTAMP END)
+        |   OVER (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_type
+        |         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_view_ts
+        | FROM events WHERE event_type IN ('purchase', 'view'))
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin) { (s, d) =>
+      // FORWARD as-of join with a tolerance (pandas merge_asof
+      // direction='forward', tolerance=30min): for each purchase, the
+      // first view by the same user at-or-after it, nulled when it
+      // falls outside the 30-minute window. Same scale shape as the
+      // backward as-of (q_join_9): one shuffle on user_id + one ordered
+      // window pass, no cross product; the tolerance is a post-window
+      // integer epoch-µs filter, engine-exact. 'purchase' < 'view'
+      // lexicographically, so equal-ts views sort after the purchase
+      // and stay visible to its following frame in both engines.
+      val ev = Tables(s, d, "events")
+        .filter(col("event_type").isin("purchase", "view"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_type"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      ev.withColumn("next_view_ts",
+          min(when(col("event_type") === "view", col("ts"))).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          date_trunc("second", col("ts")).as("ts_s"),
+          when(col("next_view_ts").isNotNull
+            && unix_micros(col("next_view_ts")) - unix_micros(col("ts")) <= 1800000000L,
+            date_trunc("second", col("next_view_ts"))).as("followup_view_ts"))
+        .orderBy("event_id")
+    },
+
     Q("q_join_10_self",
       """SELECT o_custkey, o_orderkey, next_orderkey, CAST(gap_days AS BIGINT) AS gap_days FROM (
         | SELECT o_custkey, o_orderkey,
