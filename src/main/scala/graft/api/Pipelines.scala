@@ -153,6 +153,31 @@ object Pipelines {
     rank
   }
 
+  /** Declarative data-quality expectations (the Deequ/Great-Expectations
+    * shape): evaluate a rule list over a DataFrame in ONE aggregate
+    * pass and return (rule, n_checked, n_failed, pass) per rule. A rule
+    * fails on rows where its predicate is not TRUE — NULL predicate
+    * results count as failures (a null-tolerant rule must say so with
+    * coalesce/isNull itself), so missing data can't silently pass.
+    *
+    * Scale: all rules ride one HashAggregate over one scan (conditional
+    * counts), never one job per rule; the stack() to rows is driver-free
+    * and runs on the single aggregate output row.
+    */
+  def expectations(df: DataFrame, rules: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(rules.nonEmpty, "expectations needs at least one rule")
+    require(rules.map(_._1).distinct.size == rules.size, "rule names must be unique")
+    rules.foreach { case (name, _) =>
+      require(name.matches("[A-Za-z0-9_]+"), s"rule name '$name' must be [A-Za-z0-9_]+") }
+    val aggs = count(lit(1)).as("__n") +: rules.zipWithIndex.map { case ((_, pred), i) =>
+      count(when(!coalesce(pred, lit(false)), 1)).as(s"__f$i") }
+    val one = df.agg(aggs.head, aggs.drop(1): _*)
+    val stackArgs = rules.indices.map(i => s"'${rules(i)._1}', __f$i").mkString(", ")
+    one.selectExpr(s"stack(${rules.size}, $stackArgs) AS (rule, n_failed)", "__n AS n_checked")
+      .select(col("rule"), col("n_checked"), col("n_failed"),
+        (col("n_failed") === 0).cast("long").as("pass"))
+  }
+
   /** Near-dup clusters straight from text: LSH candidates → connected
     * components → (id, component, csize).
     */

@@ -249,6 +249,31 @@ object Aggregations {
         .orderBy("l_returnflag")
     },
 
+    Q("q_agg_22_ddsketch",
+      """SELECT o_orderpriority,
+        | floor(quantile_cont(o_totalprice, 0.5) * 100 + 0.5) / 100 AS exact_p50,
+        | CAST(abs(approx_quantile(o_totalprice, 0.5) - quantile_cont(o_totalprice, 0.5))
+        |       <= quantile_cont(o_totalprice, 0.5) * 0.03 AS BIGINT) AS sketch_ok
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      // Custom DDSketch quantile (TypedImperativeAggregate,
+      // expressions/DDSketchAgg.scala) banded against the exact
+      // percentile — same band-check oracle pattern as q_agg_16, but
+      // the sketch carries a GUARANTEED relative-error bound (α=0.02;
+      // the 3% band adds interpolation slack), is fully mergeable
+      // bucket-wise, and its state is value-range-bounded rather than
+      // accuracy-parameter-bounded. Each engine verdicts its own sketch
+      // (ours vs DuckDB's t-digest) inside its own exact band.
+      graft.expressions.DDSketchAgg.register(s)
+      Tables(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 2).as("exact_p50"),
+          (abs(expr("ddsketch_quantile(o_totalprice, 0.5D)")
+            - expr("percentile(o_totalprice, 0.5)"))
+            <= expr("percentile(o_totalprice, 0.5)") * lit(0.03)).cast("long").as("sketch_ok"))
+        .orderBy("o_orderpriority")
+    },
+
     Q("q_agg_15_moments",
       """SELECT l_returnflag,
         | floor((s1 / n) * 1000000 + 0.5) / 1000000 AS mean,

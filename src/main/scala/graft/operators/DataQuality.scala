@@ -132,6 +132,34 @@ object DataQuality {
           date_trunc("second", col("ts")).as("valid_from"), col("valid_to"),
           col("valid_to").isNull.as("is_current"))
         .orderBy("user_id", "valid_from", "event_id")
+    },
+
+    Q("q_dq_11_expectations",
+      """WITH a AS (SELECT count(*) AS n,
+        |  count(CASE WHEN o_custkey IS NULL THEN 1 END) AS f_cust,
+        |  count(CASE WHEN NOT coalesce(o_orderdate BETWEEN TIMESTAMP '1992-01-01' AND TIMESTAMP '2001-12-31', FALSE) THEN 1 END) AS f_date,
+        |  count(CASE WHEN NOT coalesce(o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW'), FALSE) THEN 1 END) AS f_prio,
+        |  count(CASE WHEN NOT coalesce(o_totalprice > 0, FALSE) THEN 1 END) AS f_price
+        | FROM orders)
+        |SELECT rule, n_checked, n_failed, CAST(n_failed = 0 AS BIGINT) AS pass FROM (
+        | SELECT 'custkey_not_null' AS rule, n AS n_checked, f_cust AS n_failed FROM a
+        | UNION ALL SELECT 'date_in_range', n, f_date FROM a
+        | UNION ALL SELECT 'priority_in_domain', n, f_prio FROM a
+        | UNION ALL SELECT 'price_positive', n, f_price FROM a)
+        |ORDER BY rule""".stripMargin) { (s, d) =>
+      // Declarative expectations suite (the Deequ shape) via the generic
+      // graft.api.Pipelines.expectations: N rules = N conditional counts
+      // in ONE HashAggregate over ONE scan (never a job per rule), then
+      // stack() to one row per rule. NULL predicate results count as
+      // failures so missing data can't silently pass a check.
+      graft.api.Pipelines.expectations(Tables(s, d, "orders"), Seq(
+        "custkey_not_null" -> col("o_custkey").isNotNull,
+        "date_in_range" -> col("o_orderdate").between(
+          lit("1992-01-01").cast("timestamp"), lit("2001-12-31").cast("timestamp")),
+        "priority_in_domain" -> col("o_orderpriority").isin(
+          "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"),
+        "price_positive" -> (col("o_totalprice") > 0)))
+        .orderBy("rule")
     }
   )
 }

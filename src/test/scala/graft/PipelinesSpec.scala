@@ -159,4 +159,32 @@ class PipelinesSpec extends SparkSpec {
       .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toList
     assert(got == List((1L, 2L), (2L, 1L)))
   }
+
+  test("expectations: NULL predicate results count as failures, per-rule verdicts") {
+    import spark.implicits._
+    val df = Seq((Some(5.0), "a"), (None, "b"), (Some(-1.0), "c")).toDF("v", "k")
+    val got = Pipelines.expectations(df, Seq(
+      "v_positive" -> (col("v") > 0),        // null v must FAIL this rule
+      "k_not_null" -> col("k").isNotNull))
+      .orderBy("rule").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toList
+    assert(got == List(("k_not_null", 3L, 0L, 1L), ("v_positive", 3L, 2L, 0L)))
+  }
+
+  test("expectations: one aggregate pass, and bad rule lists are rejected") {
+    import spark.implicits._
+    val df = Seq((1, "x")).toDF("a", "b")
+    val plan = Pipelines.expectations(df, Seq("r1" -> (col("a") > 0), "r2" -> col("b").isNotNull))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Union"), "rules must share one aggregate, not one job each:\n" + plan)
+    intercept[IllegalArgumentException] {
+      Pipelines.expectations(df, Seq("dup" -> lit(true), "dup" -> lit(false)))
+    }
+    intercept[IllegalArgumentException] {
+      Pipelines.expectations(df, Seq("bad name'; --" -> lit(true)))
+    }
+    intercept[IllegalArgumentException] {
+      Pipelines.expectations(df, Seq.empty)
+    }
+  }
 }
