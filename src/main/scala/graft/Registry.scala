@@ -25,7 +25,8 @@ object Registry {
       Subqueries.all ++
       DataQuality.all ++
       TpchShapes.all ++
-      Round2Ops.all
+      Round2Ops.all ++
+      Round3Ops.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(

@@ -313,4 +313,84 @@ object Pipelines {
         when(col("n_sh") === 0, lit(0.0))
           .otherwise(col("n_hit").cast("double") / col("n_sh")).as("overlap"))
   }
+
+  /** Per-row (id, w1, w2) token-bigram stream — the shared explode under
+    * the repetition/novelty screens.
+    */
+  private def bigrams(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    df.select(col(idCol),
+        explode(arrays_zip(
+          slice(toks, lit(1), size(toks) - 1).as("w1"),
+          slice(toks, lit(2), size(toks) - 1).as("w2"))).as("__p"))
+      .select(col(idCol), col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+  }
+
+  /** Gopher-style repetition screens: duplicate-token fraction and
+    * top-bigram share per row, with a flag at the given thresholds —
+    * generalizes q_text_17_repetition. Two per-row aggregates (map-side
+    * combinable) joined agg↔agg; no corpus self-join.
+    */
+  def repetitionScores(df: DataFrame, idCol: String, textCol: String,
+      dupFracThresh: Double = 0.2, topBigramThresh: Double = 0.18): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val ts = df.select(col(idCol), size(toks).cast("long").as("n_tok"),
+      size(array_distinct(toks)).cast("long").as("__n_uniq"))
+    val bt = bigrams(df, idCol, textCol)
+      .groupBy(col(idCol), col("w1"), col("w2")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol)).agg(max("__c").as("__top_c"), sum("__c").as("__n_big"))
+    val dupF = (col("n_tok") - col("__n_uniq")).cast("double") / col("n_tok")
+    val topF = col("__top_c").cast("double") / col("__n_big")
+    ts.join(bt, idCol)
+      .select(col(idCol), col("n_tok"),
+        dupF.as("dup_token_frac"), topF.as("top_bigram_frac"),
+        when(dupF > dupFracThresh || topF > topBigramThresh, 1L).otherwise(0L).as("flagged"))
+  }
+
+  /** N-gram novelty: the share of a row's distinct bigrams with corpus
+    * document-frequency 1 (template/mirror detector) — generalizes
+    * q_text_18_novelty. The document-frequency table is bigram-vocab-
+    * sized and carries no broadcast hint (AQE sizes it).
+    */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val b = bigrams(df, idCol, textCol).distinct()
+    val dfreq = b.groupBy("w1", "w2").agg(count(lit(1)).as("__nd"))
+    b.join(dfreq, Seq("w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("__nd") === 1, 1L).otherwise(0L)).cast("long").as("n_novel"),
+        (sum(when(col("__nd") === 1, 1L).otherwise(0L)).cast("double") / count(lit(1)))
+          .as("novel_frac"))
+  }
+
+  /** SemDeDup: coarse-cluster rows to the nearest of the first `cells`
+    * vectors (by id), compare pairs ONLY within a cluster, and emit the
+    * keep-lowest-id drop list for pairs with cosine ≥ `tau` —
+    * generalizes q_sim_13_semdedup. Candidate pairs go from O(n²) to
+    * O(Σ cell²); assignment is one `argmin_sqdist` projection against a
+    * single broadcast packed-centroid row (the corpus never shuffles
+    * for assignment; the pair join shuffles on cell id only). Returns
+    * (drop_id, keep_id, cell, n_dups).
+    */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+      cells: Int, tau: Double): DataFrame = {
+    val s = df.sparkSession
+    graft.expressions.VectorExpressions.register(s)
+    val e = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val firstIds = e.select(col("__id")).orderBy("__id").limit(cells)
+    val packed = e.join(firstIds, "__id")
+      .select(col("__id").as("__cid"), col("__v").as("__cvec"))
+      .agg(array_sort(collect_list(struct(col("__cid"), col("__cvec")))).as("__cs"))
+      .select(transform(col("__cs"), _.getField("__cid")).as("__cids"),
+        transform(col("__cs"), _.getField("__cvec")).as("__cvecs"))
+    val withCell = e.crossJoin(broadcast(packed))
+      .withColumn("__cell", element_at(col("__cids"), expr("argmin_sqdist(__v, __cvecs)") + 1))
+      .select(col("__id"), col("__v"), col("__cell"))
+    val a = withCell.select(col("__cell"), col("__id").as("__ia"), col("__v").as("__va"))
+    val b = withCell.select(col("__cell").as("__cellb"), col("__id").as("__ib"), col("__v").as("__vb"))
+    a.join(b, col("__cell") === col("__cellb") && col("__ia") < col("__ib"))
+      .filter(expr("cosine_similarity(__va, __vb)") >= tau)
+      .groupBy(col("__ib").as("drop_id"))
+      .agg(min("__ia").as("keep_id"), min("__cell").as("cell"), count(lit(1)).as("n_dups"))
+  }
 }

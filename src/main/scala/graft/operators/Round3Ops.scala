@@ -1,0 +1,260 @@
+package graft.operators
+
+import graft.Q
+import graft.expressions.{BloomRuntime, VectorExpressions}
+import graft.functions.Num.round
+import graft.functions.TextFunctions.tokens
+import graft.sources.Tables
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Round-3b additions (SURVEY §2.11e): the LLM-corpus quality filters a
+  * pretraining pipeline runs between dedup and tokenization, the
+  * cluster-bucketed embedding dedup shape, explicit bloom-filter join
+  * pruning, the stream-stream interval join's batch twin, and a z-order
+  * data-layout sink.
+  *
+  * Scale notes per query are inline; the shared discipline: every shape
+  * is a constant number of shuffles whose width is set by an aggregate
+  * (vocab, cells, buckets), never by the corpus row count.
+  */
+object Round3Ops {
+
+  /** DuckDB mirror of the per-doc token bigram stream (same list_zip
+    * slicing as q_text_16's oracle).
+    */
+  private val duckBigrams =
+    """SELECT doc_id, struct_extract(p, 1) AS w1, struct_extract(p, 2) AS w2 FROM (
+      |  SELECT doc_id, unnest(list_zip(
+      |    list_slice(string_split(text, ' '), 1, len(string_split(text, ' ')) - 1),
+      |    list_slice(string_split(text, ' '), 2, len(string_split(text, ' '))))) AS p
+      |  FROM documents)""".stripMargin
+
+  /** Spark-side (doc_id, w1, w2) bigram stream. */
+  private def bigramsOf(docs: org.apache.spark.sql.DataFrame) = {
+    val toks = tokens(col("text"))
+    docs.select(col("doc_id"),
+      explode(arrays_zip(
+        slice(toks, lit(1), size(toks) - 1).as("w1"),
+        slice(toks, lit(2), size(toks) - 1).as("w2"))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+  }
+
+  /** Morton (z-order) interleave of the low 16 bits of two keys — the
+    * Scala and DuckDB forms are generated from the same loop so the two
+    * engines cannot drift.
+    */
+  private def mortonCol(x: String, y: String): Column =
+    (0 until 16).map { i =>
+      shiftleft(shiftright(col(x), i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(col(y), i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  private def mortonSql(x: String, y: String): String =
+    (0 until 16).map { i =>
+      s"(((($x >> $i) & 1) << ${2 * i}) | ((($y >> $i) & 1) << ${2 * i + 1}))"
+    }.mkString("(", " | ", ")")
+
+  val all: Seq[Q] = Seq(
+
+    Q("q_text_17_repetition",
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |ts AS (SELECT doc_id, len(t) AS n_tok, len(list_distinct(t)) AS n_uniq FROM tk),
+         |bc AS (SELECT doc_id, w1, w2, count(*) AS c FROM ($duckBigrams) GROUP BY doc_id, w1, w2),
+         |bt AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_big FROM bc GROUP BY doc_id)
+         |SELECT ts.doc_id, CAST(ts.n_tok AS BIGINT) AS n_tok,
+         | floor((CAST(ts.n_tok - ts.n_uniq AS DOUBLE) / ts.n_tok) * 1000000 + 0.5) / 1000000 AS dup_token_frac,
+         | floor((CAST(bt.top_c AS DOUBLE) / bt.n_big) * 1000000 + 0.5) / 1000000 AS top_bigram_frac,
+         | CAST(CASE WHEN CAST(ts.n_tok - ts.n_uniq AS DOUBLE) / ts.n_tok > 0.2
+         |   OR CAST(bt.top_c AS DOUBLE) / bt.n_big > 0.18 THEN 1 ELSE 0 END AS BIGINT) AS flagged
+         |FROM ts JOIN bt ON ts.doc_id = bt.doc_id
+         |ORDER BY ts.doc_id""".stripMargin) { (s, d) =>
+      // Gopher-style repetition quality filters: fraction of repeated
+      // token occurrences and the most-frequent-bigram share, per doc —
+      // the cheap screens that catch boilerplate/keyword-stuffed pages
+      // before tokenization. Two per-doc aggregates over the exploded
+      // token/bigram streams (map-side combinable, no corpus self-join);
+      // the doc_id↔doc_id join is between two already-aggregated,
+      // corpus-row-count-sized tables. Thresholds (0.2 / 0.18) are
+      // calibrated to split the fixture corpus; the SAME unrounded ratio
+      // feeds the flag in both engines so the comparison cannot straddle
+      // the rounding.
+      val docs = Tables(s, d, "documents")
+      val toks = tokens(col("text"))
+      val ts = docs.select(col("doc_id"), toks.as("t"))
+        .select(col("doc_id"), size(col("t")).cast("long").as("n_tok"),
+          size(array_distinct(col("t"))).cast("long").as("n_uniq"))
+      val bt = bigramsOf(docs)
+        .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as("top_c"), sum("c").as("n_big"))
+      val dupF = (col("n_tok") - col("n_uniq")).cast("double") / col("n_tok")
+      val topF = col("top_c").cast("double") / col("n_big")
+      ts.join(bt, "doc_id")
+        .select(col("doc_id"), col("n_tok"),
+          round(dupF, 6).as("dup_token_frac"),
+          round(topF, 6).as("top_bigram_frac"),
+          when(dupF > 0.2 || topF > 0.18, 1L).otherwise(0L).as("flagged"))
+        .orderBy("doc_id")
+    },
+
+    Q("q_text_18_novelty",
+      s"""WITH b AS (SELECT DISTINCT doc_id, w1, w2 FROM ($duckBigrams)),
+         |df AS (SELECT w1, w2, count(*) AS nd FROM b GROUP BY w1, w2)
+         |SELECT b.doc_id, count(*) AS n_bigrams,
+         | CAST(sum(CASE WHEN df.nd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         | floor((CAST(sum(CASE WHEN df.nd = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)) * 1000000 + 0.5) / 1000000 AS novel_frac
+         |FROM b JOIN df ON b.w1 = df.w1 AND b.w2 = df.w2
+         |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // N-gram novelty: the share of a doc's distinct bigrams that occur
+      // in NO other document — high novelty marks fresh prose, low marks
+      // template/mirror text (the document-frequency complement of the
+      // contamination screen). Same two-aggregate + re-join shape as the
+      // bigram LM: the document-frequency table is bigram-vocab-sized,
+      // NOT corpus-sized, and carries no broadcast hint — AQE picks the
+      // join strategy from its measured size (q_text_16's lesson: a raw
+      // 100 TB corpus has an unbounded bigram "vocab").
+      val b = bigramsOf(Tables(s, d, "documents")).distinct()
+      val dfreq = b.groupBy("w1", "w2").agg(count(lit(1)).as("nd"))
+      b.join(dfreq, Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("nd") === 1, 1L).otherwise(0L)).cast("long").as("n_novel"),
+          round(sum(when(col("nd") === 1, 1L).otherwise(0L)).cast("double") / count(lit(1)), 6)
+            .as("novel_frac"))
+        .orderBy("doc_id")
+    },
+
+    Q("q_sim_13_semdedup",
+      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+         |assign AS (
+         | SELECT vec_id, cid FROM (
+         |  SELECT e.vec_id, c.cid,
+         |   row_number() OVER (PARTITION BY e.vec_id ORDER BY ${graft.functions.VectorFunctions.Duck.sqDist("e.embedding", "c.cvec")}, c.cid) AS rn
+         |  FROM embeddings e, cents c) WHERE rn = 1),
+         |pairs AS (
+         | SELECT aa.cid, a.vec_id AS ia, b.vec_id AS ib
+         | FROM embeddings a JOIN assign aa ON a.vec_id = aa.vec_id
+         | JOIN assign ab ON ab.cid = aa.cid AND ab.vec_id > aa.vec_id
+         | JOIN embeddings b ON b.vec_id = ab.vec_id
+         | WHERE ${graft.functions.VectorFunctions.Duck.cosine("a.embedding", "b.embedding")} >= 0.35)
+         |SELECT ib AS drop_id, min(ia) AS keep_id, min(cid) AS cid, count(*) AS n_dups
+         |FROM pairs GROUP BY ib ORDER BY drop_id""".stripMargin) { (s, d) =>
+      // SemDeDup (semantic dedup): coarse-cluster the embeddings, then
+      // compare pairs ONLY within a cluster and drop the higher id of
+      // every pair above the similarity threshold. The cluster bucketing
+      // is what scales: candidate pairs go from O(n²) to O(Σ cell²) —
+      // same argmin_sqdist-vs-one-broadcast-packed-centroid-row cell
+      // assignment as the IVF index (corpus never shuffles for
+      // assignment; the pair join shuffles on cell id only). Fixture
+      // embeddings are i.i.d.-random (no true near-dups), so the demo
+      // threshold 0.35 sits at the pair-cos 99.5th percentile to
+      // exercise the path; production sets ~0.95+ and k ≈ √n cells with
+      // a per-cell size cap.
+      VectorExpressions.register(s)
+      val e = Tables(s, d, "embeddings")
+      val packed = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        .agg(array_sort(collect_list(struct(col("cid"), col("cvec")))).as("cs"))
+        .select(transform(col("cs"), _.getField("cid")).as("cids"),
+          transform(col("cs"), _.getField("cvec")).as("cvecs"))
+      val withCell = e.crossJoin(broadcast(packed))
+        .withColumn("cid", element_at(col("cids"), expr("argmin_sqdist(embedding, cvecs)") + 1))
+        .select(col("vec_id"), col("embedding"), col("cid"))
+      val a = withCell.select(col("cid"), col("vec_id").as("ia"), col("embedding").as("va"))
+      val b = withCell.select(col("cid").as("cidb"), col("vec_id").as("ib"), col("embedding").as("vb"))
+      a.join(b, col("cid") === col("cidb") && col("ia") < col("ib"))
+        .filter(expr("cosine_similarity(va, vb)") >= 0.35)
+        .groupBy(col("ib").as("drop_id"))
+        .agg(min("ia").as("keep_id"), min("cid").as("cid"), count(lit(1)).as("n_dups"))
+        .orderBy("drop_id")
+    },
+
+    Q("q_join_17_bloom",
+      """SELECT o_orderpriority, count(*) AS n_items,
+        | CAST(sum(floor(l_extendedprice * 100 + 0.5)) AS BIGINT) AS price_cents
+        |FROM lineitem l JOIN (SELECT o_orderkey, o_orderpriority FROM orders WHERE o_totalprice > 490000) o
+        | ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      // Explicit bloom-filter semi-join pruning: a ~2%-selective dim
+      // filter builds one compact sketch (scalar subquery — dim rows
+      // never reach the driver), and the fact scan drops non-matching
+      // rows BEFORE the join shuffle. Bloom false positives are removed
+      // by the exact join that follows, so results are identical to the
+      // plain join — which is exactly what the oracle runs. At 100 TB
+      // this caps shuffle bytes at the semi-join selectivity when the
+      // dim is too big to broadcast and CBO stats (bare parquet) are
+      // absent, the case Spark's own InjectRuntimeFilter declines.
+      BloomRuntime.register(s)
+      Tables(s, d, "orders").createOrReplaceTempView("orders_bf3")
+      Tables(s, d, "lineitem").createOrReplaceTempView("lineitem_bf3")
+      s.sql("""
+        WITH dim AS (SELECT o_orderkey, o_orderpriority FROM orders_bf3 WHERE o_totalprice > 490000)
+        SELECT o_orderpriority, count(*) AS n_items,
+          CAST(sum(floor(l_extendedprice * 100 + 0.5)) AS BIGINT) AS price_cents
+        FROM lineitem_bf3 l JOIN dim ON l.l_orderkey = dim.o_orderkey
+        WHERE might_contain(
+          (SELECT bloom_agg(o_orderkey, CAST(100000 AS BIGINT), CAST(800000 AS BIGINT)) FROM dim),
+          xxhash64(l.l_orderkey))
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    },
+
+    Q("q_stream_9_interval_join",
+      """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+        | CAST(epoch_us(p.ts::TIMESTAMP) - epoch_us(c.ts::TIMESTAMP) AS BIGINT) AS lag_us
+        |FROM events p JOIN events c
+        | ON p.user_id = c.user_id AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND epoch_us(p.ts::TIMESTAMP) >= epoch_us(c.ts::TIMESTAMP)
+        | AND epoch_us(p.ts::TIMESTAMP) < epoch_us(c.ts::TIMESTAMP) + 3600000000
+        |ORDER BY p.user_id, purchase_id, click_id""".stripMargin) { (s, d) =>
+      // Batch twin of Streams.clickPurchaseJoin (same semantics: each
+      // purchase matched to the user's clicks in the preceding hour) —
+      // StreamingSpec proves the streaming form emits exactly these rows
+      // under watermarking. Join discipline per the round-1 lesson:
+      // endpoints precomputed as epoch-microsecond BIGINTs per row, the
+      // condition is pure column comparisons — no interval arithmetic in
+      // the join residual. One shuffle on user_id each side; streaming
+      // state is bounded by the watermark horizon.
+      val ev = Tables(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("event_id").as("click_id"),
+          unix_micros(col("ts")).as("cus"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("user_id"), col("event_id").as("purchase_id"),
+          unix_micros(col("ts")).as("pus"))
+      purchases.join(clicks,
+        col("user_id") === col("cu") && col("pus") >= col("cus") &&
+          col("pus") < col("cus") + 3600000000L)
+        .select(col("user_id"), col("purchase_id"), col("click_id"),
+          (col("pus") - col("cus")).as("lag_us"))
+        .orderBy("user_id", "purchase_id", "click_id")
+    },
+
+    Q("q_sink_2_zorder",
+      s"""WITH z AS (SELECT ${mortonSql("l_partkey", "l_suppkey")} AS zkey FROM lineitem)
+         |SELECT zkey >> 24 AS zbucket, count(*) AS n, min(zkey) AS zmin, max(zkey) AS zmax
+         |FROM z GROUP BY 1 ORDER BY zbucket""".stripMargin) { (s, d) =>
+      // Z-order (Morton-interleaved) data layout: co-sorting on the
+      // interleaved bits of (l_partkey, l_suppkey) gives every output
+      // file a tight min/max envelope on BOTH columns, so parquet
+      // row-group stats prune scans filtered on either key — the
+      // multi-dimensional generalization of partitionBy, and a layout
+      // decision that pays on every downstream read at 100 TB.
+      // repartitionByRange(zkey) + sortWithinPartitions = globally
+      // z-ordered files (ZorderSpec pins that file zkey ranges are
+      // disjoint). The declared result re-aggregates the STORED zkey
+      // from the written files against the oracle's recomputation from
+      // source — proving the layout round-trips losslessly.
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_rt_zorder_${s.sparkContext.applicationId}"
+      Tables(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          mortonCol("l_partkey", "l_suppkey").as("zkey"))
+        .repartitionByRange(8, col("zkey"))
+        .sortWithinPartitions("zkey")
+        .write.mode("overwrite").parquet(tmp)
+      s.read.parquet(tmp)
+        .groupBy(shiftright(col("zkey"), 24).as("zbucket"))
+        .agg(count(lit(1)).as("n"), min("zkey").as("zmin"), max("zkey").as("zmax"))
+        .orderBy("zbucket")
+    },
+  )
+}

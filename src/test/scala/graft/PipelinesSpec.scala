@@ -187,4 +187,32 @@ class PipelinesSpec extends SparkSpec {
       Pipelines.expectations(df, Seq.empty)
     }
   }
+
+  test("repetitionScores == q_text_17_repetition") {
+    val api = Pipelines.repetitionScores(docs, "doc_id", "text")
+      .select(col("doc_id"), col("n_tok"),
+        round(col("dup_token_frac"), 6).as("dup_token_frac"),
+        round(col("top_bigram_frac"), 6).as("top_bigram_frac"), col("flagged"))
+      .orderBy("doc_id").collect().toSeq
+    val pinned = Registry.byName("q_text_17_repetition").fn(spark, sf).collect().toSeq
+    assert(api == pinned)
+  }
+
+  test("ngramNovelty == q_text_18_novelty") {
+    val api = Pipelines.ngramNovelty(docs, "doc_id", "text")
+      .select(col("doc_id"), col("n_bigrams"), col("n_novel"),
+        round(col("novel_frac"), 6).as("novel_frac"))
+      .orderBy("doc_id").collect().toSeq
+    val pinned = Registry.byName("q_text_18_novelty").fn(spark, sf).collect().toSeq
+    assert(api == pinned)
+  }
+
+  test("semDedup == q_sim_13_semdedup") {
+    val e = graft.sources.Tables(spark, sf, "embeddings")
+    val api = Pipelines.semDedup(e, "vec_id", "embedding", cells = 8, tau = 0.35)
+      .select(col("drop_id"), col("keep_id"), col("cell").as("cid"), col("n_dups"))
+      .orderBy("drop_id").collect().toSeq
+    val pinned = Registry.byName("q_sim_13_semdedup").fn(spark, sf).collect().toSeq
+    assert(api == pinned)
+  }
 }

@@ -1,0 +1,120 @@
+package graft
+
+import graft.expressions.VectorExpressions
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Round-3b operators: plan-shape contracts, semantic invariants on
+  * synthetic corpora, and the batch/streaming twin agreement.
+  */
+class Round3OpsSpec extends SparkSpec {
+
+  private def writeDocs(rows: Seq[(Long, String, String)]): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_r3_docs").toString
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text", "lang").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  test("q_text_17_repetition: all-same-token doc flagged, diverse doc clean") {
+    val dir = writeDocs(Seq(
+      (0L, "a a a a a a a a a a", "en"),
+      (1L, "the quick brown fox jumps over the2 lazy dog now", "en")))
+    val r = Registry.byName("q_text_17_repetition").fn(spark, dir)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    val d0 = r(0L)
+    assert(d0.getLong(1) == 10L)
+    assert(d0.getDouble(2) == 0.9) // 10 tokens, 1 distinct
+    assert(d0.getDouble(3) == 1.0) // every bigram is "a a"
+    assert(d0.getLong(4) == 1L)
+    val d1 = r(1L)
+    assert(d1.getDouble(2) == 0.0)
+    assert(d1.getLong(4) == 0L, "all-distinct doc must not be flagged")
+  }
+
+  test("q_text_18_novelty: mirrored doc scores 0, unique doc scores 1") {
+    val dir = writeDocs(Seq(
+      (0L, "x y z w", "en"),
+      (1L, "x y z w", "en"), // exact mirror: every bigram shared
+      (2L, "p q r s1", "en")))
+    val r = Registry.byName("q_text_18_novelty").fn(spark, dir)
+      .collect().map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    assert(r(0L) == 0.0 && r(1L) == 0.0, "mirror docs share every bigram")
+    assert(r(2L) == 1.0, "unshared doc is fully novel")
+  }
+
+  test("q_sim_13_semdedup: every drop decision re-verifies against raw cosines") {
+    VectorExpressions.register(spark)
+    val res = Registry.byName("q_sim_13_semdedup").fn(spark, sf).collect()
+    assert(res.nonEmpty)
+    val emb = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    res.foreach { r =>
+      val (dropId, keepId) = (r.getLong(0), r.getLong(1))
+      assert(keepId < dropId, "keeper is always the lower id")
+      assert(cos(emb(dropId), emb(keepId)) >= 0.35 - 1e-9,
+        s"pair ($keepId,$dropId) below threshold")
+    }
+  }
+
+  test("q_join_17_bloom: identical to the plain join, with the bloom filter planned pre-join") {
+    val bloom = Registry.byName("q_join_17_bloom").fn(spark, sf)
+    val rows = bloom.collect()
+    assert(rows.nonEmpty)
+    val o = Tables(spark, sf, "orders").filter(col("o_totalprice") > 490000)
+      .select("o_orderkey", "o_orderpriority")
+    val plain = Tables(spark, sf, "lineitem")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum(floor(col("l_extendedprice") * 100 + 0.5)).cast("long").as("price_cents"))
+      .orderBy("o_orderpriority")
+      .collect()
+    assert(rows.toSeq == plain.toSeq,
+      "bloom pre-filter must be semantics-neutral (exact join removes false positives)")
+    val plan = bloom.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      "the probe-side scan must carry the bloom filter:\n" + plan)
+  }
+
+  test("q_stream_9_interval_join: batch result equals the streaming twin's join semantics") {
+    val batch = Registry.byName("q_stream_9_interval_join").fn(spark, sf)
+      .select("purchase_id", "click_id")
+    val twin = graft.streaming.Streams
+      .clickPurchaseJoin(Tables(spark, sf, "events")) // watermarks are no-ops in batch
+      .select("purchase_id", "click_id")
+    assert(batch.count() > 0)
+    assert(batch.except(twin).count() == 0 && twin.except(batch).count() == 0,
+      "declared batch query and Streams.clickPurchaseJoin must emit the same pairs")
+  }
+
+  test("q_sink_2_zorder: morton interleave is correct and written files have disjoint zkey ranges") {
+    // Interleave ground truth on small values: morton(x=1,y=0)=1,
+    // morton(0,1)=2, morton(3,3)=15, morton(2,1)=6.
+    def morton(x: Long, y: Long): Long =
+      (0 until 16).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).reduce(_ | _)
+    assert(morton(1, 0) == 1L && morton(0, 1) == 2L && morton(3, 3) == 15L && morton(2, 1) == 6L)
+
+    Registry.byName("q_sink_2_zorder").fn(spark, sf).collect() // runs the write
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_rt_zorder_${spark.sparkContext.applicationId}"
+    val parts = new java.io.File(tmp).listFiles().filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    assert(parts.length > 1, "repartitionByRange(8) must produce multiple files")
+    val ranges = parts.map { f =>
+      val mm = spark.read.parquet(f.getAbsolutePath)
+        .agg(min("zkey"), max("zkey")).head
+      (mm.getLong(0), mm.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) =>
+        assert(lo2 >= hi, s"file zkey ranges overlap: $hi vs $lo2 — z-order pruning broken")
+      case _ =>
+    }
+  }
+}

@@ -9,5 +9,5 @@ ADD_OPENS="--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/jav
 java $ADD_OPENS -XX:ReservedCodeCacheSize=1g -Xmx${SPARK_DRIVER_MEM:-8g} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
-  graft.Verify "$SF" "$OUT" 2>&1 | grep -v '^2[0-9]' | grep -iv 'WARN' || true
+  graft.Verify "$SF" "$OUT" "${@:3}" 2>&1 | grep -v '^2[0-9]' | grep -iv 'WARN' || true
 python3 tools/compare.py "$OUT" "$SF"
