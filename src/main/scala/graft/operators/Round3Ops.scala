@@ -256,5 +256,106 @@ object Round3Ops {
         .agg(count(lit(1)).as("n"), min("zkey").as("zmin"), max("zkey").as("zmax"))
         .orderBy("zbucket")
     },
+
+    Q("q_dq_12_tablediff",
+      """WITH v1 AS (SELECT o_orderkey, o_totalprice FROM orders),
+        |v2 AS (
+        | SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice
+        | FROM orders WHERE o_orderkey % 97 <> 0
+        | UNION ALL
+        | SELECT o_orderkey + 100000000, o_totalprice FROM orders WHERE o_orderkey % 103 = 0)
+        |SELECT
+        | CAST(sum(CASE WHEN b.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_only_left,
+        | CAST(sum(CASE WHEN a.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_only_right,
+        | CAST(sum(CASE WHEN a.o_orderkey IS NOT NULL AND b.o_orderkey IS NOT NULL
+        |   AND a.o_totalprice <> b.o_totalprice THEN 1 ELSE 0 END) AS BIGINT) AS n_value_diff,
+        | CAST(sum(CASE WHEN a.o_orderkey IS NOT NULL AND b.o_orderkey IS NOT NULL
+        |   AND a.o_totalprice = b.o_totalprice THEN 1 ELSE 0 END) AS BIGINT) AS n_equal
+        |FROM v1 a FULL JOIN v2 b ON a.o_orderkey = b.o_orderkey""".stripMargin) { (s, d) =>
+      // Table reconciliation (the anti-entropy check every migration and
+      // every dual-write cutover needs): key-level full outer join of two
+      // table versions, classifying every key as left-only / right-only /
+      // value-drift / equal in ONE pass. The drifted v2 is derived
+      // deterministically from v1 (drop ~1%, perturb ~1%, add ~1%) so
+      // both engines diff identical inputs. One shuffle on the key each
+      // side; at 100 TB both versions live bucketed on the key
+      // (q_join_15's layout) and the diff runs shuffle-free. Value
+      // comparison is exact: both engines read the same parquet doubles
+      // and +1.0 is exact IEEE arithmetic.
+      val v1 = Tables(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      val v2 = Tables(s, d, "orders")
+        .filter(col("o_orderkey") % 97 =!= 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 101 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+        .unionAll(Tables(s, d, "orders")
+          .filter(col("o_orderkey") % 103 === 0)
+          .select((col("o_orderkey") + 100000000L).as("o_orderkey"), col("o_totalprice")))
+      val a = v1.select(col("o_orderkey").as("ka"), col("o_totalprice").as("pa"))
+      val b = v2.select(col("o_orderkey").as("kb"), col("o_totalprice").as("pb"))
+      a.join(b, col("ka") === col("kb"), "full_outer")
+        .agg(
+          sum(when(col("kb").isNull, 1L).otherwise(0L)).cast("long").as("n_only_left"),
+          sum(when(col("ka").isNull, 1L).otherwise(0L)).cast("long").as("n_only_right"),
+          sum(when(col("ka").isNotNull && col("kb").isNotNull && col("pa") =!= col("pb"), 1L)
+            .otherwise(0L)).cast("long").as("n_value_diff"),
+          sum(when(col("ka").isNotNull && col("kb").isNotNull && col("pa") === col("pb"), 1L)
+            .otherwise(0L)).cast("long").as("n_equal"))
+    },
+
+    Q("q_stream_10_incremental",
+      """SELECT user_id, count(*) AS n_events,
+        | floor((sum(value)) * 100 + 0.5) / 100 AS sum_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      // Incremental materialized-view maintenance: the event stream
+      // arrives as micro-batches (simulated by event_id mod 3) and each
+      // batch's PARTIAL aggregate is merged into the running state —
+      // count/sum are algebraic, so merge(state, agg(batch)) ==
+      // agg(all), which is exactly what the oracle asserts. This is the
+      // contract that lets a 100 TB view update by touching only the new
+      // partition (state stays user-cardinality-sized); retries are made
+      // exactly-once by the batch-id-scoped idempotent sink
+      // (Streams.idempotentParquetSink), proven in StreamingSpec.
+      val ev = Tables(s, d, "events")
+        .select(col("user_id"), col("value"), col("event_id"))
+      def aggOf(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("user_id").agg(count(lit(1)).cast("long").as("n_events"),
+          sum("value").as("sum_value"))
+      val merged = (0 until 3)
+        .map(i => aggOf(ev.filter(pmod(col("event_id"), lit(3)) === i)))
+        .reduce { (state, batch) =>
+          state.unionAll(batch).groupBy("user_id")
+            .agg(sum("n_events").cast("long").as("n_events"),
+              sum("sum_value").as("sum_value"))
+        }
+      merged.select(col("user_id"), col("n_events"),
+        round(col("sum_value"), 2).as("sum_value"))
+        .orderBy("user_id")
+    },
+
+    Q("q_stream_11_pattern",
+      """WITH o AS (SELECT user_id, event_type,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        | FROM events)
+        |SELECT user_id, count(*) AS n_patterns
+        |FROM o WHERE event_type = 'view' AND nxt = 'purchase'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      // Event-sequence pattern detection (the MATCH_RECOGNIZE primitive):
+      // count view→purchase ADJACENT pairs per user in event-time order.
+      // One shuffle on user_id + one per-partition sort — the lead()
+      // formulation is the scale-safe skeleton for any fixed-length
+      // pattern (longer patterns chain lead(k); variable-length gaps use
+      // the funnel/sessionize shapes instead). Order carries event_id as
+      // the deterministic tie-break (SURVEY §2.12).
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      Tables(s, d, "events")
+        .select(col("user_id"), col("event_type"),
+          lead("event_type", 1).over(w).as("nxt"))
+        .filter(col("event_type") === "view" && col("nxt") === "purchase")
+        .groupBy("user_id").agg(count(lit(1)).as("n_patterns"))
+        .orderBy("user_id")
+    },
   )
 }

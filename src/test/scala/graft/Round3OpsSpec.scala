@@ -117,4 +117,44 @@ class Round3OpsSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("q_dq_12_tablediff: classification counts reconcile with the injected drift") {
+    val r = Registry.byName("q_dq_12_tablediff").fn(spark, sf).head
+    val o = Tables(spark, sf, "orders")
+    val nDropped = o.filter(col("o_orderkey") % 97 === 0).count()
+    val nAdded = o.filter(col("o_orderkey") % 103 === 0).count()
+    val nPerturbed = o.filter(col("o_orderkey") % 101 === 0 && col("o_orderkey") % 97 =!= 0).count()
+    val nTotal = o.count()
+    assert(r.getLong(0) == nDropped, "n_only_left must equal the dropped keys")
+    assert(r.getLong(1) == nAdded, "n_only_right must equal the injected keys")
+    assert(r.getLong(2) == nPerturbed, "n_value_diff must equal the perturbed surviving keys")
+    assert(r.getLong(0) + r.getLong(2) + r.getLong(3) == nTotal,
+      "every v1 key must be classified exactly once")
+  }
+
+  test("q_stream_10_incremental: partial-aggregate merge equals the single-pass aggregate") {
+    val merged = Registry.byName("q_stream_10_incremental").fn(spark, sf).collect().toSeq
+    val direct = Tables(spark, sf, "events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        graft.functions.Num.round(sum("value"), 2).as("sum_value"))
+      .orderBy("user_id").collect().toSeq
+    assert(merged == direct, "count/sum must be algebraic under batch-wise merge")
+  }
+
+  test("q_stream_11_pattern: lead() formulation equals a per-user fold over the sorted log") {
+    val got = Registry.byName("q_stream_11_pattern").fn(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = Tables(spark, sf, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues { rows =>
+        val types = rows
+          .sortBy(r => (r.getTimestamp(2).getTime / 1000, r.getTimestamp(2).getNanos, r.getLong(3)))
+          .map(_.getString(1))
+        types.sliding(2).count { case Array(a, b) => a == "view" && b == "purchase"; case _ => false }.toLong
+      }.toMap.filter(_._2 > 0)
+    assert(got == expected)
+  }
 }
