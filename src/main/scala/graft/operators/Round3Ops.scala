@@ -257,6 +257,44 @@ object Round3Ops {
         .orderBy("zbucket")
     },
 
+    Q("q_graph_4_components",
+      """WITH RECURSIVE e AS (SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+        |  FROM lineitem a JOIN lineitem b
+        |   ON a.l_orderkey = b.l_orderkey AND a.l_linenumber + 1 = b.l_linenumber
+        |  WHERE a.l_suppkey <> b.l_suppkey AND a.l_orderkey % 200 = 0),
+        |bidir AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        |nodes AS (SELECT DISTINCT src AS node FROM bidir),
+        |walk(node, label) AS (
+        |  SELECT node, node FROM nodes
+        |  UNION
+        |  SELECT b.dst, w.label FROM walk w JOIN bidir b ON b.src = w.node)
+        |SELECT component, count(*) AS csize FROM (
+        |  SELECT node, min(label) AS component FROM walk GROUP BY node)
+        |GROUP BY component ORDER BY component""".stripMargin) { (s, d) =>
+      // Connected components over the (sampled, hence non-trivially
+      // disconnected) supplier-handoff graph — the canonical Pipelines
+      // entry point under dedup clustering, declared on a real graph.
+      // Spark side: iterative min-label propagation with localCheckpoint
+      // per round and a loud non-convergence contract; the oracle walks
+      // the same graph with a recursive CTE (reachable-set min label —
+      // engine-appropriate form, identical fixpoint). One shuffle per
+      // round on the frontier; rounds = component diameter, state is
+      // node-sized.
+      val li = Tables(s, d, "lineitem").filter(col("l_orderkey") % 200 === 0)
+      val a = li.select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+        col("l_suppkey").as("src"))
+      val b = li.select(col("l_orderkey").as("ok2"), col("l_linenumber").as("ln2"),
+        col("l_suppkey").as("dst"))
+      val edges = a.join(b, col("ok") === col("ok2") && (col("ln") + 1) === col("ln2"))
+        .filter(col("src") =!= col("dst"))
+        .select("src", "dst").distinct()
+      val nodes = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct()
+      graft.api.Pipelines.connectedComponents(nodes, "node", edges, "src", "dst", maxIters = 50)
+        .groupBy("component").agg(count(lit(1)).as("csize"))
+        .orderBy("component")
+    },
+
     Q("q_dq_12_tablediff",
       """WITH v1 AS (SELECT o_orderkey, o_totalprice FROM orders),
         |v2 AS (

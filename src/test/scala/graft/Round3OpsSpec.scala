@@ -118,6 +118,26 @@ class Round3OpsSpec extends SparkSpec {
     }
   }
 
+  test("q_text_18_novelty: AQE broadcasts the un-hinted document-frequency table") {
+    val df = Registry.byName("q_text_18_novelty").fn(spark, sf)
+    df.count() // materialize so AQE's final (measured-size) plan is visible
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "the vocab-sized DF table must broadcast at this scale without a hint:\n" + plan)
+  }
+
+  test("q_join_17_bloom: the might_contain filter sits directly over the fact scan") {
+    val plan = Registry.byName("q_join_17_bloom").fn(spark, sf)
+      .queryExecution.executedPlan.toString
+    val lines = plan.split("\n")
+    val fi = lines.indexWhere(_.contains("might_contain"))
+    assert(fi >= 0, "bloom probe missing from the plan:\n" + plan)
+    val si = lines.indexWhere(l => l.contains("FileScan") && l.contains("lineitem"), fi)
+    assert(si > fi, "fact scan must be under the bloom filter:\n" + plan)
+    assert(!lines.slice(fi + 1, si).exists(_.contains("Join")),
+      "the bloom filter must prune BEFORE the join, not after:\n" + plan)
+  }
+
   test("q_dq_12_tablediff: classification counts reconcile with the injected drift") {
     val r = Registry.byName("q_dq_12_tablediff").fn(spark, sf).head
     val o = Tables(spark, sf, "orders")
