@@ -342,6 +342,78 @@ object Round3Ops {
             .otherwise(0L)).cast("long").as("n_equal"))
     },
 
+    Q("q_dq_13_upsert",
+      """WITH base AS (SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders),
+        |changes AS (
+        | SELECT o_orderkey, o_totalprice + 10.0 AS o_totalprice, o_orderpriority
+        | FROM base WHERE o_orderkey % 11 = 0
+        | UNION ALL
+        | SELECT o_orderkey + 200000000, o_totalprice, o_orderpriority
+        | FROM base WHERE o_orderkey % 113 = 0),
+        |merged AS (
+        | SELECT coalesce(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |  coalesce(c.o_totalprice, b.o_totalprice) AS o_totalprice,
+        |  coalesce(c.o_orderpriority, b.o_orderpriority) AS o_orderpriority,
+        |  CASE WHEN b.o_orderkey IS NULL THEN 1 ELSE 0 END AS is_insert,
+        |  CASE WHEN b.o_orderkey IS NOT NULL AND c.o_orderkey IS NOT NULL THEN 1 ELSE 0 END AS is_update
+        | FROM base b FULL JOIN changes c ON b.o_orderkey = c.o_orderkey)
+        |SELECT o_orderpriority, count(*) AS n_rows,
+        | CAST(sum(is_insert) AS BIGINT) AS n_inserted,
+        | CAST(sum(is_update) AS BIGINT) AS n_updated,
+        | CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS total_cents
+        |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      // MERGE INTO expressed Spark-first (the Delta/Iceberg upsert,
+      // without a table format): full-outer join of base and changeset
+      // on the key, coalesce(change, base) per column — matched rows
+      // update, unmatched changes insert, untouched base survives. The
+      // changeset (update ~9%, insert ~1%) is derived deterministically
+      // from the base so both engines merge identical inputs. One
+      // shuffle on the key per side; at 100 TB the base lives bucketed
+      // on the key (q_join_15's layout) and the recurring nightly merge
+      // is shuffle-free on the base side; counts n_inserted/n_updated
+      // are the merge's audit trail.
+      val base = Tables(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      val changes = base.filter(col("o_orderkey") % 11 === 0)
+        .select(col("o_orderkey"), (col("o_totalprice") + 10.0).as("o_totalprice"),
+          col("o_orderpriority"))
+        .unionAll(base.filter(col("o_orderkey") % 113 === 0)
+          .select((col("o_orderkey") + 200000000L).as("o_orderkey"),
+            col("o_totalprice"), col("o_orderpriority")))
+      val b = base.select(col("o_orderkey").as("bk"), col("o_totalprice").as("bp"),
+        col("o_orderpriority").as("bo"))
+      val c = changes.select(col("o_orderkey").as("ck"), col("o_totalprice").as("cp"),
+        col("o_orderpriority").as("co"))
+      b.join(c, col("bk") === col("ck"), "full_outer")
+        .select(
+          coalesce(col("co"), col("bo")).as("o_orderpriority"),
+          coalesce(col("cp"), col("bp")).as("o_totalprice"),
+          when(col("bk").isNull, 1L).otherwise(0L).as("is_insert"),
+          when(col("bk").isNotNull && col("ck").isNotNull, 1L).otherwise(0L).as("is_update"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"),
+          sum("is_insert").cast("long").as("n_inserted"),
+          sum("is_update").cast("long").as("n_updated"),
+          sum(floor(col("o_totalprice") * 100 + 0.5)).cast("long").as("total_cents"))
+        .orderBy("o_orderpriority")
+    },
+
+    Q.noOracle("q_scan_11_binaryfile") { (s, d) =>
+      // Binary-blob ingestion: the `binaryFile` source reads opaque
+      // payloads (images/audio/video in a real lake) with path + length
+      // metadata — the entry point of the multimodal pipeline
+      // (q_mm_1/2/4 consume such blobs). Output keeps only the
+      // generation-stable fields (file name, non-emptiness); length and
+      // mtime are asserted against the filesystem in Round3OpsSpec
+      // instead of the golden digest. At 100 TB the source partitions
+      // by file and prunes on pathGlobFilter/modifiedAfter — scan
+      // parallelism is per-blob, no shuffle.
+      s.read.format("binaryFile").load(s"$d/*.parquet")
+        .select(element_at(split(col("path"), "/"), -1).as("file_name"),
+          (col("length") > 0).as("non_empty"))
+        .orderBy("file_name")
+    },
+
     Q("q_stream_10_incremental",
       """SELECT user_id, count(*) AS n_events,
         | floor((sum(value)) * 100 + 0.5) / 100 AS sum_value
