@@ -407,8 +407,10 @@ object Round3Ops {
       // mtime are asserted against the filesystem in Round3OpsSpec
       // instead of the golden digest. At 100 TB the source partitions
       // by file and prunes on pathGlobFilter/modifiedAfter — scan
-      // parallelism is per-blob, no shuffle.
-      s.read.format("binaryFile").load(s"$d/*.parquet")
+      // parallelism is per-blob, no shuffle. (pathGlobFilter, not a
+      // glob-in-path: the latter trips a noisy FileStreamSink metadata
+      // probe on the literal path before resolving.)
+      s.read.format("binaryFile").option("pathGlobFilter", "*.parquet").load(d)
         .select(element_at(split(col("path"), "/"), -1).as("file_name"),
           (col("length") > 0).as("non_empty"))
         .orderBy("file_name")

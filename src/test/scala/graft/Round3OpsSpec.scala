@@ -171,7 +171,7 @@ class Round3OpsSpec extends SparkSpec {
     assert(got.values.forall(identity), "every fixture blob is non-empty")
     // length metadata (excluded from the declared output for golden
     // stability) must still match the filesystem through the source
-    val lens = spark.read.format("binaryFile").load(s"$sf/*.parquet")
+    val lens = spark.read.format("binaryFile").option("pathGlobFilter", "*.parquet").load(sf)
       .select(element_at(split(col("path"), "/"), -1), col("length"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     fsFiles.foreach(f => assert(lens(f.getName) == f.length(), s"${f.getName} length drift"))
