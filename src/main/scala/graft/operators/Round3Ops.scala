@@ -416,6 +416,31 @@ object Round3Ops {
         .orderBy("file_name")
     },
 
+    Q("q_scan_12_xml_roundtrip",
+      """SELECT count(*) AS n_rows,
+        | CAST(sum(floor(s_acctbal * 100 + 0.5)) AS BIGINT) AS acctbal_cents,
+        | min(s_name) AS first_name, max(s_name) AS last_name
+        |FROM supplier""".stripMargin) { (s, d) =>
+      // XML round trip through Spark 4's built-in XML source (merged
+      // from spark-xml): write supplier as <supplier> row elements, read
+      // back with an EXPLICIT schema (inference on XML text is the
+      // schema-drift trap), aggregate. The oracle recomputes from the
+      // source parquet — the round trip must be lossless, including
+      // doubles (Java shortest-decimal toString re-parses exactly).
+      // Sized for the dim table it is; at 100 TB XML is an ingest
+      // format, not a lake format — land it to parquet in one pass.
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_rt_xml_${s.sparkContext.applicationId}"
+      Tables(s, d, "supplier")
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+        .write.mode("overwrite").option("rowTag", "supplier").xml(tmp)
+      s.read.option("rowTag", "supplier")
+        .schema("s_suppkey BIGINT, s_name STRING, s_acctbal DOUBLE")
+        .xml(tmp)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(floor(col("s_acctbal") * 100 + 0.5)).cast("long").as("acctbal_cents"),
+          min("s_name").as("first_name"), max("s_name").as("last_name"))
+    },
+
     Q("q_stream_10_incremental",
       """SELECT user_id, count(*) AS n_events,
         | floor((sum(value)) * 100 + 0.5) / 100 AS sum_value
