@@ -9,10 +9,13 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Round-3b additions (SURVEY §2.11e): the LLM-corpus quality filters a
-  * pretraining pipeline runs between dedup and tokenization, the
-  * cluster-bucketed embedding dedup shape, explicit bloom-filter join
-  * pruning, the stream-stream interval join's batch twin, and a z-order
-  * data-layout sink.
+  * pretraining pipeline runs between dedup and tokenization
+  * (repetition, novelty), the cluster-bucketed embedding dedup shape
+  * (SemDeDup), explicit bloom-filter join pruning, the stream-stream
+  * interval join's batch twin, a z-order data-layout sink, connected
+  * components on a declared graph, table reconciliation + MERGE-style
+  * upsert, incremental view maintenance, event-sequence patterns, and
+  * the binaryFile/XML ingest surface.
   *
   * Scale notes per query are inline; the shared discipline: every shape
   * is a constant number of shuffles whose width is set by an aggregate

@@ -138,6 +138,23 @@ class Round3OpsSpec extends SparkSpec {
       "the bloom filter must prune BEFORE the join, not after:\n" + plan)
   }
 
+  test("q_graph_4_components: the converged result plan reads checkpointed labels, not lineitem") {
+    val plan = Registry.byName("q_graph_4_components").fn(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("lineitem"),
+      "iteration-invariant edges must be localCheckpointed — re-deriving the " +
+        "fact self-join per round was the round-2 PageRank regression:\n" + plan)
+  }
+
+  test("q_dq_12/q_dq_13: key-level full-outer joins stay equi-joins (no nested loop)") {
+    for (n <- Seq("q_dq_12_tablediff", "q_dq_13_upsert")) {
+      val plan = Registry.byName(n).fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"$n must join on the key:\n" + plan)
+      assert(plan.contains("FullOuter"), s"$n must be a full-outer merge:\n" + plan)
+    }
+  }
+
   test("q_dq_12_tablediff: classification counts reconcile with the injected drift") {
     val r = Registry.byName("q_dq_12_tablediff").fn(spark, sf).head
     val o = Tables(spark, sf, "orders")
