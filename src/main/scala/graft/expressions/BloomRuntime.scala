@@ -25,16 +25,21 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
   * and the probe's lookups agree.
   */
 object BloomRuntime {
+  /** Only the FIRST argument is the inserted value; the optional
+    * trailing args size the sketch (estimatedNumItems, numBits).
+    */
+  private[expressions] def buildAgg(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): BloomFilterAggregate =
+    exprs match {
+      case Seq(c) => new BloomFilterAggregate(new XxHash64(Seq(c)))
+      case Seq(c, n, b) => new BloomFilterAggregate(new XxHash64(Seq(c)), n, b)
+      case other => throw new IllegalArgumentException(
+        s"bloom_agg takes 1 or 3 arguments, got ${other.size}")
+    }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bloom_agg", {
-        // Only the FIRST argument is the inserted value; the optional
-        // trailing args size the sketch (estimatedNumItems, numBits).
-        case Seq(c) => new BloomFilterAggregate(new XxHash64(Seq(c)))
-        case Seq(c, n, b) => new BloomFilterAggregate(new XxHash64(Seq(c)), n, b)
-        case other => throw new IllegalArgumentException(
-          s"bloom_agg takes 1 or 3 arguments, got ${other.size}")
-      }, "built-in")
+      "bloom_agg", buildAgg, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "might_contain", exprs => BloomFilterMightContain(exprs(0), exprs(1)), "built-in")
   }

@@ -315,6 +315,19 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("lsh_bucket"),
       new ExpressionInfo(classOf[LshBucket].getName, "lsh_bucket"),
       (exprs: Seq[Expression]) => LshBucket(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_agg"),
+      (exprs: Seq[Expression]) => BloomRuntime.buildAgg(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "might_contain"),
+      (exprs: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1))))
     ext.injectOptimizerRule(_ => graft.plans.RangeBandJoinRule())
   }
 }

@@ -419,6 +419,70 @@ object Round3Ops {
         .orderBy("file_name")
     },
 
+    Q("q_scan_13_hash_sample",
+      """SELECT o_orderkey, CAST(rn AS BIGINT) AS rn FROM (
+        | SELECT o_orderkey, row_number() OVER (
+        |   ORDER BY (o_orderkey % 1000000007) * 2654435761 % 1000000007, o_orderkey) AS rn
+        | FROM orders) WHERE rn <= 100 ORDER BY rn""".stripMargin) { (s, d) =>
+      // Deterministic bottom-k-by-hash sampling: priority = the same
+      // overflow-safe multiplicative hash as deterministicSplit; the
+      // sample is the k smallest priorities. Unlike seeded sample()
+      // (q_scan_6/7, engine-private RNG → no_oracle), this sample is
+      // REPRODUCIBLE across engines, runs, and partitionings — the
+      // property a training-data pipeline needs to re-derive "the same
+      // 1%" years later. Spark plans the k-smallest as
+      // TakeOrderedAndProject (per-partition heaps, no global sort); the
+      // oracle's window formulation is the same order statistic.
+      val prio = (pmod(col("o_orderkey"), lit(1000000007L)) * 2654435761L) % 1000000007L
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(prio, col("o_orderkey"))
+      Tables(s, d, "orders").select(col("o_orderkey"))
+        .orderBy(prio, col("o_orderkey")).limit(100)
+        .select(col("o_orderkey"),
+          row_number().over(w).cast("long").as("rn"))
+        .orderBy("rn")
+    },
+
+    Q("q_dedup_9_entity",
+      """WITH v2 AS (
+        | SELECT c_custkey + 1000000 AS id2,
+        |  CASE WHEN c_custkey % 7 = 0 THEN replace(c_name, '#', '-') ELSE c_name END AS name2
+        | FROM customer),
+        |cand AS (
+        | SELECT v2.id2, c.c_custkey, CAST(levenshtein(c.c_name, v2.name2) AS BIGINT) AS dist
+        | FROM v2 JOIN customer c ON substr(c.c_name, length(c.c_name) - 2) = substr(v2.name2, length(v2.name2) - 2)
+        | WHERE levenshtein(c.c_name, v2.name2) <= 1)
+        |SELECT id2, c_custkey AS matched_custkey, dist FROM (
+        | SELECT id2, c_custkey, dist,
+        |  row_number() OVER (PARTITION BY id2 ORDER BY dist, c_custkey) AS rk
+        | FROM cand) WHERE rk = 1 ORDER BY id2""".stripMargin) { (s, d) =>
+      // Entity resolution across two systems (the reference domain's
+      // core problem: the same entity keyed differently in each SaaS):
+      // v2 is a deterministically-perturbed copy (id remapped, ~14% of
+      // names mutated), candidates are generated by BLOCKING on the
+      // name's last 3 chars — the O(n²) all-pairs collapses to
+      // O(Σ block²) with block size ~n/1000 — then edit-distance ≤ 1
+      // within a block, best match per entity by (dist, key). One
+      // shuffle on the block key; production stacks several blocking
+      // passes (prefix, phonetic, LSH) the same way.
+      val c = Tables(s, d, "customer")
+      val v2 = c.select((col("c_custkey") + 1000000L).as("id2"),
+        when(col("c_custkey") % 7 === 0, regexp_replace(col("c_name"), "#", "-"))
+          .otherwise(col("c_name")).as("name2"))
+        .withColumn("blk", substring(col("name2"), -3, 3))
+      val v1 = c.select(col("c_custkey"), col("c_name"))
+        .withColumn("blk", substring(col("c_name"), -3, 3))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id2").orderBy("dist", "c_custkey")
+      v2.join(v1, "blk")
+        .withColumn("dist", levenshtein(col("c_name"), col("name2")).cast("long"))
+        .filter(col("dist") <= 1)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("id2"), col("c_custkey").as("matched_custkey"), col("dist"))
+        .orderBy("id2")
+    },
+
     Q("q_scan_12_xml_roundtrip",
       """SELECT count(*) AS n_rows,
         | CAST(sum(floor(s_acctbal * 100 + 0.5)) AS BIGINT) AS acctbal_cents,

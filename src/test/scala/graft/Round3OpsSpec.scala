@@ -194,6 +194,54 @@ class Round3OpsSpec extends SparkSpec {
     fsFiles.foreach(f => assert(lens(f.getName) == f.length(), s"${f.getName} length drift"))
   }
 
+  test("q_scan_13_hash_sample: the sample is exactly the 100 smallest hash priorities") {
+    val got = Registry.byName("q_scan_13_hash_sample").fn(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val expected = Tables(spark, sf, "orders").select(col("o_orderkey"))
+      .collect().map(_.getLong(0))
+      .sortBy(k => ((k % 1000000007L) * 2654435761L % 1000000007L, k))
+      .take(100).toSet
+    assert(got == expected)
+  }
+
+  test("q_dedup_9_entity: exact rows self-resolve at dist 0, perturbed rows resolve at dist 1") {
+    val rows = Registry.byName("q_dedup_9_entity").fn(spark, sf).collect()
+    val byId = rows.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val keys = Tables(spark, sf, "customer").select(col("c_custkey"))
+      .collect().map(_.getLong(0))
+    keys.filter(_ % 7 != 0).foreach { k =>
+      assert(byId(k + 1000000L) == (k, 0L), s"unperturbed $k must self-match exactly")
+    }
+    keys.filter(_ % 7 == 0).foreach { k =>
+      val (_, dist) = byId(k + 1000000L)
+      assert(dist == 1L, s"perturbed $k must resolve within edit distance 1")
+    }
+  }
+
+  test("GraftExtensions injects the bloom functions into a fresh session") {
+    val base = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val s2 = org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new graft.expressions.GraftExtensions)
+        .getOrCreate()
+      val present = s2.sql(
+        """SELECT might_contain(
+          |  (SELECT bloom_agg(id, CAST(100 AS BIGINT), CAST(8000 AS BIGINT)) FROM range(100)),
+          |  xxhash64(CAST(5 AS BIGINT)))""".stripMargin).head.getBoolean(0)
+      assert(present, "an inserted key must test positive")
+      assert(s2.sql(
+        """SELECT cosine_similarity(CAST(array(1.0, 0.0) AS ARRAY<FLOAT>),
+          |                         CAST(array(1.0, 0.0) AS ARRAY<FLOAT>))""".stripMargin)
+        .head.getDouble(0) == 1.0)
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(base)
+      org.apache.spark.sql.SparkSession.setActiveSession(base)
+    }
+  }
+
   test("q_stream_10_incremental: partial-aggregate merge equals the single-pass aggregate") {
     val merged = Registry.byName("q_stream_10_incremental").fn(spark, sf).collect().toSeq
     val direct = Tables(spark, sf, "events")
