@@ -26,7 +26,8 @@ object Registry {
       DataQuality.all ++
       TpchShapes.all ++
       Round2Ops.all ++
-      Round3Ops.all
+      Round3Ops.all ++
+      Round3cOps.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(

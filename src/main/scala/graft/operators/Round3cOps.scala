@@ -1,0 +1,403 @@
+package graft.operators
+
+import graft.Q
+import graft.expressions.{CountMinAgg, TopKByAgg}
+import graft.functions.Num.round
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-3c additions (SURVEY §2.11f): the remaining shapes a
+  * reference user or an LLM-data-pipeline team reaches for weekly —
+  * quantile bucketing, exact rolling medians, nearest-direction as-of
+  * joins, triangle counting, temperature-flattened corpus mixtures, and
+  * a native group-wise top-k aggregate that replaces the sort-everything
+  * window idiom with bounded mergeable state.
+  *
+  * Shared discipline (as §2.11e): every shape is a constant number of
+  * shuffles whose width is set by an aggregate (groups · k, languages,
+  * edge count), never by a corpus cross product; every float that could
+  * drift across engines goes through exact-integer cents or power-of-two
+  * multipliers.
+  */
+object Round3cOps {
+
+  val all: Seq[Q] = Seq(
+
+    Q("q_sort_4_ntile",
+      """SELECT o_orderpriority, CAST(q AS BIGINT) AS quartile, count(*) AS n,
+        | floor(min(o_totalprice) * 100 + 0.5) / 100 AS lo,
+        | floor(max(o_totalprice) * 100 + 0.5) / 100 AS hi,
+        | floor((CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+        |   / (count(*) * CAST(100 AS DOUBLE))) * 100 + 0.5) / 100 AS avg_price
+        |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |        ntile(4) OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice, o_orderkey) AS q
+        |      FROM orders)
+        |GROUP BY o_orderpriority, q ORDER BY o_orderpriority, quartile""".stripMargin) { (s, d) =>
+      // Quantile (equal-frequency) bucketing: ntile(4) within each order
+      // priority, then per-bucket stats — the discretization step before
+      // stratified analyses. Partitioned by a key, so every window sort is
+      // per-group and parallel (a GLOBAL ntile would single-thread the
+      // sort; at 100 TB you'd pre-bucket by approx quantile boundaries
+      // instead). The tiebreak (o_totalprice, o_orderkey) is total, so
+      // bucket assignment is engine-exact; avg goes through exact-integer
+      // cents (double-sum order never hits a .xx5 edge).
+      val w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+      Tables(s, d, "orders")
+        .select(col("o_orderpriority"), col("o_totalprice"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .groupBy("o_orderpriority", "quartile")
+        .agg(count(lit(1)).as("n"),
+          round(min(col("o_totalprice")), 2).as("lo"),
+          round(max(col("o_totalprice")), 2).as("hi"),
+          round(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).cast("double")
+            / (count(lit(1)) * lit(100.0)), 2).as("avg_price"))
+        .orderBy("o_orderpriority", "quartile")
+    },
+
+    Q("q_win_10_rolling_median",
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        | floor(quantile_cont(l_extendedprice, 0.5) OVER (
+        |   PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber, l_extendedprice
+        |   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) * 1000000 + 0.5) / 1000000 AS med7
+        |FROM lineitem WHERE l_suppkey <= 10
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber, med7""".stripMargin) { (s, d) =>
+      // Exact rolling median over a 7-row frame — the robust-statistics
+      // window sibling of q_win_3's rolling mean (means are codegen'd;
+      // medians need an order statistic, which Spark's `percentile`
+      // imperative aggregate computes per frame). Both engines interpolate
+      // linearly at rank q·(n−1), so even-sized head frames agree. One
+      // shuffle on l_suppkey + per-partition sort; frame state is 7 rows.
+      // The suppkey filter is a fixture-size bound, pushed to the scan.
+      // (okey, line) is NOT unique in the fixtures (q_win_3's lesson):
+      // the window order carries l_extendedprice and the output sort
+      // carries med7 so both engines emit the same row sequence.
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
+        .rowsBetween(-6, Window.currentRow)
+      Tables(s, d, "lineitem")
+        .filter(col("l_suppkey") <= 10)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          round(expr("percentile(l_extendedprice, 0.5)").over(w), 6).as("med7"))
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "med7")
+    },
+
+    Q("q_join_18_asof_nearest",
+      """SELECT event_id, user_id, ts_s,
+        | CASE WHEN prev_ts IS NULL AND next_ts IS NULL THEN NULL
+        |      WHEN next_ts IS NULL THEN date_trunc('second', prev_ts)
+        |      WHEN prev_ts IS NULL THEN date_trunc('second', next_ts)
+        |      WHEN epoch_us(ts_f) - epoch_us(prev_ts) <= epoch_us(next_ts) - epoch_us(ts_f)
+        |        THEN date_trunc('second', prev_ts)
+        |      ELSE date_trunc('second', next_ts) END AS nearest_click_ts
+        |FROM (
+        | SELECT event_id, user_id, event_type, ts::TIMESTAMP AS ts_f,
+        |  date_trunc('second', ts::TIMESTAMP) AS ts_s,
+        |  max(CASE WHEN event_type = 'click' THEN ts::TIMESTAMP END)
+        |   OVER (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_type
+        |         ROWS UNBOUNDED PRECEDING) AS prev_ts,
+        |  min(CASE WHEN event_type = 'click' THEN ts::TIMESTAMP END)
+        |   OVER (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_type
+        |         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_ts
+        | FROM events WHERE event_type IN ('click', 'purchase'))
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin) { (s, d) =>
+      // NEAREST-direction as-of join (pandas merge_asof
+      // direction='nearest'): each purchase matches whichever same-user
+      // click is closer in time, backward or forward; exact distance tie →
+      // the earlier click. Completes the as-of family (backward q_join_9,
+      // forward-with-tolerance q_join_16) with the same scale shape: one
+      // shuffle on user_id, two frames over ONE window sort, no cross
+      // product. Distances compare as integer epoch-µs — engine-exact.
+      // 'click' < 'purchase' sorts equal-ts clicks before the purchase:
+      // they land in the backward frame (distance 0) in both engines.
+      val ev = Tables(s, d, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+      val ord = Seq(col("ts"), col("event_type"))
+      val wPrev = Window.partitionBy("user_id").orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy("user_id").orderBy(ord: _*)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val clickTs = when(col("event_type") === "click", col("ts"))
+      ev.withColumn("prev_ts", max(clickTs).over(wPrev))
+        .withColumn("next_ts", min(clickTs).over(wNext))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          date_trunc("second", col("ts")).as("ts_s"),
+          when(col("prev_ts").isNull && col("next_ts").isNull, lit(null))
+            .when(col("next_ts").isNull, date_trunc("second", col("prev_ts")))
+            .when(col("prev_ts").isNull, date_trunc("second", col("next_ts")))
+            .when(unix_micros(col("ts")) - unix_micros(col("prev_ts"))
+              <= unix_micros(col("next_ts")) - unix_micros(col("ts")),
+              date_trunc("second", col("prev_ts")))
+            .otherwise(date_trunc("second", col("next_ts"))).as("nearest_click_ts"))
+        .orderBy("event_id")
+    },
+
+    Q("q_graph_5_triangles",
+      """WITH e AS (SELECT a.l_suppkey AS src, b.l_suppkey AS dst
+        |  FROM lineitem a JOIN lineitem b
+        |   ON a.l_orderkey = b.l_orderkey AND a.l_linenumber + 1 = b.l_linenumber
+        |  WHERE a.l_suppkey <> b.l_suppkey AND a.l_orderkey % 10 = 0),
+        |e0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |        FROM e0 e1 JOIN e0 e2 ON e1.b = e2.a
+        |                   JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT node, count(*) AS n_tri FROM (
+        |  SELECT x AS node FROM tri
+        |  UNION ALL SELECT y AS node FROM tri
+        |  UNION ALL SELECT z AS node FROM tri)
+        |GROUP BY node ORDER BY node""".stripMargin) { (s, d) =>
+      // Per-node triangle counting on the supplier-handoff graph — the
+      // clustering-coefficient primitive. Canonical orientation (a < b)
+      // makes each triangle appear exactly once as a<b<c, so the count is
+      // two equi hash joins over the edge list — no enumeration of
+      // wedges from both endpoints. Edge derivation runs ONCE
+      // (localCheckpoint; the triangle join reuses it three times — the
+      // q_graph_2 lesson), and the per-node tally is one explode over the
+      // triangle stream, not three passes. The graph is the SAMPLED
+      // handoff graph (orderkey % 10 — q_graph_4's precedent): the
+      // unsampled fixture graph approaches a COMPLETE graph as SF grows
+      // (44% dense at sf0.1 → 32M wedges for 14.5M triangles), and no
+      // triangle algorithm outruns Θ(n³) on a clique — the declared
+      // query pins the sparse-graph shape that scales. At 100 TB the
+      // standard refinement is degree-based orientation (point edges
+      // from low to high degree) to bound the skew of the join keys.
+      val li = Tables(s, d, "lineitem").filter(col("l_orderkey") % 10 === 0)
+      val a = li.select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+        col("l_suppkey").as("src"))
+      val b = li.select(col("l_orderkey").as("ok2"), col("l_linenumber").as("ln2"),
+        col("l_suppkey").as("dst"))
+      val e0 = a.join(b, col("ok") === col("ok2") && (col("ln") + 1) === col("ln2"))
+        .filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct().localCheckpoint()
+      // the edge list is |E| rows of two longs (node-bounded, tiny next
+      // to the fact): broadcast the probe sides so triangle enumeration
+      // never shuffles the wedge stream — at 8 threads/sf0.1 this is the
+      // difference between 9 s (two SMJ exchanges of 14.5M wedges) and 2 s
+      val tri = e0.as("e1")
+        .join(broadcast(e0.as("e2")), col("e1.b") === col("e2.a"))
+        .join(broadcast(e0.as("e3")), col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+        .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+      tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("n_tri"))
+        .orderBy("node")
+    },
+
+    Q("q_text_19_mixture",
+      """WITH q AS (SELECT lang, count(*) AS n_docs,
+        |  least(count(*),
+        |        CAST(ceil(sqrt(CAST(count(*) AS DOUBLE)) * 8) AS BIGINT)) AS quota
+        | FROM documents GROUP BY lang),
+        |r AS (SELECT doc_id, lang, row_number() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY (doc_id % 1000000007) * 2654435761 % 1000000007, doc_id) AS rn
+        |  FROM documents)
+        |SELECT r.doc_id, r.lang, CAST(r.rn AS BIGINT) AS rn, q.quota
+        |FROM r JOIN q ON r.lang = q.lang WHERE r.rn <= q.quota
+        |ORDER BY r.lang, r.rn""".stripMargin) { (s, d) =>
+      // Temperature-flattened corpus mixture: per-language quota
+      // ∝ sqrt(n_lang) (the T=2 "temperature sampling" a multilingual
+      // pretraining mix uses to up-weight tail languages), filled with the
+      // deterministic bottom-quota-by-hash docs (q_scan_13's reproducible
+      // order statistic — re-derivable years later, unlike seeded
+      // sample()). The quota formula deliberately avoids cross-language
+      // normalization: sqrt is IEEE-correctly-rounded and ×8 is a
+      // power of two, so both engines compute bit-identical quotas — a
+      // normalized Σ√n would put a float SUM on the quota boundary
+      // (standing determinism caution). Shape: one tiny agg + one window
+      // shuffle on lang; the quota table broadcasts.
+      val docs = Tables(s, d, "documents")
+      val quotas = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        .select(col("lang"),
+          least(col("n_docs"),
+            ceil(sqrt(col("n_docs").cast("double")) * 8).cast("long")).as("quota"))
+      val prio = (pmod(col("doc_id"), lit(1000000007L)) * 2654435761L) % 1000000007L
+      val w = Window.partitionBy("lang").orderBy(prio, col("doc_id"))
+      docs.select(col("doc_id"), col("lang"), row_number().over(w).cast("long").as("rn"))
+        .join(broadcast(quotas), "lang")
+        .filter(col("rn") <= col("quota"))
+        .select(col("doc_id"), col("lang"), col("rn"), col("quota"))
+        .orderBy("lang", "rn")
+    },
+
+    Q("q_agg_23_topk_native",
+      """SELECT l_suppkey, CAST(rnk AS BIGINT) AS rnk, price, okey, lnum FROM (
+        | SELECT l_suppkey, row_number() OVER (
+        |   PARTITION BY l_suppkey
+        |   ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rnk,
+        |  l_extendedprice AS price, l_orderkey AS okey,
+        |  CAST(l_linenumber AS BIGINT) AS lnum
+        | FROM lineitem) WHERE rnk <= 3
+        |ORDER BY l_suppkey, rnk""".stripMargin) { (s, d) =>
+      // Group-wise top-k via the native `topk_by` TypedImperativeAggregate
+      // (expressions/TopKAgg.scala) — the scale-first alternative to
+      // q_sort_3's row_number window. The window form shuffles and SORTS
+      // the whole fact per group; topk_by keeps k-element mergeable
+      // buffers, so map-side combine caps each partition's contribution at
+      // k rows per group and shuffle volume is O(groups · k) — at 100 TB
+      // that is the difference between sorting the corpus and sorting
+      // nothing. Plan contract (Round3cOpsSpec): ObjectHashAggregate
+      // partial+final, ZERO Window/Sort over the fact. The oracle is the
+      // window formulation — same total order (price DESC, key ASC),
+      // identical rows.
+      TopKByAgg.register(s)
+      Tables(s, d, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(expr("topk_by(l_extendedprice, l_orderkey, l_linenumber, 3)").as("top"))
+        .select(col("l_suppkey"), posexplode(col("top")))
+        .select(col("l_suppkey"), (col("pos") + 1).cast("long").as("rnk"),
+          col("col.ord").as("price"), col("col.tie1").as("okey"), col("col.tie2").as("lnum"))
+        .orderBy("l_suppkey", "rnk")
+    },
+
+    Q("q_agg_24_countmin",
+      """SELECT l_partkey, count(*) AS exact_n, CAST(1 AS BIGINT) AS cm_ok
+        |FROM lineitem GROUP BY l_partkey
+        |ORDER BY exact_n DESC, l_partkey LIMIT 10""".stripMargin) { (s, d) =>
+      // Count-Min sketch (expressions/CountMinAgg.scala): one pass builds
+      // a 4×4096 mergeable counter sketch of the l_partkey stream; the
+      // top-10 exact keys are then probed against it and each engine
+      // verdicts the one-sided CM guarantee — estimate ≥ exact always,
+      // and ≤ exact + 8·N/width (probability ≥ 1−8⁻⁴; deterministic here
+      // since data and hash seeds are fixed). DuckDB has no CM sketch, so
+      // the oracle pins exact counts + the verdict (q_agg_16's band-check
+      // pattern). Shape at 100 TB: the sketch is the ONLY shuffled state
+      // (128 KB), probes ride a broadcast — heavy-hitter screening
+      // without a per-key aggregate.
+      CountMinAgg.register(s)
+      val li = Tables(s, d, "lineitem")
+      val cm = li.agg(expr("countmin(l_partkey, 4096, 4)").as("cm"))
+      val tot = li.agg(count(lit(1)).as("n_total"))
+      val top = li.groupBy("l_partkey").agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("l_partkey")).limit(10)
+      val est = (0 until 4).map(j =>
+        element_at(col("cm"),
+          (CountMinAgg.probe(col("l_partkey"), j, 4096) + j * 4096 + 1).cast("int")))
+        .reduce(least(_, _))
+      top.crossJoin(broadcast(cm)).crossJoin(broadcast(tot))
+        .select(col("l_partkey"), col("exact_n"),
+          (est >= col("exact_n") &&
+            est <= col("exact_n") + ceil(lit(8.0) * col("n_total") / 4096).cast("long"))
+            .cast("long").as("cm_ok"))
+        .orderBy(col("exact_n").desc, col("l_partkey"))
+    },
+
+    Q("q_mm_5_phash",
+      """WITH px AS (SELECT doc_id, i, ascii(substring(text, (i % len(text)) + 1, 1)) AS v
+        |  FROM documents, (SELECT unnest(range(0, 256)) AS i) WHERE doc_id < 100),
+        |blk AS (SELECT doc_id, ((i // 16) // 2) * 8 + ((i % 16) // 2) AS b, sum(v) AS s4
+        |        FROM px GROUP BY doc_id, ((i // 16) // 2) * 8 + ((i % 16) // 2)),
+        |tot AS (SELECT doc_id, sum(s4) AS s256 FROM blk GROUP BY doc_id),
+        |h AS (SELECT blk.doc_id,
+        |  CAST(sum(CASE WHEN s4 * 64 > s256 AND b < 32
+        |        THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS ph_lo,
+        |  CAST(sum(CASE WHEN s4 * 64 > s256 AND b >= 32
+        |        THEN (CAST(1 AS BIGINT) << CAST(b - 32 AS INT)) ELSE 0 END) AS BIGINT) AS ph_hi
+        |  FROM blk JOIN tot ON blk.doc_id = tot.doc_id GROUP BY blk.doc_id)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        | CAST(bit_count(xor(a.ph_lo, b.ph_lo)) + bit_count(xor(a.ph_hi, b.ph_hi)) AS BIGINT) AS dist
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.ph_lo, b.ph_lo)) + bit_count(xor(a.ph_hi, b.ph_hi)) <= 18
+        |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+      // Image near-dup via perceptual hash (aHash): REAL PNG
+      // encode→decode per doc (q_mm_4's codec path), 2×2 mean-pool of the
+      // DECODED raster to 8×8, bit = block-mean > image-mean, Hamming
+      // pairs ≤ 18. The mean compare is s4·64 > s256 — pure integer, so
+      // DuckDB reproduces the hash from source bytes with ascii()
+      // arithmetic (PNG is lossless) and any codec/stride bug breaks it.
+      // The hash splits into two 32-bit halves: BIGINT << 63 overflows
+      // DuckDB's checked shift. Bounded brute-force pairs here
+      // (doc_id < 100, one broadcast nested loop); at 100 TB the
+      // candidate step is hash-band bucketing exactly like q_dedup_4's
+      // SimHash bands — the phash IS a 64-bit SimHash of the image.
+      import s.implicits._
+      val h = Tables(s, d, "documents").filter(col("doc_id") < 100)
+        .select("doc_id", "text").as[(Long, String)]
+        .mapPartitions(_.map { case (id, t) => phashOf(id, t) })
+        .toDF().localCheckpoint() // decode once; the pair join probes it twice
+      val a = h.select(col("doc_id").as("a_id"), col("ph_lo").as("alo"), col("ph_hi").as("ahi"))
+      val b = h.select(col("doc_id").as("b_id"), col("ph_lo").as("blo"), col("ph_hi").as("bhi"))
+      a.join(b, col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          (bit_count(col("alo").bitwiseXOR(col("blo")))
+            + bit_count(col("ahi").bitwiseXOR(col("bhi")))).cast("long").as("dist"))
+        .filter(col("dist") <= 18)
+        .orderBy("a_id", "b_id")
+    },
+
+    Q("q_stream_12_stream_static",
+      """SELECT time_bucket(INTERVAL '15 minutes', e.ts::TIMESTAMP) AS win_start,
+        | c.c_mktsegment AS segment, count(*) AS n,
+        | floor((sum(e.value)) * 100 + 0.5) / 100 AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2 ORDER BY win_start, segment""".stripMargin) { (s, d) =>
+      // Stream-static enrichment: events joined to a broadcast customer
+      // dim, then tumbling 15-min counts per market segment — the
+      // canonical "enrich the stream with a dimension" pattern. The twin
+      // builder (streaming/Streams.enrichedSegmentCounts) runs THIS code
+      // under readStream in StreamingSpec: stream-static joins need no
+      // watermark (the static side re-broadcasts per micro-batch), which
+      // is why batch and stream agree row-for-row. The fact never
+      // shuffles for the join — only the post-join aggregation moves.
+      graft.streaming.Streams
+        .enrichedSegmentCounts(Tables(s, d, "events"), Tables(s, d, "customer"))
+        .select(col("window.start").as("win_start"),
+          col("c_mktsegment").as("segment"), col("n"),
+          round(col("sum_value_raw"), 2).as("sum_value"))
+        .orderBy("win_start", "segment")
+    })
+
+  /** Render the doc's bytes as a 16×16 grayscale image, round-trip
+    * through a REAL PNG encode→decode (javax.imageio — PNG is lossless,
+    * which is what makes the hash oracle-checkable), then aHash the
+    * decoded raster: 2×2 mean-pool to 8×8 blocks, bit = block mean >
+    * image mean via integer cross-multiplication (s4·64 > s256 ⟺
+    * s4/4 > s256/256 — no FP anywhere). Split into 32-bit halves:
+    * DuckDB's checked BIGINT shift rejects 1 << 63.
+    */
+  final case class PHashRow(doc_id: Long, ph_lo: Long, ph_hi: Long)
+
+  private def phashOf(id: Long, text: String): PHashRow = {
+    val bytes = text.getBytes("UTF-8")
+    val img = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < 256) {
+      raster.setSample(i % 16, i / 16, 0, bytes(i % bytes.length) & 0xFF)
+      i += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false) // no executor-side tmp files
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val dec = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(baos.toByteArray))
+    val r = dec.getRaster
+    val s4 = new Array[Long](64)
+    var tot = 0L
+    var y = 0
+    while (y < 16) {
+      var x = 0
+      while (x < 16) {
+        val v = r.getSample(x, y, 0).toLong
+        s4((y / 2) * 8 + (x / 2)) += v
+        tot += v
+        x += 1
+      }
+      y += 1
+    }
+    var lo = 0L
+    var hi = 0L
+    var b = 0
+    while (b < 64) {
+      if (s4(b) * 64 > tot) {
+        if (b < 32) lo |= (1L << b) else hi |= (1L << (b - 32))
+      }
+      b += 1
+    }
+    PHashRow(id, lo, hi)
+  }
+}

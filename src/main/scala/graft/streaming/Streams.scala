@@ -42,6 +42,21 @@ object Streams {
       .select("event_id", "ts", "user_id", "event_type", "value")
       .write.mode("overwrite").parquet(outDir)
 
+  /** Stream-static enrichment join + tumbling 15-min counts per market
+    * segment — the twin behind q_stream_12_stream_static. Works
+    * identically on a batch or streaming `events` frame: stream-static
+    * joins need no watermark for correctness (the static side is simply
+    * re-read/re-broadcast per micro-batch), which is exactly why the
+    * batch result is the streaming result. The dim is broadcast — the
+    * fact stream never shuffles for the join, only for the aggregation.
+    */
+  def enrichedSegmentCounts(events: DataFrame, customers: DataFrame): DataFrame =
+    events
+      .join(broadcast(customers.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "15 minutes"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value_raw"))
+
   /** Tumbling 1h counts/sums per event_type with a 10min watermark —
     * streaming twin of q_stream_1_tumbling.
     */

@@ -1,0 +1,167 @@
+package graft
+
+import graft.expressions.TopKByAgg
+import org.apache.spark.sql.functions._
+
+/** Round-3c operators: plan-shape contracts (the native top-k must not
+  * regress to a window sort), partitioning-invariance of the mergeable
+  * aggregate, and semantic invariants on fixture + synthetic data.
+  */
+class Round3cOpsSpec extends SparkSpec {
+
+  test("q_agg_23_topk_native: ObjectHashAggregate, zero Window nodes") {
+    val df = Registry.byName("q_agg_23_topk_native").fn(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      "topk_by must aggregate through the object-hash path")
+    assert(!plan.contains("Window"),
+      "topk_by exists to avoid the window sort of the fact — none allowed")
+  }
+
+  test("topk_by equals the window formulation and is partitioning-invariant") {
+    TopKByAgg.register(spark)
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    def run(parts: Int): Seq[org.apache.spark.sql.Row] =
+      li.repartition(parts)
+        .groupBy("l_suppkey")
+        .agg(expr("topk_by(l_extendedprice, l_orderkey, l_linenumber, 3)").as("top"))
+        .select(col("l_suppkey"), posexplode(col("top")))
+        .select(col("l_suppkey"), col("pos"), col("col.ord"), col("col.tie1"), col("col.tie2"))
+        .orderBy("l_suppkey", "pos").collect().toSeq
+    val merged = run(13)
+    assert(run(1) == merged, "merge order must not change the result")
+    // cross-check against the window idiom the aggregate replaces
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_suppkey")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    val viaWindow = li
+      .select(col("l_suppkey"), row_number().over(w).as("rnk"),
+        col("l_extendedprice"), col("l_orderkey"), col("l_linenumber").cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("l_suppkey"), (col("rnk") - 1).as("pos"),
+        col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy("l_suppkey", "pos").collect().toSeq
+    assert(merged.map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+      == viaWindow.map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3), r.getLong(4))))
+  }
+
+  test("q_graph_5_triangles: tallies are positive and sum to 3× a whole triangle count") {
+    val rows = Registry.byName("q_graph_5_triangles").fn(spark, sf).collect()
+    assert(rows.nonEmpty, "sf0.001 handoff graph is known to contain triangles")
+    assert(rows.forall(_.getLong(1) > 0))
+    val total = rows.map(_.getLong(1)).sum
+    assert(total > 0 && total % 3 == 0,
+      s"each triangle contributes to exactly 3 node tallies, got $total")
+  }
+
+  test("q_text_19_mixture: quotas follow ceil(sqrt(n)·8) and are filled exactly") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val rawCounts = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = Registry.byName("q_text_19_mixture").fn(spark, sf).collect()
+    val kept = out.groupBy(_.getString(1)).map { case (lang, rs) => lang -> rs.length.toLong }
+    rawCounts.foreach { case (lang, n) =>
+      val expected = math.min(n, math.ceil(math.sqrt(n.toDouble) * 8).toLong)
+      assert(kept(lang) == expected, s"$lang: kept ${kept.get(lang)} expected $expected")
+      assert(out.filter(_.getString(1) == lang).forall(_.getLong(3) == expected))
+    }
+    assert(out.map(_.getLong(0)).distinct.length == out.length, "no doc selected twice")
+  }
+
+  test("q_win_10_rolling_median: matches a reference rolling-median replication") {
+    // replicate: per suppkey, sort by (okey, line, price), 7-row trailing
+    // frame, linear-interpolated median at rank 0.5·(n−1)
+    def median(vs: Seq[Double]): Double = {
+      val s = vs.sorted
+      val idx = 0.5 * (s.length - 1)
+      val lo = idx.toInt
+      val hi = math.ceil(idx).toInt
+      val m = s(lo) + (s(hi) - s(lo)) * (idx - lo)
+      math.floor(m * 1e6 + 0.5) / 1e6
+    }
+    val rows = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_suppkey") <= 10)
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val expected = rows.groupBy(_._1).toSeq.flatMap { case (sk, rs) =>
+      val ordered = rs.sortBy(r => (r._2, r._3, r._4))
+      ordered.zipWithIndex.map { case (r, i) =>
+        val frame = ordered.slice(math.max(0, i - 6), i + 1).map(_._4).toSeq
+        (sk, r._2, r._3, median(frame))
+      }
+    }.toSeq.sorted
+    val got = Registry.byName("q_win_10_rolling_median").fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq.sorted
+    assert(got == expected)
+  }
+
+  test("q_join_18_asof_nearest: backward/forward/none/tie cases on a known stream") {
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_3c_events").toString
+    def ns(sec: Long): Long = sec * 1000000000L
+    // (event_id, ts_ns, user_id, event_type): user 1 nearer-backward,
+    // user 2 forward-only, user 3 no clicks, user 4 exact tie → earlier
+    Seq(
+      (0L, ns(100), 1L, "click"), (1L, ns(130), 1L, "purchase"), (2L, ns(200), 1L, "click"),
+      (3L, ns(50), 2L, "purchase"), (4L, ns(60), 2L, "click"),
+      (5L, ns(70), 3L, "purchase"),
+      (6L, ns(10), 4L, "click"), (7L, ns(20), 4L, "purchase"), (8L, ns(30), 4L, "click"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = Registry.byName("q_join_18_asof_nearest").fn(spark, tmp).collect()
+      .map(r => r.getLong(0) -> Option(r.getTimestamp(3)).map(_.getTime / 1000)).toMap
+    assert(out(1L) == Some(100L), "backward click at 30s beats forward at 70s")
+    assert(out(3L) == Some(60L), "forward-only match")
+    assert(out(5L) == None, "no clicks for user 3")
+    assert(out(7L) == Some(10L), "exact-distance tie resolves to the earlier click")
+  }
+
+  test("countmin: partitioning-invariant and never under-counts any key") {
+    graft.expressions.CountMinAgg.register(spark)
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    def sk(parts: Int): Seq[Long] =
+      li.repartition(parts).agg(expr("countmin(l_partkey, 512, 4)").as("cm"))
+        .collect()(0).getSeq[Long](0)
+    val sketch = sk(13)
+    assert(sk(1) == sketch, "counter-wise merge must be partitioning-invariant")
+    val exact = li.groupBy("l_partkey").count().collect()
+    exact.foreach { r =>
+      val pk = r.getLong(0)
+      val est = (0 until 4)
+        .map(j => sketch(j * 512 + graft.expressions.CountMinAgg.hash(pk, j, 512))).min
+      assert(est >= r.getLong(1), s"CM must never under-count (key $pk)")
+    }
+  }
+
+  test("q_mm_5_phash: identical rendered docs collide at distance 0") {
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_3c_docs").toString
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a completely different payload with other bytes 123456"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Registry.byName("q_mm_5_phash").fn(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out((0L, 1L)) == 0L, "same bytes → same decoded raster → same phash")
+    // identical inputs must be interchangeable against any third doc
+    assert(out.get((0L, 2L)) == out.get((1L, 2L)))
+  }
+
+  test("q_sort_4_ntile: buckets within a priority differ by at most one row") {
+    val rows = Registry.byName("q_sort_4_ntile").fn(spark, sf).collect()
+    rows.groupBy(_.getString(0)).foreach { case (prio, rs) =>
+      assert(rs.length == 4, s"$prio: expected 4 quartiles")
+      val ns = rs.map(_.getLong(2))
+      assert(ns.max - ns.min <= 1, s"$prio: ntile buckets must be equal-frequency ±1")
+      // quartile value ranges must not overlap: hi(q) <= lo(q+1)
+      val sorted = rs.sortBy(_.getLong(1))
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        assert(a.getDouble(4) <= b.getDouble(3) + 1e-9,
+          s"$prio: quartile ranges overlap")
+      }
+    }
+  }
+}

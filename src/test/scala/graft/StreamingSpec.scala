@@ -149,6 +149,25 @@ class StreamingSpec extends SparkSpec {
       "restart must process exactly the 50 new rows, nothing twice")
   }
 
+  test("stream-static enrichment join matches the batch twin (q_stream_12)") {
+    val dim = spark.read.parquet(s"$sf/customer.parquet")
+    val q = Streams.toMemorySink(
+      Streams.enrichedSegmentCounts(Streams.eventStream(spark, inputDir), dim),
+      "stream_enrich", complete = true).start()
+    try q.processAllAvailable() finally q.stop()
+    // compare the integer columns (float sums accumulate in a different
+    // merge order under incremental execution — same reason the tumbling
+    // test pins counts, not sums)
+    val streamed = spark.table("stream_enrich")
+      .select(col("window.start").as("win_start"),
+        col("c_mktsegment").as("segment"), col("n"))
+      .orderBy("win_start", "segment").collect().toSeq
+    val batch = Registry.byName("q_stream_12_stream_static").fn(spark, sf)
+      .select("win_start", "segment", "n")
+      .orderBy("win_start", "segment").collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("stream-stream LEFT OUTER join emits null-click rows after watermark passes") {
     import org.apache.spark.sql.Row
     // own dir: sentinels advance the watermark so unmatched purchases flush
