@@ -348,6 +348,127 @@ object Round3cOps {
           col("c_mktsegment").as("segment"), col("n"),
           round(col("sum_value_raw"), 2).as("sum_value"))
         .orderBy("win_start", "segment")
+    },
+
+    Q("q_scan_14_stratified_hash",
+      """SELECT o_orderpriority, CAST(rn AS BIGINT) AS rn, o_orderkey FROM (
+        | SELECT o_orderpriority, o_orderkey, row_number() OVER (
+        |   PARTITION BY o_orderpriority
+        |   ORDER BY (o_orderkey % 1000000007) * 2654435761 % 1000000007, o_orderkey) AS rn
+        | FROM orders) WHERE rn <= 5
+        |ORDER BY o_orderpriority, rn""".stripMargin) { (s, d) =>
+      // Deterministic stratified sampling: bottom-5-by-hash per order
+      // priority — the per-stratum twin of q_scan_13's global order
+      // statistic, and the ORACLE-CHECKED upgrade of q_scan_7 (whose
+      // seeded sampleBy is engine-private RNG, hence no_oracle). Same
+      // reproducibility property: the "5 per stratum" re-derives
+      // identically across engines, runs, partitionings, years. One
+      // window shuffle on the stratum key; per-group heaps would kick in
+      // via TakeOrderedAndProject if the stratum list were pre-pivoted.
+      val prio = (pmod(col("o_orderkey"), lit(1000000007L)) * 2654435761L) % 1000000007L
+      val w = Window.partitionBy("o_orderpriority").orderBy(prio, col("o_orderkey"))
+      Tables(s, d, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          row_number().over(w).cast("long").as("rn"))
+        .filter(col("rn") <= 5)
+        .select(col("o_orderpriority"), col("rn"), col("o_orderkey"))
+        .orderBy("o_orderpriority", "rn")
+    },
+
+    Q("q_win_11_rolling_corr",
+      """SELECT l_suppkey, l_orderkey, l_linenumber, price_cents, corr7 FROM (
+        | SELECT l_suppkey, l_orderkey, l_linenumber, pc AS price_cents,
+        |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+        |    floor((CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)))
+        |      * 1000000 + 0.5) / 1000000
+        |  END AS corr7
+        | FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, qc, pc,
+        |   count(*) OVER w AS n, sum(qc) OVER w AS sx, sum(pc) OVER w AS sy,
+        |   sum(qc * pc) OVER w AS sxy, sum(qc * qc) OVER w AS sxx, sum(pc * pc) OVER w AS syy
+        |  FROM (
+        |   SELECT l_suppkey, l_orderkey, l_linenumber,
+        |    CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qc,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS pc
+        |   FROM lineitem WHERE l_suppkey <= 10)
+        |  WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber, pc
+        |               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)))
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber, price_cents, coalesce(corr7, -9)""".stripMargin) { (s, d) =>
+      // Rolling Pearson correlation (quantity vs price, 7-row trailing
+      // frame) with EXACT integer arithmetic: inputs quantize to cents,
+      // all six sufficient statistics are integer window sums, and the
+      // correlation is one double division of exact integers — so both
+      // engines compute bit-identical values despite float-sum order
+      // differing (q_agg_21's exact-corr discipline, windowed). Frames
+      // with zero variance on either side yield NULL (n=1 heads,
+      // constant-quantity runs). One shuffle + one sort, six aggregates
+      // over ONE window. The final sort carries price_cents and a
+      // NULL-coalesced corr: (okey, line) duplicates exist and the two
+      // engines order NULLs differently by default.
+      val base = Tables(s, d, "lineitem")
+        .filter(col("l_suppkey") <= 10)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          floor(col("l_quantity") * 100 + 0.5).cast("long").as("qc"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("pc"))
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy("l_orderkey", "l_linenumber", "pc")
+        .rowsBetween(-6, Window.currentRow)
+      val stats = base.select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("qc"), col("pc"),
+        count(lit(1)).over(w).as("n"), sum("qc").over(w).as("sx"), sum("pc").over(w).as("sy"),
+        sum(col("qc") * col("pc")).over(w).as("sxy"),
+        sum(col("qc") * col("qc")).over(w).as("sxx"),
+        sum(col("pc") * col("pc")).over(w).as("syy"))
+      val dx = col("n") * col("sxx") - col("sx") * col("sx")
+      val dy = col("n") * col("syy") - col("sy") * col("sy")
+      stats.select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("pc").as("price_cents"),
+        when(dx > 0 && dy > 0,
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / sqrt(dx.cast("double") * dy.cast("double")), 6)).as("corr7"))
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("price_cents"), coalesce(col("corr7"), lit(-9.0)))
+    },
+
+    Q("q_sim_14_standardize",
+      """WITH el AS (SELECT vec_id, dim,
+        |  CAST(floor(CAST(embedding[dim] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS vi
+        | FROM embeddings, (SELECT unnest(range(1, 65)) AS dim)),
+        |st AS (SELECT dim, count(*) AS n, sum(vi) AS s1, sum(vi * vi) AS s2
+        |       FROM el GROUP BY dim)
+        |SELECT el.vec_id, el.dim,
+        | CASE WHEN st.n * st.s2 - st.s1 * st.s1 > 0 THEN
+        |   floor((CAST(st.n * el.vi - st.s1 AS DOUBLE)
+        |     / sqrt(CAST(st.n * st.s2 - st.s1 * st.s1 AS DOUBLE))) * 1000000 + 0.5) / 1000000
+        | END AS z
+        |FROM el JOIN st ON el.dim = st.dim WHERE el.vec_id < 5
+        |ORDER BY el.vec_id, el.dim""".stripMargin) { (s, d) =>
+      // Per-dimension feature standardization (z-score) of the embedding
+      // corpus — the preprocessing step before distance-based ops
+      // (k-means/IVF assume comparable dimension scales). Determinism
+      // discipline: values quantize to 1e-6 units FIRST, the per-dim
+      // sufficient statistics are exact integer sums (float-sum order
+      // never matters), and z is one double division of exact integers —
+      // same pattern as q_win_11. The stats table is dim-bounded
+      // (64 rows): it broadcasts back to the corpus, so z-scoring 100 TB
+      // of vectors is a map stage after one dim-keyed aggregate.
+      // Output is the exploded (vec_id, dim, z) form for a bounded probe
+      // set (array-typed output columns are representation-fragile
+      // across the two engines' pandas paths — standing caution).
+      val el = Tables(s, d, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
+          floor(col("v").cast("double") * 1000000 + 0.5).cast("long").as("vi"))
+      val st = el.groupBy("dim").agg(
+        count(lit(1)).as("n"), sum("vi").as("s1"), sum(col("vi") * col("vi")).as("s2"))
+      val dvar = col("n") * col("s2") - col("s1") * col("s1")
+      el.filter(col("vec_id") < 5).join(broadcast(st), "dim")
+        .select(col("vec_id"), col("dim"),
+          when(dvar > 0,
+            round((col("n") * col("vi") - col("s1")).cast("double")
+              / sqrt(dvar.cast("double")), 6)).as("z"))
+        .orderBy("vec_id", "dim")
     })
 
   /** Render the doc's bytes as a 16×16 grayscale image, round-trip

@@ -150,6 +150,56 @@ class Round3cOpsSpec extends SparkSpec {
     assert(out.get((0L, 2L)) == out.get((1L, 2L)))
   }
 
+  test("q_scan_14_stratified_hash: exactly 5 distinct keys per stratum, stable across runs") {
+    def run() = Registry.byName("q_scan_14_stratified_hash").fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val out = run()
+    out.groupBy(_._1).foreach { case (prio, rs) =>
+      assert(rs.map(_._2).sorted == Seq(1L, 2L, 3L, 4L, 5L), s"$prio: ranks 1..5")
+      assert(rs.map(_._3).distinct.length == 5, s"$prio: 5 distinct orderkeys")
+    }
+    assert(run() == out, "hash sample must be reproducible run to run")
+  }
+
+  test("q_win_11_rolling_corr: 1-row head frames are NULL, values bounded by [-1, 1]") {
+    val rows = Registry.byName("q_win_11_rolling_corr").fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      if (!r.isNullAt(4)) {
+        val c = r.getDouble(4)
+        assert(c >= -1.000001 && c <= 1.000001, s"corr out of range: $c")
+      }
+    }
+    // the first row of every partition has a 1-row frame → zero variance → NULL
+    val firstPerSupp = rows.groupBy(_.getLong(0)).map { case (_, rs) =>
+      rs.minBy(r => (r.getLong(1), r.getInt(2), r.getLong(3)))
+    }
+    firstPerSupp.foreach(r => assert(r.isNullAt(4), s"head of suppkey ${r.getLong(0)}"))
+  }
+
+  test("q_sim_14_standardize: matches an exact-integer replication for vec 0") {
+    val all = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val n = all.length.toLong
+    val quant = all.map { case (id, v) =>
+      id -> v.map(f => math.floor(f.toDouble * 1e6 + 0.5).toLong)
+    }
+    val expected = (0 until 64).map { d =>
+      val vis = quant.map(_._2(d))
+      val s1 = vis.sum
+      val s2 = vis.map(v => v * v).sum
+      val dvar = n * s2 - s1 * s1
+      val vi0 = quant.find(_._1 == 0L).get._2(d)
+      if (dvar > 0) Some(math.floor((n * vi0 - s1).toDouble / math.sqrt(dvar.toDouble) * 1e6 + 0.5) / 1e6)
+      else None
+    }
+    val got = Registry.byName("q_sim_14_standardize").fn(spark, sf).collect()
+      .filter(_.getLong(0) == 0L).sortBy(_.getLong(1))
+      .map(r => if (r.isNullAt(2)) None else Some(r.getDouble(2))).toSeq
+    assert(got == expected)
+  }
+
   test("q_sort_4_ntile: buckets within a priority differ by at most one row") {
     val rows = Registry.byName("q_sort_4_ntile").fn(spark, sf).collect()
     rows.groupBy(_.getString(0)).foreach { case (prio, rs) =>
