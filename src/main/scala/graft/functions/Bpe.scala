@@ -38,6 +38,18 @@ object Bpe {
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
         .otherwise(concat(acc, array(x))))
 
+  /** ENCODE with a learned merge table: apply the merges to a symbol
+    * sequence in rank order (BPE's encode rule — greedy application in
+    * training order, not longest-match). Ten merges = ten chained fold
+    * projections in ONE codegen'd stage, no shuffle, no state; a
+    * production-sized table (32k merges) would swap this for a
+    * per-partition trie encoder behind the same column-in/column-out
+    * signature. Concatenating the output symbols always reproduces the
+    * input exactly (round-trip property, pinned in tests).
+    */
+  def encode(syms: Column, merges: Seq[(Int, String, String, Long)]): Column =
+    merges.sortBy(_._1).foldLeft(syms) { case (c, (_, a, b, _)) => applyMerge(c, a, b) }
+
   /** Learn up to `nMerges` merges from a corpus of symbol sequences
     * (column `syms: array<string>`). Stops early when no pair occurs at
     * least `minFreq` times. Ties break on (freq desc, left asc, right

@@ -3,6 +3,7 @@ package graft.operators
 import graft.Q
 import graft.expressions.{CountMinAgg, TopKByAgg}
 import graft.functions.Num.round
+import graft.functions.TextFunctions.tokens
 import graft.sources.Tables
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -469,6 +470,179 @@ object Round3cOps {
             round((col("n") * col("vi") - col("s1")).cast("double")
               / sqrt(dvar.cast("double")), 6)).as("z"))
         .orderBy("vec_id", "dim")
+    },
+
+    Q("q_sort_5_value_bucket",
+      """WITH c AS (SELECT o_orderpriority, o_orderkey,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v FROM orders),
+        |r AS (SELECT o_orderpriority, o_orderkey, v,
+        |  row_number() OVER (PARTITION BY o_orderpriority ORDER BY v, o_orderkey) AS rn,
+        |  count(*) OVER (PARTITION BY o_orderpriority) AS n FROM c),
+        |b AS (SELECT o_orderpriority,
+        |  max(CASE WHEN rn = CAST(ceil(n * 0.25) AS BIGINT) THEN v END) AS b1,
+        |  max(CASE WHEN rn = CAST(ceil(n * 0.50) AS BIGINT) THEN v END) AS b2,
+        |  max(CASE WHEN rn = CAST(ceil(n * 0.75) AS BIGINT) THEN v END) AS b3
+        | FROM r GROUP BY o_orderpriority)
+        |SELECT c.o_orderpriority,
+        | CAST(1 + (CASE WHEN v > b1 THEN 1 ELSE 0 END) + (CASE WHEN v > b2 THEN 1 ELSE 0 END)
+        |        + (CASE WHEN v > b3 THEN 1 ELSE 0 END) AS BIGINT) AS bucket,
+        | count(*) AS n_rows,
+        | floor((CAST(min(v) AS DOUBLE) / 100) * 100 + 0.5) / 100 AS lo,
+        | floor((CAST(max(v) AS DOUBLE) / 100) * 100 + 0.5) / 100 AS hi,
+        | floor((CAST(sum(v) AS DOUBLE) / (count(*) * CAST(100 AS DOUBLE))) * 100 + 0.5) / 100 AS avg_price
+        |FROM c JOIN b ON c.o_orderpriority = b.o_orderpriority
+        |GROUP BY c.o_orderpriority, 1 + (CASE WHEN v > b1 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN v > b2 THEN 1 ELSE 0 END) + (CASE WHEN v > b3 THEN 1 ELSE 0 END)
+        |ORDER BY c.o_orderpriority, bucket""".stripMargin) { (s, d) =>
+      // Equi-depth bucketing by VALUE BOUNDARIES — the scale path that
+      // q_sort_4's ntile docstring promises: boundaries are the exact
+      // order statistics at ranks ceil(n/4, n/2, 3n/4) (integer cents →
+      // both engines pick the identical data value; interpolated
+      // quantiles would differ by ulps), extracted once per group and
+      // broadcast; assignment is then three integer comparisons per row.
+      // At 100 TB the boundary step swaps to approx_percentile or a
+      // sampled sort WITHOUT touching the assignment side — unlike
+      // global ntile, nothing ever sorts the corpus. Strict `>` puts
+      // boundary-tied rows in the lower bucket in both engines, so
+      // bucket sizes differ from n/4 exactly where ties straddle a
+      // boundary (the honest semantics of value-based bucketing).
+      val c = Tables(s, d, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("v"))
+      val wRank = Window.partitionBy("o_orderpriority").orderBy("v", "o_orderkey")
+      val wAll = Window.partitionBy("o_orderpriority")
+      val bounds = c
+        .select(col("o_orderpriority"), col("v"),
+          row_number().over(wRank).cast("long").as("rn"),
+          count(lit(1)).over(wAll).as("n"))
+        .groupBy("o_orderpriority")
+        .agg(
+          max(when(col("rn") === ceil(col("n") * 0.25).cast("long"), col("v"))).as("b1"),
+          max(when(col("rn") === ceil(col("n") * 0.50).cast("long"), col("v"))).as("b2"),
+          max(when(col("rn") === ceil(col("n") * 0.75).cast("long"), col("v"))).as("b3"))
+      val bucket = (lit(1)
+        + when(col("v") > col("b1"), 1).otherwise(0)
+        + when(col("v") > col("b2"), 1).otherwise(0)
+        + when(col("v") > col("b3"), 1).otherwise(0)).cast("long")
+      c.join(broadcast(bounds), "o_orderpriority")
+        .select(col("o_orderpriority"), bucket.as("bucket"), col("v"))
+        .groupBy("o_orderpriority", "bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          round(min(col("v")).cast("double") / 100, 2).as("lo"),
+          round(max(col("v")).cast("double") / 100, 2).as("hi"),
+          round(sum(col("v")).cast("double") / (count(lit(1)) * lit(100.0)), 2).as("avg_price"))
+        .orderBy("o_orderpriority", "bucket")
+    },
+
+    Q("q_mm_6_audio_energy",
+      """WITH px AS (SELECT doc_id, i,
+        |  ascii(substring(text, (i % len(text)) + 1, 1)) - 128 AS s
+        | FROM documents, (SELECT unnest(range(0, 256)) AS i) WHERE doc_id < 100)
+        |SELECT doc_id, CAST(i // 32 AS BIGINT) AS frame,
+        | CAST(sum(s * s) AS BIGINT) AS energy,
+        | CAST(max(abs(s)) AS BIGINT) AS peak,
+        | CAST(CASE WHEN sum(s * s) < 3200 THEN 1 ELSE 0 END AS BIGINT) AS silent
+        |FROM px GROUP BY doc_id, i // 32
+        |ORDER BY doc_id, frame""".stripMargin) { (s, d) =>
+      // Audio-style feature extraction over synthetic 8-bit PCM: the
+      // doc's bytes read as centered samples, 32-sample frames, per-frame
+      // energy (Σs²), peak amplitude, and a silence flag (mean power
+      // < 100) — the frame/window shape of a real audio pipeline (VAD,
+      // loudness normalization), declared honestly on synthetic PCM
+      // since no audio codec exists in this environment (the decode step
+      // would slot in exactly like q_mm_4's PNG codec does for images).
+      // All-integer features — nothing to drift. One explode + one
+      // map-side-combinable aggregate; frames never cross partitions.
+      Tables(s, d, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("text"), explode(sequence(lit(0), lit(255))).as("i"))
+        .select(col("doc_id"), expr("CAST(i div 32 AS BIGINT)").as("frame"),
+          expr("ascii(substring(text, (i % length(text)) + 1, 1)) - 128").as("smp"))
+        .groupBy("doc_id", "frame")
+        .agg(sum(col("smp") * col("smp")).cast("long").as("energy"),
+          max(abs(col("smp"))).cast("long").as("peak"),
+          when(sum(col("smp") * col("smp")) < 3200, 1L).otherwise(0L).as("silent"))
+        .orderBy("doc_id", "frame")
+    },
+
+    // BPE ENCODE — the other half of the tokenizer loop (q_text_11
+    // trains; this applies the learned vocabulary, which is what the
+    // pipeline actually runs daily). Train on the same corpus slice as
+    // q_text_11 (driver holds only the 10-row merge table), then encode
+    // per doc and report symbol counts before/after. No oracle for the
+    // same §2.12.5 reason as training (iterative greedy argmax feeds the
+    // encoder); pinned by the golden digest + unit tests including the
+    // lossless round-trip (concat of output symbols == input token).
+    Q.noOracle("q_text_20_bpe_encode") { (s, d) =>
+      val trainCorpus = Tables(s, d, "documents").filter(col("doc_id") < 120)
+        .select(explode(tokens(col("text"))).as("tok"))
+        .select(split(col("tok"), "").as("syms"))
+      val merges = graft.functions.Bpe.train(trainCorpus, 10)
+      Tables(s, d, "documents").filter(col("doc_id") < 50)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .select(col("doc_id"), split(col("tok"), "").as("syms"))
+        .select(col("doc_id"), size(col("syms")).as("n0"),
+          size(graft.functions.Bpe.encode(col("syms"), merges)).as("n1"))
+        .groupBy("doc_id")
+        .agg(sum("n0").cast("long").as("n_sym"),
+          sum("n1").cast("long").as("n_bpe"),
+          (sum("n0") - sum("n1")).cast("long").as("saved"))
+        .orderBy("doc_id")
+    },
+
+    Q("q_dq_15_skew_profile",
+      """WITH f AS (SELECT l_partkey, count(*) AS n FROM lineitem GROUP BY l_partkey),
+        |t AS (SELECT sum(n) AS total, count(*) AS n_keys FROM f)
+        |SELECT l_partkey, n,
+        | floor((CAST(n AS DOUBLE) / CAST(total AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS share,
+        | floor((CAST(n * n_keys AS DOUBLE) / CAST(total AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS skew_x
+        |FROM f, t ORDER BY n DESC, l_partkey LIMIT 10""".stripMargin) { (s, d) =>
+      // Join-key skew profile: the top-10 heaviest keys with their share
+      // of rows and skew ratio (count ÷ mean-per-key) — the diagnostic a
+      // 100 TB job runs BEFORE a shuffle join to decide between plain,
+      // salted (q_join_14), and AQE skew-split plans. One map-side-
+      // combinable aggregate + a 1-row totals broadcast; ratios are
+      // double divisions of exact integers, so engines agree bit-for-bit.
+      val f = Tables(s, d, "lineitem").groupBy("l_partkey").agg(count(lit(1)).as("n"))
+      val t = f.agg(sum("n").as("total"), count(lit(1)).as("n_keys"))
+      f.crossJoin(broadcast(t))
+        .select(col("l_partkey"), col("n"),
+          round(col("n").cast("double") / col("total").cast("double"), 6).as("share"),
+          round((col("n") * col("n_keys")).cast("double") / col("total").cast("double"), 6)
+            .as("skew_x"))
+        .orderBy(col("n").desc, col("l_partkey")).limit(10)
+    },
+
+    Q("q_agg_25_weighted_median",
+      """WITH c AS (SELECT l_returnflag,
+        |  CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+        |  CAST(l_quantity AS BIGINT) AS wt FROM lineitem),
+        |r AS (SELECT l_returnflag, v, wt,
+        |  sum(wt) OVER (PARTITION BY l_returnflag ORDER BY v ROWS UNBOUNDED PRECEDING) AS cw,
+        |  sum(wt) OVER (PARTITION BY l_returnflag) AS tw FROM c)
+        |SELECT l_returnflag,
+        | floor((CAST(min(CASE WHEN cw * 2 >= tw THEN v END) AS DOUBLE) / 100) * 100 + 0.5) / 100
+        |  AS wmedian
+        |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      // Weighted median (price weighted by quantity): smallest value
+      // whose cumulative weight reaches half the total — lower weighted
+      // median, integer-exact. The window order is by value alone and
+      // (v, cw) ties are order-dependent WITHIN a value group, but the
+      // selection is tie-proof: a value qualifies iff its group's LAST
+      // cumulative weight crosses half, which is prefix-sum-deterministic
+      // under any tie order. One shuffle on the group key, two frames
+      // over one sort — no second pass for the total.
+      val c = Tables(s, d, "lineitem").select(col("l_returnflag"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("v"),
+        col("l_quantity").cast("long").as("wt"))
+      val wc = Window.partitionBy("l_returnflag").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wa = Window.partitionBy("l_returnflag")
+      c.select(col("l_returnflag"), col("v"),
+          sum("wt").over(wc).as("cw"), sum("wt").over(wa).as("tw"))
+        .groupBy("l_returnflag")
+        .agg(round(min(when(col("cw") * 2 >= col("tw"), col("v"))).cast("double") / 100, 2)
+          .as("wmedian"))
+        .orderBy("l_returnflag")
     })
 
   /** Render the doc's bytes as a 16×16 grayscale image, round-trip

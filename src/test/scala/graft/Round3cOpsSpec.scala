@@ -200,6 +200,104 @@ class Round3cOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("q_sort_5_value_bucket: 4 disjoint buckets per priority covering all rows") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val totals = orders.groupBy("o_orderpriority").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = Registry.byName("q_sort_5_value_bucket").fn(spark, sf).collect()
+    rows.groupBy(_.getString(0)).foreach { case (prio, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.sameElements(Array(1L, 2L, 3L, 4L)), s"$prio: 4 buckets")
+      assert(rs.map(_.getLong(2)).sum == totals(prio), s"$prio: buckets partition the group")
+      val sorted = rs.sortBy(_.getLong(1))
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        assert(a.getDouble(4) <= b.getDouble(3) + 1e-9, s"$prio: bucket value ranges overlap")
+      }
+    }
+  }
+
+  test("q_mm_6_audio_energy: frame energies match a per-byte replication") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") < 100).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = Registry.byName("q_mm_6_audio_energy").fn(spark, sf).collect()
+    assert(out.groupBy(_.getLong(0)).forall(_._2.length == 8), "8 frames of 32 samples each")
+    val doc0 = docs(0L)
+    val samples = (0 until 256).map(i => doc0.charAt(i % doc0.length).toInt - 128)
+    out.filter(_.getLong(0) == 0L).foreach { r =>
+      val f = r.getLong(1).toInt
+      val frame = samples.slice(f * 32, f * 32 + 32)
+      assert(r.getLong(2) == frame.map(s => s.toLong * s).sum, s"frame $f energy")
+      assert(r.getLong(3) == frame.map(math.abs).max.toLong, s"frame $f peak")
+      assert(r.getLong(4) == (if (frame.map(s => s.toLong * s).sum < 3200) 1L else 0L))
+    }
+  }
+
+  test("bpe encode: merges apply greedily in rank order and round-trip losslessly") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq("aaab", "aaab", "ab").toDF("tok")
+      .select(split(col("tok"), "").as("syms"))
+    val merges = graft.functions.Bpe.train(corpus, 2)
+    // (a,a) occurs 4 times (twice per "aaab"), (a,b) 3 → merge 1 = (a,a);
+    // after it, (a,b) still leads → merge 2 = (a,b)
+    assert(merges.map(m => (m._2, m._3)) == Seq(("a", "a"), ("a", "b")))
+    val enc = Seq("aaab").toDF("tok").select(split(col("tok"), "").as("syms"))
+      .select(graft.functions.Bpe.encode(col("syms"), merges).as("e"))
+      .collect()(0).getSeq[String](0)
+    assert(enc == Seq("aa", "ab"), "greedy non-overlapping application: [a,a,a,b] → [aa,ab]")
+    // lossless round trip over real corpus tokens with the learned table
+    val rt = spark.read.parquet(s"$sf/documents.parquet").filter(col("doc_id") < 10)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .select(col("tok"),
+        concat_ws("", graft.functions.Bpe.encode(split(col("tok"), ""), merges)).as("rt"))
+    assert(rt.filter(col("tok") =!= col("rt")).count() == 0,
+      "concatenating encoded symbols must reproduce every token exactly")
+  }
+
+  test("q_text_20_bpe_encode: compression is non-negative and bounded by input size") {
+    val rows = Registry.byName("q_text_20_bpe_encode").fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "encoded symbols can never exceed input symbols")
+      assert(r.getLong(3) == r.getLong(1) - r.getLong(2))
+      assert(r.getLong(3) >= 0)
+    }
+  }
+
+  test("q_dq_15_skew_profile: top key and ratios match exact counts") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val counts = li.groupBy("l_partkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum.toDouble
+    val nKeys = counts.size.toLong
+    val rows = Registry.byName("q_dq_15_skew_profile").fn(spark, sf).collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getLong(1)).toSeq == rows.map(_.getLong(1)).sortBy(-_).toSeq)
+    rows.foreach { r =>
+      val (pk, n) = (r.getLong(0), r.getLong(1))
+      assert(counts(pk) == n)
+      assert(r.getDouble(2) == math.floor(n / total * 1e6 + 0.5) / 1e6)
+      assert(r.getDouble(3) == math.floor(n * nKeys / total * 1e6 + 0.5) / 1e6)
+    }
+  }
+
+  test("q_agg_25_weighted_median: matches a direct cumulative-weight replication") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_returnflag", "l_extendedprice", "l_quantity").collect()
+      .map(r => (r.getString(0),
+        math.floor(r.getDouble(1) * 100 + 0.5).toLong, r.getDouble(2).toLong))
+    val expected = li.groupBy(_._1).map { case (flag, rs) =>
+      val sorted = rs.sortBy(_._2)
+      val tw = sorted.map(_._3).sum
+      var cw = 0L
+      val v = sorted.find { r => cw += r._3; cw * 2 >= tw }.get._2
+      flag -> math.floor(v.toDouble / 100 * 100 + 0.5) / 100
+    }
+    val got = Registry.byName("q_agg_25_weighted_median").fn(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == expected)
+  }
+
   test("q_sort_4_ntile: buckets within a priority differ by at most one row") {
     val rows = Registry.byName("q_sort_4_ntile").fn(spark, sf).collect()
     rows.groupBy(_.getString(0)).foreach { case (prio, rs) =>
