@@ -393,4 +393,85 @@ object Pipelines {
       .groupBy(col("__ib").as("drop_id"))
       .agg(min("__ia").as("keep_id"), min("__cell").as("cell"), count(lit(1)).as("n_dups"))
   }
+
+  /** Temperature-flattened corpus mixture (generalizes
+    * q_text_19_mixture): per-group quota = min(n, ceil(√n · multiplier))
+    * — sampling rate ∝ n^(−1/2), i.e. the T=2 temperature reweighting a
+    * multilingual pretraining mix applies — filled with the
+    * deterministic bottom-quota-by-hash rows. The multiplier should be
+    * a power of two so the quota arithmetic is FP-exact across engines
+    * (sqrt is IEEE-correctly-rounded; ×2^k is exact). Returns the kept
+    * rows as (idCol, groupCol, rn, quota). One group-keyed aggregate +
+    * one window shuffle; the quota table broadcasts.
+    */
+  def temperatureMixture(df: DataFrame, idCol: String, groupCol: String,
+      multiplier: Int = 8): DataFrame = {
+    val quotas = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+      .select(col(groupCol),
+        least(col("__n"),
+          ceil(sqrt(col("__n").cast("double")) * multiplier).cast("long")).as("quota"))
+    val prio = (pmod(col(idCol), lit(1000000007L)) * 2654435761L) % 1000000007L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(prio, col(idCol))
+    df.select(col(idCol), col(groupCol), row_number().over(w).cast("long").as("rn"))
+      .join(broadcast(quotas), groupCol)
+      .filter(col("rn") <= col("quota"))
+      .select(col(idCol), col(groupCol), col("rn"), col("quota"))
+  }
+
+  /** Group-wise top-k through the native mergeable aggregate
+    * (generalizes q_agg_23_topk_native): ranks the top `k` rows per
+    * group under (ordCol DESC, tie1 ASC, tie2 ASC) without ever sorting
+    * the corpus — map-side combine caps shuffle volume at O(groups·k).
+    * Returns (groupCols..., rnk, ord, tie1, tie2). The tie columns must
+    * uniquely identify rows (SURVEY §2.12 rule 1).
+    */
+  def topKBy(df: DataFrame, groupCols: Seq[String], ordCol: String,
+      tie1: String, tie2: String, k: Int): DataFrame = {
+    graft.expressions.TopKByAgg.register(df.sparkSession)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(expr(s"topk_by($ordCol, $tie1, $tie2, $k)").as("__top"))
+      .select(groupCols.map(col) :+ posexplode(col("__top")).as(Seq("__pos", "__r")): _*)
+      .select(groupCols.map(col) ++ Seq((col("__pos") + 1).cast("long").as("rnk"),
+        col("__r.ord").as(ordCol), col("__r.tie1").as(tie1), col("__r.tie2").as(tie2)): _*)
+  }
+
+  /** Per-dimension z-score standardization of a vector column
+    * (generalizes q_sim_14_standardize): values quantize to 10^-6 units,
+    * per-dim sufficient statistics are exact integer sums (dim-bounded,
+    * broadcast back), z is one double division of exact integers —
+    * bit-identical under any partitioning. Returns the exploded
+    * (idCol, dim, z); dims with zero variance yield NULL z.
+    */
+  def standardize(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val el = df
+      .select(col(idCol), posexplode(col(vecCol)).as(Seq("__pos", "__v")))
+      .select(col(idCol), (col("__pos") + 1).cast("long").as("dim"),
+        floor(col("__v").cast("double") * 1000000 + 0.5).cast("long").as("__vi"))
+    val st = el.groupBy("dim").agg(
+      count(lit(1)).as("__n"), sum("__vi").as("__s1"),
+      sum(col("__vi") * col("__vi")).as("__s2"))
+    val dvar = col("__n") * col("__s2") - col("__s1") * col("__s1")
+    el.join(broadcast(st), "dim")
+      .select(col(idCol), col("dim"),
+        when(dvar > 0,
+          (col("__n") * col("__vi") - col("__s1")).cast("double")
+            / sqrt(dvar.cast("double"))).as("z"))
+  }
+
+  /** Join-key skew profile (generalizes q_dq_15_skew_profile): the topN
+    * heaviest keys with row share and skew ratio (count ÷ mean rows per
+    * key) — run this BEFORE a big shuffle join to choose between plain,
+    * salted, and AQE skew-split plans. One map-side-combinable aggregate
+    * + a 1-row totals broadcast.
+    */
+  def skewProfile(df: DataFrame, keyCol: String, topN: Int = 10): DataFrame = {
+    val f = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    val t = f.agg(sum("n").as("__total"), count(lit(1)).as("__keys"))
+    f.crossJoin(broadcast(t))
+      .select(col(keyCol), col("n"),
+        (col("n").cast("double") / col("__total").cast("double")).as("share"),
+        ((col("n") * col("__keys")).cast("double") / col("__total").cast("double")).as("skew_x"))
+      .orderBy(col("n").desc, col(keyCol)).limit(topN)
+  }
 }

@@ -215,4 +215,44 @@ class PipelinesSpec extends SparkSpec {
     val pinned = Registry.byName("q_sim_13_semdedup").fn(spark, sf).collect().toSeq
     assert(api == pinned)
   }
+
+  test("temperatureMixture == q_text_19_mixture") {
+    val api = Pipelines.temperatureMixture(docs, "doc_id", "lang")
+      .select("doc_id", "lang", "rn", "quota")
+      .orderBy("lang", "rn").collect().toSeq
+    val pinned = Registry.byName("q_text_19_mixture").fn(spark, sf).collect().toSeq
+    assert(api == pinned)
+  }
+
+  test("topKBy == q_agg_23_topk_native") {
+    val li = graft.sources.Tables(spark, sf, "lineitem")
+      .withColumn("l_linenumber", col("l_linenumber").cast("long"))
+    val api = Pipelines.topKBy(li, Seq("l_suppkey"),
+        "l_extendedprice", "l_orderkey", "l_linenumber", 3)
+      .select(col("l_suppkey"), col("rnk"), col("l_extendedprice").as("price"),
+        col("l_orderkey").as("okey"), col("l_linenumber").as("lnum"))
+      .orderBy("l_suppkey", "rnk").collect().toSeq
+    val pinned = Registry.byName("q_agg_23_topk_native").fn(spark, sf).collect().toSeq
+    assert(api == pinned)
+  }
+
+  test("standardize == q_sim_14_standardize") {
+    val e = graft.sources.Tables(spark, sf, "embeddings")
+    val api = Pipelines.standardize(e, "vec_id", "embedding")
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("dim"), round(col("z"), 6).as("z"))
+      .orderBy("vec_id", "dim").collect().toSeq
+    val pinned = Registry.byName("q_sim_14_standardize").fn(spark, sf).collect().toSeq
+    assert(api == pinned)
+  }
+
+  test("skewProfile == q_dq_15_skew_profile") {
+    val li = graft.sources.Tables(spark, sf, "lineitem")
+    val api = Pipelines.skewProfile(li, "l_partkey")
+      .select(col("l_partkey"), col("n"),
+        round(col("share"), 6).as("share"), round(col("skew_x"), 6).as("skew_x"))
+      .orderBy(col("n").desc, col("l_partkey")).collect().toSeq
+    val pinned = Registry.byName("q_dq_15_skew_profile").fn(spark, sf).collect().toSeq
+    assert(api == pinned)
+  }
 }

@@ -9,6 +9,23 @@ import org.apache.spark.sql.functions._
   */
 class Round3cOpsSpec extends SparkSpec {
 
+  test("registry: declared names are unique and well-formed") {
+    val names = Registry.all.map(_.name)
+    assert(names.distinct.length == names.length, "duplicate declared query name")
+    assert(names.forall(_.matches("q_[a-z0-9_]+")))
+  }
+
+  test("plan contracts: broadcast shapes, no corpus-side merge joins") {
+    def plan(n: String): String =
+      Registry.byName(n).fn(spark, sf).queryExecution.executedPlan.toString
+    // boundary/stat/total tables are tiny: they must arrive by broadcast,
+    // never by co-shuffling the corpus
+    assert(plan("q_sort_5_value_bucket").contains("BroadcastExchange"))
+    assert(!plan("q_dq_15_skew_profile").contains("SortMergeJoin"))
+    assert(!plan("q_sim_14_standardize").contains("SortMergeJoin"))
+    assert(!plan("q_text_19_mixture").contains("SortMergeJoin"))
+  }
+
   test("q_agg_23_topk_native: ObjectHashAggregate, zero Window nodes") {
     val df = Registry.byName("q_agg_23_topk_native").fn(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
