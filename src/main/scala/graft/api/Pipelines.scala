@@ -83,6 +83,45 @@ object Pipelines {
     labels.withColumnRenamed("__id", idCol)
   }
 
+  /** BFS hop distances from `source` over an undirected edge list.
+    * Returns (idCol, dist) for REACHABLE nodes only. Each pass relaxes
+    * distances through the frontier (min neighbor dist + 1): one edge
+    * shuffle per pass, passes = eccentricity of the source; per-pass
+    * localCheckpoint truncates lineage exactly like
+    * [[connectedComponents]], and non-convergence within maxIters
+    * throws rather than returning truncated distances.
+    */
+  def bfsDistances(nodes: DataFrame, idCol: String,
+      edges: DataFrame, srcCol: String, dstCol: String,
+      source: Long, maxIters: Int = 25): DataFrame = {
+    val bidir = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .union(edges.select(col(dstCol).as("__src"), col(srcCol).as("__dst")))
+      .localCheckpoint()
+    var dist = nodes.select(col(idCol).as("__id"),
+      when(col(idCol) === source, 0L).as("dist")).localCheckpoint()
+    var changed = 1L
+    var pass = 0
+    while (changed > 0 && pass < maxIters) {
+      val nbr = bidir.join(dist.filter(col("dist").isNotNull),
+          bidir("__dst") === col("__id"))
+        .groupBy(col("__src")).agg(min(col("dist") + 1).as("__nd"))
+        .withColumnRenamed("__src", "__id2")
+      val upd = dist.join(nbr, col("__id") === col("__id2"), "left")
+        .select(col("__id"), col("dist"),
+          when(col("dist").isNull, col("__nd"))
+            .when(col("__nd").isNotNull && col("__nd") < col("dist"), col("__nd"))
+            .otherwise(col("dist")).as("__next"))
+        .localCheckpoint()
+      changed = upd.filter(!(col("__next") <=> col("dist"))).count()
+      dist = upd.select(col("__id"), col("__next").as("dist"))
+      pass += 1
+    }
+    if (changed > 0) throw new IllegalStateException(
+      s"bfsDistances did not converge in $maxIters passes " +
+        s"($changed distances still relaxing) — raise maxIters")
+    dist.filter(col("dist").isNotNull).withColumnRenamed("__id", idCol)
+  }
+
   /** PageRank with dangling-node mass redistribution over a directed
     * edge list. Returns (node, rank) with ranks summing to 1.
     *

@@ -643,6 +643,164 @@ object Round3cOps {
         .agg(round(min(when(col("cw") * 2 >= col("tw"), col("v"))).cast("double") / 100, 2)
           .as("wmedian"))
         .orderBy("l_returnflag")
+    },
+
+    Q("q_join_19_interval_overlap",
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS tus FROM events),
+        |s0 AS (SELECT user_id, tus,
+        |  CASE WHEN lag(tus) OVER uw IS NULL
+        |       OR tus - lag(tus) OVER uw > 3600000000 THEN 1 ELSE 0 END AS brk
+        | FROM ev WINDOW uw AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |s1 AS (SELECT user_id, tus, sum(brk) OVER (PARTITION BY user_id ORDER BY tus
+        |        ROWS UNBOUNDED PRECEDING) AS sid FROM s0),
+        |sess AS (SELECT user_id, min(tus) AS s1s, max(tus) AS s1e FROM s1 GROUP BY user_id, sid),
+        |er AS (SELECT event_id, epoch_us(ts::TIMESTAMP) AS tus FROM events
+        |       WHERE event_type = 'error'),
+        |i0 AS (SELECT tus, CASE WHEN lag(tus) OVER iw IS NULL
+        |        OR tus - lag(tus) OVER iw > 1800000000 THEN 1 ELSE 0 END AS brk
+        | FROM er WINDOW iw AS (ORDER BY tus, event_id)),
+        |i1 AS (SELECT tus, sum(brk) OVER (ORDER BY tus ROWS UNBOUNDED PRECEDING) AS iid FROM i0),
+        |inc AS (SELECT min(tus) AS i2s, max(tus) + 300000000 AS i2e FROM i1 GROUP BY iid)
+        |SELECT user_id, s1s AS sess_s, i2s AS inc_s,
+        | least(s1e, i2e) - greatest(s1s, i2s) AS overlap_us
+        |FROM sess JOIN inc ON s1s <= i2e AND i2s <= s1e
+        |ORDER BY user_id, sess_s, inc_s""".stripMargin) { (s, d) =>
+      // Interval×interval OVERLAP join: per-user activity sessions
+      // (1 h gap islands) × global error incidents (30 min gap islands,
+      // +5 min cooldown) — "which incidents touched which sessions", the
+      // temporal-correlation join an observability pipeline runs. The
+      // naive form is an inequality join (quadratic); the engine form
+      // BUCKETIZES both interval sets to the epoch hours they touch,
+      // equi-joins on the hour, dedups, and re-checks the exact
+      // predicate — a superset-then-filter band join whose cost is
+      // O(intervals · buckets-touched + true pairs), the standard
+      // overlap-join-at-scale shape (same philosophy as
+      // RangeBandJoinRule, generalized to two variable-width sides).
+      // All arithmetic is integer epoch-µs; the oracle runs the naive
+      // inequality join — identical pairs prove the banding lossless.
+      val ev = Tables(s, d, "events")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
+      val uw = Window.partitionBy("user_id").orderBy("tus", "event_id")
+      val runW = Window.partitionBy("user_id").orderBy("tus")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sess = ev
+        .withColumn("brk", when(lag("tus", 1).over(uw).isNull
+          || col("tus") - lag("tus", 1).over(uw) > 3600000000L, 1).otherwise(0))
+        .withColumn("sid", sum("brk").over(runW))
+        .groupBy("user_id", "sid")
+        .agg(min("tus").as("s1s"), max("tus").as("s1e"))
+        .drop("sid")
+      // global (un-keyed) windows are fine for the incident stream: it is
+      // error-filtered and tiny next to the fact; at scale incidents
+      // would derive per calendar-day partition with boundary stitching
+      val iw = Window.orderBy("tus", "event_id")
+      val irunW = Window.orderBy("tus")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val inc = Tables(s, d, "events").filter(col("event_type") === "error")
+        .select(col("event_id"), unix_micros(col("ts")).as("tus"))
+        .withColumn("brk", when(lag("tus", 1).over(iw).isNull
+          || col("tus") - lag("tus", 1).over(iw) > 1800000000L, 1).otherwise(0))
+        .withColumn("iid", sum("brk").over(irunW))
+        .groupBy("iid")
+        .agg(min("tus").as("i2s"), (max("tus") + 300000000L).as("i2e"))
+        .drop("iid")
+      val sessB = sess.withColumn("bkt",
+        explode(sequence(expr("s1s div 3600000000"), expr("s1e div 3600000000"))))
+      val incB = inc.withColumn("bkt",
+        explode(sequence(expr("i2s div 3600000000"), expr("i2e div 3600000000"))))
+      sessB.join(incB, "bkt")
+        .select("user_id", "s1s", "s1e", "i2s", "i2e").distinct()
+        .filter(col("s1s") <= col("i2e") && col("i2s") <= col("s1e"))
+        .select(col("user_id"), col("s1s").as("sess_s"), col("i2s").as("inc_s"),
+          (least(col("s1e"), col("i2e")) - greatest(col("s1s"), col("i2s"))).as("overlap_us"))
+        .orderBy("user_id", "sess_s", "inc_s")
+    },
+
+    Q("q_graph_6_bfs",
+      """WITH RECURSIVE e AS (SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+        |  FROM lineitem a JOIN lineitem b
+        |   ON a.l_orderkey = b.l_orderkey AND a.l_linenumber + 1 = b.l_linenumber
+        |  WHERE a.l_suppkey <> b.l_suppkey AND a.l_orderkey % 200 = 0),
+        |bidir AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        |nodes AS (SELECT DISTINCT src AS node FROM bidir),
+        |s AS (SELECT min(node) AS root FROM nodes),
+        |walk(node, d) AS (
+        |  SELECT root, 0 FROM s
+        |  UNION
+        |  SELECT b.dst, w.d + 1 FROM walk w JOIN bidir b ON b.src = w.node WHERE w.d < 40)
+        |SELECT node, CAST(min(d) AS BIGINT) AS dist FROM walk
+        |GROUP BY node ORDER BY node""".stripMargin) { (s, d) =>
+      // BFS hop distances from the minimum-id node over the sampled
+      // handoff graph (q_graph_4's graph) — the shortest-path primitive
+      // completing the graph family (components, pagerank, two-hop,
+      // triangles). Spark side is `Pipelines.bfsDistances`: iterative
+      // frontier relaxation, one edge shuffle per pass, passes = source
+      // eccentricity, localCheckpoint per round, loud non-convergence.
+      // Only REACHED nodes are emitted (the sampled graph is
+      // disconnected by construction). The oracle walks the same graph
+      // with a bounded recursive CTE and takes min hop per node —
+      // identical fixpoint, engine-appropriate form.
+      val li = Tables(s, d, "lineitem").filter(col("l_orderkey") % 200 === 0)
+      val a = li.select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+        col("l_suppkey").as("src"))
+      val b = li.select(col("l_orderkey").as("ok2"), col("l_linenumber").as("ln2"),
+        col("l_suppkey").as("dst"))
+      val edges = a.join(b, col("ok") === col("ok2") && (col("ln") + 1) === col("ln2"))
+        .filter(col("src") =!= col("dst"))
+        .select("src", "dst").distinct()
+      val nodes = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct()
+      // one O(1-row) driver action to pick the root (same budget class
+      // as the BPE argmax / convergence counts)
+      val root = nodes.agg(min("node")).head().getLong(0)
+      graft.api.Pipelines.bfsDistances(nodes, "node", edges, "src", "dst", root, maxIters = 40)
+        .orderBy("node")
+    },
+
+    Q("q_agg_26_spearman",
+      """WITH c AS (SELECT l_returnflag AS f,
+        |  CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS q,
+        |  CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS p FROM lineitem),
+        |r AS (SELECT f,
+        |  2 * rank() OVER (PARTITION BY f ORDER BY q) + count(*) OVER (PARTITION BY f, q) - 1 AS rx,
+        |  2 * rank() OVER (PARTITION BY f ORDER BY p) + count(*) OVER (PARTITION BY f, p) - 1 AS ry,
+        |  count(*) OVER (PARTITION BY f) AS n
+        | FROM c)
+        |SELECT f AS l_returnflag,
+        | CASE WHEN sum((rx - n - 1) * (rx - n - 1)) > 0 AND sum((ry - n - 1) * (ry - n - 1)) > 0
+        |  THEN floor((CAST(sum((rx - n - 1) * (ry - n - 1)) AS DOUBLE)
+        |    / sqrt(CAST(sum((rx - n - 1) * (rx - n - 1)) AS DOUBLE)
+        |         * CAST(sum((ry - n - 1) * (ry - n - 1)) AS DOUBLE))) * 1000000 + 0.5) / 1000000
+        | END AS spearman
+        |FROM r GROUP BY f ORDER BY f""".stripMargin) { (s, d) =>
+      // Spearman rank correlation per return flag — the robust
+      // (monotonic, outlier-insensitive) companion to Pearson
+      // (q_agg_21/q_win_11). Tie handling is the textbook average-rank,
+      // kept INTEGER by doubling: 2·avg_rank = 2·rank() + ties − 1, so
+      // the centered sums Σ dx·dy are exact integer aggregates and the
+      // final value is one double division — bit-identical across
+      // engines under any tie order (rank() and the tie count are
+      // order-independent). Bounds: |d| < 2n, Σ ≤ 4n³ — exact in BIGINT
+      // through sf1; beyond that the sums move to DECIMAL(38). Three
+      // window sorts + one aggregate, all on the group key.
+      val c = Tables(s, d, "lineitem").select(col("l_returnflag").as("f"),
+        floor(col("l_quantity") * 100 + 0.5).cast("long").as("q"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("p"))
+      val r = c.select(col("f"),
+        (rank().over(Window.partitionBy("f").orderBy("q")).cast("long") * 2
+          + count(lit(1)).over(Window.partitionBy("f", "q")) - 1).as("rx"),
+        (rank().over(Window.partitionBy("f").orderBy("p")).cast("long") * 2
+          + count(lit(1)).over(Window.partitionBy("f", "p")) - 1).as("ry"),
+        count(lit(1)).over(Window.partitionBy("f")).as("n"))
+      val dx = col("rx") - col("n") - 1
+      val dy = col("ry") - col("n") - 1
+      r.groupBy("f")
+        .agg(sum(dx * dy).as("sxy"), sum(dx * dx).as("sxx"), sum(dy * dy).as("syy"))
+        .select(col("f").as("l_returnflag"),
+          when(col("sxx") > 0 && col("syy") > 0,
+            round(col("sxy").cast("double")
+              / sqrt(col("sxx").cast("double") * col("syy").cast("double")), 6)).as("spearman"))
+        .orderBy("l_returnflag")
     })
 
   /** Render the doc's bytes as a 16×16 grayscale image, round-trip

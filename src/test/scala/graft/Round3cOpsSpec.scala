@@ -315,6 +315,100 @@ class Round3cOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("q_join_19_interval_overlap: bucketized band equals the naive inequality join") {
+    val out = Registry.byName("q_join_19_interval_overlap").fn(spark, sf)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(3) >= 0), "emitted pairs must truly overlap")
+    // re-derive both interval sets and join naively (quadratic — fine at
+    // sf0.001) to prove the hour-bucket candidate generation lost nothing
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.sources.Tables(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
+    val uw = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    val runW = Window.partitionBy("user_id").orderBy("tus")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = ev
+      .withColumn("brk", when(lag("tus", 1).over(uw).isNull
+        || col("tus") - lag("tus", 1).over(uw) > 3600000000L, 1).otherwise(0))
+      .withColumn("sid", sum("brk").over(runW))
+      .groupBy("user_id", "sid").agg(min("tus").as("s1s"), max("tus").as("s1e"))
+    val iw = Window.orderBy("tus", "event_id")
+    val irunW = Window.orderBy("tus").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inc = graft.sources.Tables(spark, sf, "events")
+      .filter(col("event_type") === "error")
+      .select(col("event_id"), unix_micros(col("ts")).as("tus"))
+      .withColumn("brk", when(lag("tus", 1).over(iw).isNull
+        || col("tus") - lag("tus", 1).over(iw) > 1800000000L, 1).otherwise(0))
+      .withColumn("iid", sum("brk").over(irunW))
+      .groupBy("iid").agg(min("tus").as("i2s"), (max("tus") + 300000000L).as("i2e"))
+    val naive = sess.crossJoin(inc)
+      .filter(col("s1s") <= col("i2e") && col("i2s") <= col("s1e"))
+      .select(col("user_id"), col("s1s"), col("i2s"))
+      .orderBy("user_id", "s1s", "i2s").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val banded = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(banded == naive, "band join must emit exactly the true overlap pairs")
+  }
+
+  test("q_graph_6_bfs: root at distance 0, every node reached through a parent") {
+    val rows = Registry.byName("q_graph_6_bfs").fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.nonEmpty)
+    val root = rows.keys.min
+    assert(rows(root) == 0L, "source node must be at distance 0")
+    assert(rows.values.forall(_ >= 0))
+    // BFS invariant: every non-root reached node has distance = some
+    // neighbor's distance + 1 (checked against the re-derived edge list)
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_orderkey") % 200 === 0)
+      .select("l_orderkey", "l_linenumber", "l_suppkey").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // (okey, ln) is NOT unique in the fixtures: keep ALL suppkeys per
+    // line number and cross them, as the join-based derivation does
+    val edges = li.groupBy(_._1).values.flatMap { rs =>
+      val byLn = rs.groupBy(_._2).map { case (ln, g) => ln -> g.map(_._3).toSet }
+      byLn.flatMap { case (ln, ss) =>
+        byLn.getOrElse(ln + 1, Set.empty[Long])
+          .flatMap(t => ss.filter(_ != t).map(s => Set(s, t)))
+      }
+    }.toSet
+    val nbrs = rows.keys.map { n =>
+      n -> rows.keys.filter(m => m != n && edges.contains(Set(n, m)))
+    }.toMap
+    rows.filter(_._1 != root).foreach { case (n, dist) =>
+      assert(nbrs(n).exists(m => rows(m) == dist - 1),
+        s"node $n at dist $dist must have a parent at dist ${dist - 1}")
+    }
+  }
+
+  test("q_agg_26_spearman: matches an average-rank replication") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_returnflag", "l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getString(0),
+        math.floor(r.getDouble(1) * 100 + 0.5).toLong,
+        math.floor(r.getDouble(2) * 100 + 0.5).toLong))
+    def doubledAvgRanks(vs: Seq[Long]): Map[Long, Long] = {
+      val sorted = vs.sorted
+      val first = sorted.zipWithIndex.groupBy(_._1).map { case (v, g) => v -> (g.head._2 + 1L) }
+      val cnt = vs.groupBy(identity).map { case (v, g) => v -> g.length.toLong }
+      first.map { case (v, r) => v -> (2 * r + cnt(v) - 1) }
+    }
+    val expected = li.groupBy(_._1).map { case (flag, rs) =>
+      val n = rs.length.toLong
+      val rq = doubledAvgRanks(rs.map(_._2).toSeq)
+      val rp = doubledAvgRanks(rs.map(_._3).toSeq)
+      val ds = rs.map(r => (rq(r._2) - n - 1, rp(r._3) - n - 1))
+      val sxy = ds.map { case (a, b) => a * b }.sum
+      val sxx = ds.map { case (a, _) => a * a }.sum
+      val syy = ds.map { case (_, b) => b * b }.sum
+      flag -> math.floor(sxy.toDouble / math.sqrt(sxx.toDouble * syy.toDouble) * 1e6 + 0.5) / 1e6
+    }
+    val got = Registry.byName("q_agg_26_spearman").fn(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == expected)
+  }
+
   test("q_sort_4_ntile: buckets within a priority differ by at most one row") {
     val rows = Registry.byName("q_sort_4_ntile").fn(spark, sf).collect()
     rows.groupBy(_.getString(0)).foreach { case (prio, rs) =>
