@@ -801,6 +801,92 @@ object Round3cOps {
             round(col("sxy").cast("double")
               / sqrt(col("sxx").cast("double") * col("syy").cast("double")), 6)).as("spearman"))
         .orderBy("l_returnflag")
+    },
+
+    Q("q_stat_1_chisq",
+      """WITH o AS (SELECT lang, source, count(*) AS obs FROM documents GROUP BY lang, source),
+        |r AS (SELECT lang, count(*) AS rt FROM documents GROUP BY lang),
+        |c AS (SELECT source, count(*) AS ct FROM documents GROUP BY source),
+        |n AS (SELECT count(*) AS total FROM documents)
+        |SELECT r.lang, c.source, coalesce(o.obs, 0) AS obs,
+        | floor((CAST(r.rt * c.ct AS DOUBLE) / total) * 1000000 + 0.5) / 1000000 AS expected,
+        | floor((
+        |   (coalesce(o.obs, 0) - CAST(r.rt * c.ct AS DOUBLE) / total)
+        |   * (coalesce(o.obs, 0) - CAST(r.rt * c.ct AS DOUBLE) / total)
+        |   / (CAST(r.rt * c.ct AS DOUBLE) / total)) * 1000000 + 0.5) / 1000000 AS contrib
+        |FROM r CROSS JOIN c CROSS JOIN n
+        |LEFT JOIN o ON o.lang = r.lang AND o.source = c.source
+        |ORDER BY r.lang, c.source""".stripMargin) { (s, d) =>
+      // Chi-square contingency analysis (lang × source independence):
+      // per-cell observed, expected = row·col/total, and the cell's χ²
+      // contribution — the statistical screen for "is my corpus mix
+      // confounded" (e.g. one source dominating one language). Emitted
+      // PER CELL rather than as one χ² total: the total is a float SUM
+      // over cells whose accumulation order differs across engines,
+      // while each cell's contribution is a fixed IEEE expression over
+      // exact integers (standing determinism discipline — same reason
+      // q_sim_14 never sums floats). The full grid (row-totals ×
+      // col-totals, zero-filled) keeps absent cells visible — they carry
+      // the largest contributions. Three tiny aggregates + a broadcast
+      // grid join; the fact is scanned once per marginal (one pass with
+      // grouping sets at 100 TB).
+      val docs = Tables(s, d, "documents")
+      val o = docs.groupBy("lang", "source").agg(count(lit(1)).as("obs"))
+      val r = docs.groupBy("lang").agg(count(lit(1)).as("rt"))
+      val c = docs.groupBy("source").agg(count(lit(1)).as("ct"))
+      val n = docs.agg(count(lit(1)).as("total"))
+      val exp = (col("rt") * col("ct")).cast("double") / col("total")
+      val obs = coalesce(col("obs"), lit(0L))
+      r.crossJoin(c).crossJoin(broadcast(n))
+        .join(o, Seq("lang", "source"), "left")
+        .select(col("lang"), col("source"), obs.as("obs"),
+          round(exp, 6).as("expected"),
+          round((obs - exp) * (obs - exp) / exp, 6).as("contrib"))
+        .orderBy("lang", "source")
+    },
+
+    Q("q_stat_2_abtest",
+      """WITH g AS (SELECT user_id % 2 AS grp,
+        |  count(*) AS n,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS k
+        | FROM events GROUP BY user_id % 2),
+        |w AS (SELECT
+        |  max(CASE WHEN grp = 0 THEN n END) AS n0, max(CASE WHEN grp = 0 THEN k END) AS k0,
+        |  max(CASE WHEN grp = 1 THEN n END) AS n1, max(CASE WHEN grp = 1 THEN k END) AS k1
+        | FROM g)
+        |SELECT n0, k0, n1, k1,
+        | floor((CAST(k0 AS DOUBLE) / n0) * 1000000 + 0.5) / 1000000 AS p0,
+        | floor((CAST(k1 AS DOUBLE) / n1) * 1000000 + 0.5) / 1000000 AS p1,
+        | floor(((CAST(k0 AS DOUBLE) / n0 - CAST(k1 AS DOUBLE) / n1)
+        |   / sqrt((CAST(k0 + k1 AS DOUBLE) / (n0 + n1))
+        |        * (1 - CAST(k0 + k1 AS DOUBLE) / (n0 + n1))
+        |        * (CAST(1 AS DOUBLE) / n0 + CAST(1 AS DOUBLE) / n1))) * 1000000 + 0.5) / 1000000
+        |  AS z_score
+        |FROM w""".stripMargin) { (s, d) =>
+      // Two-proportion z-test (A/B test readout): purchase conversion of
+      // the two deterministic user halves, pooled-variance z-score — the
+      // experiment-analysis primitive. The entire statistic is ONE fixed
+      // IEEE expression over four exact integer counts (no float
+      // aggregation anywhere), so both engines agree bit-for-bit. One
+      // map-side-combinable aggregate over the fact; the z-score math is
+      // a 1-row projection. At 100 TB: identical — the aggregate is the
+      // only thing that touches data.
+      val g = Tables(s, d, "events")
+        .groupBy((col("user_id") % 2).as("grp"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("k"))
+      val w = g.agg(
+        max(when(col("grp") === 0, col("n"))).as("n0"),
+        max(when(col("grp") === 0, col("k"))).as("k0"),
+        max(when(col("grp") === 1, col("n"))).as("n1"),
+        max(when(col("grp") === 1, col("k"))).as("k1"))
+      val p0 = col("k0").cast("double") / col("n0")
+      val p1 = col("k1").cast("double") / col("n1")
+      val pp = (col("k0") + col("k1")).cast("double") / (col("n0") + col("n1"))
+      w.select(col("n0"), col("k0"), col("n1"), col("k1"),
+        round(p0, 6).as("p0"), round(p1, 6).as("p1"),
+        round((p0 - p1) / sqrt(pp * (lit(1) - pp)
+          * (lit(1.0) / col("n0") + lit(1.0) / col("n1"))), 6).as("z_score"))
     })
 
   /** Render the doc's bytes as a 16×16 grayscale image, round-trip

@@ -409,6 +409,27 @@ class Round3cOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("q_stat_1_chisq: full grid, marginals reconcile, contributions non-negative") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val total = docs.count()
+    val nLangs = docs.select("lang").distinct().count()
+    val nSources = docs.select("source").distinct().count()
+    val rows = Registry.byName("q_stat_1_chisq").fn(spark, sf).collect()
+    assert(rows.length == nLangs * nSources, "every (lang, source) cell must appear")
+    assert(rows.map(_.getLong(2)).sum == total, "observed counts must sum to the corpus")
+    assert(rows.forall(_.getDouble(4) >= 0))
+  }
+
+  test("q_stat_2_abtest: counts reconcile and z sign follows the rate difference") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val r = Registry.byName("q_stat_2_abtest").fn(spark, sf).collect()(0)
+    assert(r.getLong(0) + r.getLong(2) == ev.count())
+    val k0 = ev.filter(col("user_id") % 2 === 0 && col("event_type") === "purchase").count()
+    assert(r.getLong(1) == k0)
+    assert((r.getDouble(6) > 0) == (r.getDouble(4) > r.getDouble(5))
+      || r.getDouble(6) == 0.0)
+  }
+
   test("q_sort_4_ntile: buckets within a priority differ by at most one row") {
     val rows = Registry.byName("q_sort_4_ntile").fn(spark, sf).collect()
     rows.groupBy(_.getString(0)).foreach { case (prio, rs) =>
