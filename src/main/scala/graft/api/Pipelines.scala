@@ -84,9 +84,12 @@ object Pipelines {
   }
 
   /** BFS hop distances from `source` over an undirected edge list.
-    * Returns (idCol, dist) for REACHABLE nodes only. Each pass relaxes
-    * distances through the frontier (min neighbor dist + 1): one edge
-    * shuffle per pass, passes = eccentricity of the source; per-pass
+    * Returns (idCol, dist) for REACHABLE nodes only. Level-synchronous:
+    * each pass expands ONLY the current frontier (nodes discovered last
+    * pass) — unweighted BFS settles a node the first time it is seen,
+    * so settled distances never need re-relaxing and total work is
+    * O(E) across all passes, not O(E · eccentricity). One frontier-edge
+    * shuffle per pass, passes = source eccentricity; per-pass
     * localCheckpoint truncates lineage exactly like
     * [[connectedComponents]], and non-convergence within maxIters
     * throws rather than returning truncated distances.
@@ -99,26 +102,24 @@ object Pipelines {
       .localCheckpoint()
     var dist = nodes.select(col(idCol).as("__id"),
       when(col(idCol) === source, 0L).as("dist")).localCheckpoint()
-    var changed = 1L
+    var discovered = 1L
     var pass = 0
-    while (changed > 0 && pass < maxIters) {
-      val nbr = bidir.join(dist.filter(col("dist").isNotNull),
-          bidir("__dst") === col("__id"))
-        .groupBy(col("__src")).agg(min(col("dist") + 1).as("__nd"))
-        .withColumnRenamed("__src", "__id2")
-      val upd = dist.join(nbr, col("__id") === col("__id2"), "left")
-        .select(col("__id"), col("dist"),
-          when(col("dist").isNull, col("__nd"))
-            .when(col("__nd").isNotNull && col("__nd") < col("dist"), col("__nd"))
-            .otherwise(col("dist")).as("__next"))
+    while (discovered > 0 && pass < maxIters) {
+      val frontier = dist.filter(col("dist") === pass).select(col("__id").as("__fid"))
+      val reached = bidir.join(frontier, bidir("__dst") === col("__fid"))
+        .select(col("__src").as("__rid")).distinct()
+      val upd = dist.join(reached, col("__id") === col("__rid"), "left")
+        .select(col("__id"),
+          when(col("dist").isNull && col("__rid").isNotNull, lit(pass + 1).cast("long"))
+            .otherwise(col("dist")).as("dist"))
         .localCheckpoint()
-      changed = upd.filter(!(col("__next") <=> col("dist"))).count()
-      dist = upd.select(col("__id"), col("__next").as("dist"))
+      discovered = upd.filter(col("dist") === pass + 1).count()
+      dist = upd
       pass += 1
     }
-    if (changed > 0) throw new IllegalStateException(
+    if (discovered > 0) throw new IllegalStateException(
       s"bfsDistances did not converge in $maxIters passes " +
-        s"($changed distances still relaxing) — raise maxIters")
+        s"(frontier still expanding) — raise maxIters")
     dist.filter(col("dist").isNotNull).withColumnRenamed("__id", idCol)
   }
 

@@ -25,9 +25,14 @@ import scala.collection.mutable
   * makes it safe at 1000 executors.
   *
   * Ordering is total and explicit: ord DESC, then tie1 ASC, tie2 ASC
-  * (callers pass unique tiebreak keys; SURVEY §2.12 rule 1). Returns the
-  * winners as an array<struct<ord,tie1,tie2>> in rank order — callers
-  * `posexplode` it to get (rank, row).
+  * (callers pass unique tiebreak keys; SURVEY §2.12 rule 1). NaN ord
+  * values rank GREATEST (java.lang.Double.compare semantics — the same
+  * convention as Spark's sort, and what keeps the comparator
+  * transitive). Rows where ord or a tie key is NULL are skipped, like
+  * any Spark aggregate input — note this DIVERGES from the row_number
+  * window idiom, which ranks null-keyed rows instead of dropping them.
+  * Returns the winners as an array<struct<ord,tie1,tie2>> in rank
+  * order — callers `posexplode` it to get (rank, row).
   */
 case class TopKByAgg(
     ord: Expression,
@@ -45,10 +50,16 @@ case class TopKByAgg(
   override def createAggregationBuffer(): mutable.ArrayBuffer[(Double, Long, Long)] =
     mutable.ArrayBuffer.empty
 
-  /** true iff x ranks strictly before y (ord DESC, tie1 ASC, tie2 ASC). */
-  private def beats(x: (Double, Long, Long), y: (Double, Long, Long)): Boolean =
-    x._1 > y._1 || (x._1 == y._1 &&
+  /** true iff x ranks strictly before y (ord DESC, tie1 ASC, tie2 ASC).
+    * Double.compare (not raw >) keeps the comparator total when NaN
+    * appears: NaN compares greatest, so sortWith never sees the
+    * contract-violating `NaN > x == false && x > NaN == false` case.
+    */
+  private def beats(x: (Double, Long, Long), y: (Double, Long, Long)): Boolean = {
+    val c = java.lang.Double.compare(x._1, y._1)
+    c > 0 || (c == 0 &&
       (x._2 < y._2 || (x._2 == y._2 && x._3 < y._3)))
+  }
 
   private def compact(buf: mutable.ArrayBuffer[(Double, Long, Long)]): Unit =
     if (buf.length > k) {

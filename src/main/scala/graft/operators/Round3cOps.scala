@@ -287,8 +287,9 @@ object Round3cOps {
     },
 
     Q("q_mm_5_phash",
-      """WITH px AS (SELECT doc_id, i, ascii(substring(text, (i % len(text)) + 1, 1)) AS v
-        |  FROM documents, (SELECT unnest(range(0, 256)) AS i) WHERE doc_id < 100),
+      """WITH px AS (SELECT doc_id, i, ascii(substring(text, (i % len(text)) + 1, 1)) % 256 AS v
+        |  FROM documents, (SELECT unnest(range(0, 256)) AS i)
+        |  WHERE doc_id < 100 AND len(text) > 0),
         |blk AS (SELECT doc_id, ((i // 16) // 2) * 8 + ((i % 16) // 2) AS b, sum(v) AS s4
         |        FROM px GROUP BY doc_id, ((i // 16) // 2) * 8 + ((i % 16) // 2)),
         |tot AS (SELECT doc_id, sum(s4) AS s256 FROM blk GROUP BY doc_id),
@@ -315,7 +316,8 @@ object Round3cOps {
       // candidate step is hash-band bucketing exactly like q_dedup_4's
       // SimHash bands — the phash IS a 64-bit SimHash of the image.
       import s.implicits._
-      val h = Tables(s, d, "documents").filter(col("doc_id") < 100)
+      val h = Tables(s, d, "documents")
+        .filter(col("doc_id") < 100 && length(col("text")) > 0)
         .select("doc_id", "text").as[(Long, String)]
         .mapPartitions(_.map { case (id, t) => phashOf(id, t) })
         .toDF().localCheckpoint() // decode once; the pair join probes it twice
@@ -332,7 +334,8 @@ object Round3cOps {
     Q("q_stream_12_stream_static",
       """SELECT time_bucket(INTERVAL '15 minutes', e.ts::TIMESTAMP) AS win_start,
         | c.c_mktsegment AS segment, count(*) AS n,
-        | floor((sum(e.value)) * 100 + 0.5) / 100 AS sum_value
+        | floor((CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100)
+        |   * 100 + 0.5) / 100 AS sum_value
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1, 2 ORDER BY win_start, segment""".stripMargin) { (s, d) =>
       // Stream-static enrichment: events joined to a broadcast customer
@@ -347,7 +350,7 @@ object Round3cOps {
         .enrichedSegmentCounts(Tables(s, d, "events"), Tables(s, d, "customer"))
         .select(col("window.start").as("win_start"),
           col("c_mktsegment").as("segment"), col("n"),
-          round(col("sum_value_raw"), 2).as("sum_value"))
+          round(col("sum_cents").cast("double") / 100, 2).as("sum_value"))
         .orderBy("win_start", "segment")
     },
 
@@ -647,19 +650,20 @@ object Round3cOps {
 
     Q("q_join_19_interval_overlap",
       """WITH ev AS (SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS tus FROM events),
-        |s0 AS (SELECT user_id, tus,
+        |s0 AS (SELECT user_id, event_id, tus,
         |  CASE WHEN lag(tus) OVER uw IS NULL
         |       OR tus - lag(tus) OVER uw > 3600000000 THEN 1 ELSE 0 END AS brk
         | FROM ev WINDOW uw AS (PARTITION BY user_id ORDER BY tus, event_id)),
-        |s1 AS (SELECT user_id, tus, sum(brk) OVER (PARTITION BY user_id ORDER BY tus
-        |        ROWS UNBOUNDED PRECEDING) AS sid FROM s0),
+        |s1 AS (SELECT user_id, tus, sum(brk) OVER (PARTITION BY user_id
+        |        ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM s0),
         |sess AS (SELECT user_id, min(tus) AS s1s, max(tus) AS s1e FROM s1 GROUP BY user_id, sid),
         |er AS (SELECT event_id, epoch_us(ts::TIMESTAMP) AS tus FROM events
         |       WHERE event_type = 'error'),
-        |i0 AS (SELECT tus, CASE WHEN lag(tus) OVER iw IS NULL
+        |i0 AS (SELECT event_id, tus, CASE WHEN lag(tus) OVER iw IS NULL
         |        OR tus - lag(tus) OVER iw > 1800000000 THEN 1 ELSE 0 END AS brk
         | FROM er WINDOW iw AS (ORDER BY tus, event_id)),
-        |i1 AS (SELECT tus, sum(brk) OVER (ORDER BY tus ROWS UNBOUNDED PRECEDING) AS iid FROM i0),
+        |i1 AS (SELECT tus, sum(brk) OVER (ORDER BY tus, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS iid FROM i0),
         |inc AS (SELECT min(tus) AS i2s, max(tus) + 300000000 AS i2e FROM i1 GROUP BY iid)
         |SELECT user_id, s1s AS sess_s, i2s AS inc_s,
         | least(s1e, i2e) - greatest(s1s, i2s) AS overlap_us
@@ -681,7 +685,10 @@ object Round3cOps {
       val ev = Tables(s, d, "events")
         .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
       val uw = Window.partitionBy("user_id").orderBy("tus", "event_id")
-      val runW = Window.partitionBy("user_id").orderBy("tus")
+      // the running sum carries the SAME (tus, event_id) total order as
+      // the brk window: µs-tied rows at a session break would otherwise
+      // get engine-dependent session ids
+      val runW = Window.partitionBy("user_id").orderBy("tus", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val sess = ev
         .withColumn("brk", when(lag("tus", 1).over(uw).isNull
@@ -694,7 +701,7 @@ object Round3cOps {
       // error-filtered and tiny next to the fact; at scale incidents
       // would derive per calendar-day partition with boundary stitching
       val iw = Window.orderBy("tus", "event_id")
-      val irunW = Window.orderBy("tus")
+      val irunW = Window.orderBy("tus", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val inc = Tables(s, d, "events").filter(col("event_type") === "error")
         .select(col("event_id"), unix_micros(col("ts")).as("tus"))
@@ -745,11 +752,13 @@ object Round3cOps {
         col("l_suppkey").as("src"))
       val b = li.select(col("l_orderkey").as("ok2"), col("l_linenumber").as("ln2"),
         col("l_suppkey").as("dst"))
+      // checkpoint the self-join ONCE (the q_graph_2 lesson): the root
+      // pick, bidir construction, and initial distances all reuse it
       val edges = a.join(b, col("ok") === col("ok2") && (col("ln") + 1) === col("ln2"))
         .filter(col("src") =!= col("dst"))
-        .select("src", "dst").distinct()
+        .select("src", "dst").distinct().localCheckpoint()
       val nodes = edges.select(col("src").as("node"))
-        .union(edges.select(col("dst").as("node"))).distinct()
+        .union(edges.select(col("dst").as("node"))).distinct().localCheckpoint()
       // one O(1-row) driver action to pick the root (same budget class
       // as the BPE argmax / convergence counts)
       val root = nodes.agg(min("node")).head().getLong(0)
@@ -889,7 +898,7 @@ object Round3cOps {
           * (lit(1.0) / col("n0") + lit(1.0) / col("n1"))), 6).as("z_score"))
     })
 
-  /** Render the doc's bytes as a 16×16 grayscale image, round-trip
+  /** Render the doc's characters as a 16×16 grayscale image, round-trip
     * through a REAL PNG encode→decode (javax.imageio — PNG is lossless,
     * which is what makes the hash oracle-checkable), then aHash the
     * decoded raster: 2×2 mean-pool to 8×8 blocks, bit = block mean >
@@ -900,13 +909,15 @@ object Round3cOps {
   final case class PHashRow(doc_id: Long, ph_lo: Long, ph_hi: Long)
 
   private def phashOf(id: Long, text: String): PHashRow = {
-    val bytes = text.getBytes("UTF-8")
     val img = new java.awt.image.BufferedImage(
       16, 16, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     val raster = img.getRaster
     var i = 0
     while (i < 256) {
-      raster.setSample(i % 16, i / 16, 0, bytes(i % bytes.length) & 0xFF)
+      // CHAR-indexed to mirror the oracle's ascii(substring(...)) % 256
+      // exactly — a byte index would diverge on any non-ASCII doc
+      // (UTF-8 length != char length); callers filter empty text
+      raster.setSample(i % 16, i / 16, 0, text.charAt(i % text.length).toInt & 0xFF)
       i += 1
     }
     val baos = new java.io.ByteArrayOutputStream()

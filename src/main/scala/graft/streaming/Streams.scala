@@ -55,7 +55,12 @@ object Streams {
       .join(broadcast(customers.select(col("c_custkey"), col("c_mktsegment"))),
         col("user_id") === col("c_custkey"))
       .groupBy(window(col("ts"), "15 minutes"), col("c_mktsegment"))
-      .agg(count(lit(1)).as("n"), sum("value").as("sum_value_raw"))
+      // value quantizes to integer cents BEFORE summing: a raw double
+      // sum is accumulation-order-dependent (engines/micro-batches
+      // disagree at .xx5 rounding edges — the repo's standing
+      // exact-cents discipline)
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("sum_cents"))
 
   /** Tumbling 1h counts/sums per event_type with a 10min watermark —
     * streaming twin of q_stream_1_tumbling.

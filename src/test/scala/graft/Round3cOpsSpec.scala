@@ -326,7 +326,7 @@ class Round3cOpsSpec extends SparkSpec {
     val ev = graft.sources.Tables(spark, sf, "events")
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
     val uw = Window.partitionBy("user_id").orderBy("tus", "event_id")
-    val runW = Window.partitionBy("user_id").orderBy("tus")
+    val runW = Window.partitionBy("user_id").orderBy("tus", "event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val sess = ev
       .withColumn("brk", when(lag("tus", 1).over(uw).isNull
@@ -334,7 +334,8 @@ class Round3cOpsSpec extends SparkSpec {
       .withColumn("sid", sum("brk").over(runW))
       .groupBy("user_id", "sid").agg(min("tus").as("s1s"), max("tus").as("s1e"))
     val iw = Window.orderBy("tus", "event_id")
-    val irunW = Window.orderBy("tus").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val irunW = Window.orderBy("tus", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val inc = graft.sources.Tables(spark, sf, "events")
       .filter(col("event_type") === "error")
       .select(col("event_id"), unix_micros(col("ts")).as("tus"))
