@@ -896,6 +896,47 @@ object Round3cOps {
         round(p0, 6).as("p0"), round(p1, 6).as("p1"),
         round((p0 - p1) / sqrt(pp * (lit(1) - pp)
           * (lit(1.0) / col("n0") + lit(1.0) / col("n1"))), 6).as("z_score"))
+    },
+
+    Q("q_text_21_token_budget",
+      """WITH q AS (SELECT lang,
+        |  CAST(least(sum(n_chars),
+        |    CAST(ceil(sqrt(CAST(sum(n_chars) AS DOUBLE)) * 64) AS BIGINT)) AS BIGINT) AS budget
+        | FROM documents GROUP BY lang),
+        |r AS (SELECT doc_id, lang, n_chars,
+        |  sum(n_chars) OVER (PARTITION BY lang
+        |    ORDER BY (doc_id % 1000000007) * 2654435761 % 1000000007, doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS cum
+        | FROM documents)
+        |SELECT r.doc_id, r.lang, CAST(r.cum AS BIGINT) AS cum_chars, q.budget
+        |FROM r JOIN q ON r.lang = q.lang WHERE r.cum <= q.budget
+        |ORDER BY r.lang, r.cum, r.doc_id""".stripMargin) { (s, d) =>
+      // Mixture by TOKEN budget, not document count (q_text_19's sibling;
+      // real mixes are specified as "N tokens per domain"): per language,
+      // walk the docs in deterministic hash order and keep the greedy
+      // prefix whose cumulative size fits budget = min(total,
+      // ceil(√total · 64)) — sublinear budgets flatten the mix exactly
+      // like √n doc quotas, and the same FP-exactness argument holds
+      // (IEEE sqrt, ×2^6). The fill is one cumulative-sum window per
+      // language — no driver loop, no second pass; re-running years
+      // later re-derives the identical corpus (the reproducibility
+      // property budget-based sampling usually loses). Window sums are
+      // HUGEINT in the oracle — CAST (the round-2 trap list).
+      val docs = Tables(s, d, "documents")
+      val budgets = docs.groupBy("lang").agg(sum("n_chars").as("tot"))
+        .select(col("lang"),
+          least(col("tot"), ceil(sqrt(col("tot").cast("double")) * 64).cast("long"))
+            .as("budget"))
+      val prio = (pmod(col("doc_id"), lit(1000000007L)) * 2654435761L) % 1000000007L
+      val w = Window.partitionBy("lang").orderBy(prio, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs.select(col("doc_id"), col("lang"), col("n_chars"),
+          sum("n_chars").over(w).as("cum"))
+        .join(broadcast(budgets), "lang")
+        .filter(col("cum") <= col("budget"))
+        .select(col("doc_id"), col("lang"), col("cum").cast("long").as("cum_chars"),
+          col("budget"))
+        .orderBy("lang", "cum_chars", "doc_id")
     })
 
   /** Render the doc's characters as a 16×16 grayscale image, round-trip

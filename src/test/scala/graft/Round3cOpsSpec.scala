@@ -431,6 +431,31 @@ class Round3cOpsSpec extends SparkSpec {
       || r.getDouble(6) == 0.0)
   }
 
+  test("q_text_21_token_budget: greedy prefix is maximal and within budget") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def prio(id: Long): Long = (id % 1000000007L) * 2654435761L % 1000000007L
+    val out = Registry.byName("q_text_21_token_budget").fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    out.groupBy(_._2).foreach { case (lang, rs) =>
+      val budget = rs.head._4
+      val tot = docs.filter(_._2 == lang).map(_._3).sum
+      assert(budget == math.min(tot, math.ceil(math.sqrt(tot.toDouble) * 64).toLong))
+      assert(rs.map(_._3).max <= budget, s"$lang: kept prefix exceeds budget")
+      // maximality: the NEXT doc in hash order would overflow the budget
+      val kept = rs.map(_._1).toSet
+      val ordered = docs.filter(_._2 == lang).sortBy(d => (prio(d._1), d._1))
+      val next = ordered.find(d => !kept.contains(d._1))
+      next.foreach { d =>
+        assert(rs.map(_._3).max + d._3 > budget,
+          s"$lang: doc ${d._1} would still fit — prefix not maximal")
+      }
+      // the kept set IS the prefix (no holes)
+      assert(ordered.takeWhile(d => kept.contains(d._1)).length == kept.size)
+    }
+  }
+
   test("q_sort_4_ntile: buckets within a priority differ by at most one row") {
     val rows = Registry.byName("q_sort_4_ntile").fn(spark, sf).collect()
     rows.groupBy(_.getString(0)).foreach { case (prio, rs) =>
