@@ -87,7 +87,18 @@ object SemiStructured {
 
     // Map construction/access: no canonical cross-engine map ordering →
     // no oracle; the unit test asserts content. Emitted as sorted entries.
-    Q.noOracle("q_map_1_basic") { (s, d) =>
+    Q("q_map_1_basic",
+      """WITH c AS (SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type)
+        |SELECT string_agg(event_type, ',' ORDER BY event_type) AS keys_sorted,
+        | max(CASE WHEN event_type = 'click' THEN cnt END) AS n_click,
+        | CAST(count(*) AS BIGINT) AS n_types FROM c""".stripMargin) { (s, d) =>
+      // Map construction + lookup (map_from_entries / map_keys /
+      // element_at / size). Map KEY ORDER is engine-private, so the
+      // declared output projects order-independent facts (sorted key
+      // list, one lookup, cardinality) — which is exactly what lets the
+      // oracle verify the VALUES in plain SQL while the Spark side
+      // proves the map operators; round-2 kept this row no_oracle, but
+      // the sorted projection never needed that concession.
       val counts = Tables(s, d, "events")
         .groupBy("event_type").agg(count(lit(1)).as("cnt"))
       counts.agg(map_from_entries(sort_array(collect_list(struct(col("event_type"), col("cnt"))))).as("m"))
@@ -113,26 +124,44 @@ object SemiStructured {
         .orderBy("n_nationkey")
     },
 
-    Q.noOracle("q_map_2_hof") { (s, d) =>
+    Q("q_map_2_hof",
+      """WITH s AS (SELECT event_type, count(*) AS cnt,
+        |  sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sc
+        | FROM events GROUP BY event_type)
+        |SELECT
+        | string_agg(event_type || ':' ||
+        |   CAST(CAST(floor((CAST(sc AS DOUBLE) / 100) / cnt * 10000 + 0.5) AS BIGINT) AS VARCHAR),
+        |   ',' ORDER BY event_type) AS avgs_e4,
+        | string_agg(event_type || ':' || CAST(cnt * 2 AS VARCHAR),
+        |   ',' ORDER BY event_type) AS doubled,
+        | CAST(sum(CASE WHEN event_type IN ('click', 'view') THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_clickview
+        |FROM s""".stripMargin) { (s, d) =>
       // Map higher-order functions: transform_values / map_filter /
-      // map_zip_with over per-type event stats. No oracle (map key order
-      // is engine-specific); pinned by unit test + golden on the sorted
-      // projection.
+      // map_zip_with over per-type event stats, projected through sorted
+      // entries so map key order (engine-private) never reaches the
+      // output. Averages are scaled-integer ten-thousandths computed
+      // from exact cents — both the float-sum accumulation order AND
+      // double-to-string formatting differences that kept this row
+      // no_oracle in round 2 are gone, so the oracle verifies the values
+      // while the Spark side proves the map operators.
       val stats = Tables(s, d, "events")
         .groupBy("event_type")
-        .agg(count(lit(1)).as("cnt"), sum("value").as("sv"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(floor(col("value") * 100 + 0.5).cast("long")).as("sc"))
       stats
         .agg(
           map_from_entries(sort_array(collect_list(struct(col("event_type"), col("cnt"))))).as("counts"),
-          map_from_entries(sort_array(collect_list(struct(col("event_type"), col("sv"))))).as("sums"))
+          map_from_entries(sort_array(collect_list(struct(col("event_type"), col("sc"))))).as("sums"))
         .select(
           map_zip_with(col("counts"), col("sums"),
-            (_, c, sv) => round(sv / c, 4)).as("avg_by_type"),
+            (_, c, sc) => floor((sc.cast("double") / 100) / c * 10000 + 0.5).cast("long"))
+            .as("avg_by_type"),
           transform_values(col("counts"), (_, v) => v * 2).as("doubled"),
           map_filter(col("counts"), (k, _) => k.isin("click", "view")).as("clickview"))
         .select(
           concat_ws(",", transform(sort_array(map_entries(col("avg_by_type"))),
-            e => concat(e.getField("key"), lit(":"), e.getField("value").cast("string")))).as("avgs"),
+            e => concat(e.getField("key"), lit(":"), e.getField("value").cast("string")))).as("avgs_e4"),
           concat_ws(",", transform(sort_array(map_entries(col("doubled"))),
             e => concat(e.getField("key"), lit(":"), e.getField("value").cast("string")))).as("doubled"),
           size(col("clickview")).cast("long").as("n_clickview"))

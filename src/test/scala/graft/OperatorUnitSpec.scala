@@ -243,11 +243,13 @@ class OperatorUnitSpec extends SparkSpec {
 
   test("map HOFs: zip_with averages equal direct per-type averages") {
     val r = Registry.byName("q_map_2_hof").fn(spark, sf).collect()(0)
+    // same exact-cents → scaled-integer-e4 arithmetic as the query
     val direct = graft.sources.Tables(spark, sf, "events")
       .groupBy("event_type")
-      .agg(graft.functions.Num.round(sum("value") / count(lit(1)), 4).as("a"))
+      .agg((floor((sum(floor(col("value") * 100 + 0.5).cast("long")).cast("double") / 100)
+        / count(lit(1)) * 10000 + 0.5)).cast("long").as("a"))
       .orderBy("event_type").collect()
-      .map(x => s"${x.getString(0)}:${x.getDouble(1)}").mkString(",")
+      .map(x => s"${x.getString(0)}:${x.getLong(1)}").mkString(",")
     assert(r.getString(0) == direct)
     assert(r.getLong(2) <= 2) // click/view filter keeps at most those two keys
   }
