@@ -27,7 +27,8 @@ object Registry {
       TpchShapes.all ++
       Round2Ops.all ++
       Round3Ops.all ++
-      Round3cOps.all
+      Round3cOps.all ++
+      Round3dOps.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(

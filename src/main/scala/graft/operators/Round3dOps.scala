@@ -1,0 +1,337 @@
+package graft.operators
+
+import graft.Q
+import graft.functions.Num.round
+import graft.functions.TextFunctions.tokens
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-3d additions (SURVEY §2.11g): distribution-comparison tests and
+  * retrieval scoring — the last statistics a data-curation team reaches
+  * for before shipping a training mix (did split A and split B draw from
+  * the same distribution? is this numeric column organically generated or
+  * synthetic/fabricated?) plus the classic lexical ranker (BM25) and a
+  * robust location estimate (trimmed mean).
+  *
+  * Shared discipline (as §2.11e/f): every statistic keeps its sufficient
+  * statistics in BIGINT until one final fixed-shape IEEE expression (the
+  * q_stat_2 precedent), so no float ever aggregates and the result is
+  * bit-identical across engines and partitionings. BM25's per-term float
+  * scores are quantized to 1e-6 BEFORE the per-doc sum, making the
+  * summation an integer reduction with no addition-order hazard.
+  */
+object Round3dOps {
+
+  val all: Seq[Q] = Seq(
+
+    Q("q_stat_3_ks",
+      """WITH s AS (SELECT value AS v, CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia
+        |           FROM events WHERE event_type IN ('click','view')),
+        |pts AS (SELECT v, CAST(sum(ia) AS BIGINT) AS c1, CAST(count(*) - sum(ia) AS BIGINT) AS c2
+        |        FROM s GROUP BY v),
+        |cum AS (SELECT CAST(sum(c1) OVER (ORDER BY v) AS BIGINT) AS cum1,
+        |               CAST(sum(c2) OVER (ORDER BY v) AS BIGINT) AS cum2 FROM pts),
+        |n AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM pts)
+        |SELECT n.n1 AS n1, n.n2 AS n2,
+        | CAST(max(abs(n.n2 * cum.cum1 - n.n1 * cum.cum2)) AS BIGINT) AS d_num,
+        | floor(CAST(max(abs(n.n2 * cum.cum1 - n.n1 * cum.cum2)) AS DOUBLE)
+        |       / (CAST(n.n1 AS DOUBLE) * CAST(n.n2 AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS d_stat
+        |FROM cum, n GROUP BY n.n1, n.n2""".stripMargin) { (s, d) =>
+      // Two-sample Kolmogorov–Smirnov: D = sup_x |F1(x) − F2(x)| between
+      // the click and view `value` distributions. The supremum is reached
+      // at a data point, so evaluating both ECDFs on the merged
+      // distinct-value grid is exact. Integer core: D·n1·n2 =
+      // max|n2·cum1 − n1·cum2| never leaves BIGINT; the one division
+      // happens in a 1-row projection. The cumulative window is global
+      // ORDER BY v — its width is the DISTINCT-value grid (bounded by
+      // measurement resolution, not corpus size); at 100 TB you'd compute
+      // the same prefix sums with a two-pass range-partitioned cumsum.
+      val src = Tables(s, d, "events")
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("value").as("v"),
+          when(col("event_type") === "click", 1L).otherwise(0L).as("ia"))
+      val pts = src.groupBy("v")
+        .agg(sum("ia").as("c1"), (count(lit(1)) - sum("ia")).as("c2"))
+      val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = pts.select(sum("c1").over(w).as("cum1"), sum("c2").over(w).as("cum2"))
+      val n = pts.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+      cum.crossJoin(broadcast(n))
+        .groupBy("n1", "n2")
+        .agg(max(abs(col("n2") * col("cum1") - col("n1") * col("cum2"))).as("d_num"))
+        .select(col("n1"), col("n2"), col("d_num"),
+          round(col("d_num").cast("double")
+            / (col("n1").cast("double") * col("n2").cast("double")), 6).as("d_stat"))
+    },
+
+    Q("q_stat_4_mannwhitney",
+      """WITH s AS (SELECT value AS v, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ia
+        |           FROM events WHERE event_type IN ('purchase','signup')),
+        |pts AS (SELECT v, CAST(sum(ia) AS BIGINT) AS c1, CAST(count(*) AS BIGINT) AS c FROM s GROUP BY v),
+        |cum AS (SELECT c1, c, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) - c AS prior FROM pts),
+        |agg AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c - c1) AS BIGINT) AS n2,
+        |               CAST(sum(c1 * (2 * (prior + 1) + c - 1)) AS BIGINT) AS two_r1 FROM cum)
+        |SELECT n1, n2, two_r1, two_r1 - n1 * (n1 + 1) AS two_u1,
+        | floor(((CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE) / 2.0 - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+        |   / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1.0) / 12.0)) * 1000000 + 0.5) / 1000000 AS z
+        |FROM agg""".stripMargin) { (s, d) =>
+      // Mann–Whitney U (rank-sum) test: purchase vs signup `value`. The
+      // rank machinery stays integral via the doubled-average-rank trick
+      // (q_agg_26's Spearman lesson): members tied at a value v all take
+      // avg rank r_lo + (c−1)/2, so 2·R1 = Σ_v c1·(2·r_lo + c − 1) is a
+      // BIGINT under any tie order. U1 = R1 − n1(n1+1)/2 is emitted
+      // doubled (two_u1) to stay integral; the normal-approximation z
+      // (no tie correction — documented) is ONE fixed IEEE expression
+      // over four exact integers, the q_stat_2 precedent. Same global
+      // distinct-value cumsum note as q_stat_3_ks.
+      val src = Tables(s, d, "events")
+        .filter(col("event_type").isin("purchase", "signup"))
+        .select(col("value").as("v"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("ia"))
+      val pts = src.groupBy("v").agg(sum("ia").as("c1"), count(lit(1)).as("c"))
+      val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = pts.select(col("c1"), col("c"), (sum("c").over(w) - col("c")).as("prior"))
+      val agg = cum.agg(
+        sum("c1").as("n1"),
+        sum(col("c") - col("c1")).as("n2"),
+        sum(col("c1") * (lit(2L) * (col("prior") + 1L) + col("c") - 1L)).as("two_r1"))
+      agg.select(col("n1"), col("n2"), col("two_r1"),
+        (col("two_r1") - col("n1") * (col("n1") + 1L)).as("two_u1"),
+        round(((col("two_r1") - col("n1") * (col("n1") + 1L)).cast("double") / 2.0
+            - col("n1").cast("double") * col("n2").cast("double") / 2.0)
+          / sqrt(col("n1").cast("double") * col("n2").cast("double")
+            * (col("n1").cast("double") + col("n2").cast("double") + 1.0) / 12.0), 6).as("z"))
+    },
+
+    Q("q_dq_16_benford",
+      """WITH c AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM c),
+        |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g)
+        |SELECT digit, n,
+        | floor(CAST(n AS DOUBLE) / CAST(total AS DOUBLE) * 1000000 + 0.5) / 1000000 AS pct,
+        | floor(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS benford_pct
+        |FROM g, t ORDER BY digit""".stripMargin) { (s, d) =>
+      // Benford first-digit profile of order totals — the forensic
+      // data-quality screen for fabricated/synthetic numeric columns.
+      // The leading digit is extracted from the exact-cents BIGINT's
+      // decimal string (no log-of-value trick, whose floor(log10) can
+      // disagree across engines one ulp below a power of ten). Observed
+      // share vs the Benford expectation log10(1+1/d): both are single
+      // fixed IEEE expressions (the log10 constants sit ≥4e-9 from the
+      // 6-decimal rounding boundary — checked). One map-side-combinable
+      // 9-group aggregate; scale-independent output.
+      val cents = Tables(s, d, "orders")
+        .select(floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      val dig = cents.select(substring(col("cents").cast("string"), 1, 1).cast("long").as("digit"))
+      val g = dig.groupBy("digit").agg(count(lit(1)).as("n"))
+      val t = g.agg(sum("n").as("total"))
+      g.crossJoin(broadcast(t))
+        .select(col("digit"), col("n"),
+          round(col("n").cast("double") / col("total").cast("double"), 6).as("pct"),
+          round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 6).as("benford_pct"))
+        .orderBy("digit")
+    },
+
+    Q("q_text_22_bm25",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok
+        |       WHERE token IN ('vector','merge','filter') GROUP BY 1, 2),
+        |df AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok
+        |       WHERE token IN ('vector','merge','filter') GROUP BY 1),
+        |scored AS (SELECT tf.doc_id,
+        |  CAST(floor((ln(1.0 + (CAST(stats.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5))
+        |    * (CAST(tf.tf AS DOUBLE) * 2.2)
+        |    / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / (CAST(stats.tot AS DOUBLE) / CAST(stats.n_docs AS DOUBLE))))) * 1000000 + 0.5) AS BIGINT) AS s6
+        | FROM tf JOIN df USING (token) JOIN dl USING (doc_id), stats),
+        |total AS (SELECT doc_id, CAST(sum(s6) AS BIGINT) AS s6 FROM scored GROUP BY doc_id)
+        |SELECT doc_id, CAST(s6 AS DOUBLE) / 1000000 AS score, CAST(rn AS BIGINT) AS rn FROM (
+        | SELECT doc_id, s6, row_number() OVER (ORDER BY s6 DESC, doc_id ASC) AS rn FROM total)
+        |WHERE rn <= 10 ORDER BY rn""".stripMargin) { (s, d) =>
+      // BM25 (k1=1.2, b=0.75, Lucene-style idf) top-10 documents for the
+      // query {vector, merge, filter}. Per-(doc,term) scores are fixed
+      // IEEE expressions over integer sufficient statistics (tf, df, dl,
+      // N, Σdl) — then QUANTIZED to 1e-6 BEFORE the per-doc sum, so the
+      // multi-term reduction is an integer sum with no float-addition-
+      // order hazard (the q_stream_12 lesson applied to retrieval).
+      // Scale shape: df and corpus stats are vocab/1-row broadcasts; tf
+      // is term-filtered BEFORE the doc-length join, so the joined side
+      // is |matching postings|, not the corpus; top-10 is one row_number
+      // over a doc-count-bounded aggregate (at 100 TB: per-partition
+      // top-k then merge, the q_agg_23 native aggregate).
+      val docs = Tables(s, d, "documents")
+      val terms = Seq("vector", "merge", "filter")
+      val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot"))
+      val tf = tok.filter(col("token").isin(terms: _*))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dfq = tok.filter(col("token").isin(terms: _*))
+        .groupBy("token").agg(countDistinct("doc_id").as("df"))
+      val avgdl = col("tot").cast("double") / col("n_docs").cast("double")
+      val idf = log(lit(1.0) + (col("n_docs").cast("double") - col("df").cast("double") + 0.5)
+        / (col("df").cast("double") + 0.5))
+      val s6 = floor((idf
+        * (col("tf").cast("double") * 2.2)
+        / (col("tf").cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / avgdl)))
+        * 1000000 + 0.5).cast("long")
+      val scored = tf.join(broadcast(dfq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), s6.as("s6"))
+      val total = scored.groupBy("doc_id").agg(sum("s6").as("s6"))
+      val w = Window.orderBy(col("s6").desc, col("doc_id").asc)
+      total.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select(col("doc_id"), (col("s6").cast("double") / 1000000).as("score"),
+          col("rn").cast("long").as("rn"))
+        .orderBy("rn")
+    },
+
+    Q("q_agg_27_trimmed_mean",
+      """WITH p AS (SELECT l_returnflag, quantile_cont(l_extendedprice, 0.1) AS p10,
+        |                  quantile_cont(l_extendedprice, 0.9) AS p90 FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag, CAST(count(*) AS BIGINT) AS n_kept,
+        | floor(CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+        |   / (CAST(count(*) AS DOUBLE) * 100) * 100 + 0.5) / 100 AS trimmed_mean
+        |FROM lineitem l JOIN p ON l.l_returnflag = p.l_returnflag
+        |WHERE l.l_extendedprice >= p.p10 AND l.l_extendedprice <= p.p90
+        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin) { (s, d) =>
+      // 10%-trimmed mean per return flag — the robust location estimate
+      // between mean (outlier-fragile) and median (throws away 98% of
+      // the data). Two passes: per-group p10/p90 (Spark `percentile` ==
+      // DuckDB `quantile_cont`, the q_agg_11 parity), broadcast the
+      // 3-row boundary table back, filter, exact-cents mean. Boundary
+      // safety: when q·(n−1) is integral both engines return a data
+      // point EXACTLY (no arithmetic); when fractional the interpolated
+      // value lies strictly between adjacent distinct cents, so a <=/>=
+      // comparison against it can never flip on an ulp. Never co-shuffles
+      // the fact table — the percentile pass is the only wide exchange.
+      val li = Tables(s, d, "lineitem")
+      val p = li.groupBy("l_returnflag").agg(
+        expr("percentile(l_extendedprice, 0.1)").as("p10"),
+        expr("percentile(l_extendedprice, 0.9)").as("p90"))
+      li.join(broadcast(p), "l_returnflag")
+        .filter(col("l_extendedprice") >= col("p10") && col("l_extendedprice") <= col("p90"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_kept"),
+          round(sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long")).cast("double")
+            / (count(lit(1)).cast("double") * 100), 2).as("trimmed_mean"))
+        .orderBy("l_returnflag")
+    },
+
+    Q("q_text_23_perplexity",
+      """WITH b AS (SELECT doc_id, struct_extract(p, 1) AS w1, struct_extract(p, 2) AS w2 FROM (
+        |  SELECT doc_id, unnest(list_zip(
+        |    list_slice(string_split(text, ' '), 1, len(string_split(text, ' ')) - 1),
+        |    list_slice(string_split(text, ' '), 2, len(string_split(text, ' '))))) AS p
+        |  FROM documents)),
+        |lm AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM b GROUP BY 1, 2),
+        |uni AS (SELECT w1 AS u1, CAST(count(*) AS BIGINT) AS c1 FROM b GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS vocab FROM b),
+        |sc AS (SELECT b.doc_id,
+        |  CAST(floor(ln((CAST(lm.c12 AS DOUBLE) + 1.0) / (CAST(uni.c1 AS DOUBLE) + CAST(v.vocab AS DOUBLE))) * 1000000 + 0.5) AS BIGINT) AS l6
+        | FROM b JOIN lm ON b.w1 = lm.w1 AND b.w2 = lm.w2 JOIN uni ON b.w1 = uni.u1, v),
+        |doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, CAST(sum(l6) AS BIGINT) AS sum_l6 FROM sc GROUP BY 1)
+        |SELECT doc_id, n_bigrams, sum_l6,
+        | floor(exp(-(CAST(sum_l6 AS DOUBLE) / (CAST(n_bigrams AS DOUBLE) * 1000000.0))) * 10000 + 0.5) / 10000 AS ppl,
+        | CAST(ntile(3) OVER (ORDER BY CAST(sum_l6 AS DOUBLE) / CAST(n_bigrams AS DOUBLE) DESC, doc_id) AS BIGINT) AS bucket
+        |FROM doc ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // CCNet-style perplexity bucketing: add-one-smoothed bigram LM
+      // p(w2|w1) = (c12+1)/(c1+V), per-doc perplexity
+      // exp(−mean log p), docs split into head/middle/tail terciles —
+      // the standard LM-quality gate on web corpora. The per-bigram log
+      // probs are QUANTIZED to 1e-6 integers BEFORE the per-doc sum (the
+      // q_text_22 discipline), so the doc score is an integer and the
+      // tercile order (avg, doc_id) is bit-identical across engines;
+      // exp/ln appear only in fixed per-row expressions. Same
+      // no-broadcast-hint stance as q_text_16: AQE sizes the LM joins
+      // from measured stats (post-tokenizer vocab broadcasts; a raw-text
+      // "vocab" of typos/URLs degrades to shuffle joins safely). Fixture
+      // docs all have ≥10 tokens, so no doc loses its bigram row.
+      val toks = tokens(col("text"))
+      val big = Tables(s, d, "documents")
+        .select(col("doc_id"),
+          explode(arrays_zip(
+            slice(toks, lit(1), size(toks) - 1).as("w1"),
+            slice(toks, lit(2), size(toks) - 1).as("w2"))).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val lm = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val uni = big.groupBy("w1").agg(count(lit(1)).as("c1"))
+        .withColumnRenamed("w1", "u1")
+      val v = big.agg(countDistinct("w2").as("vocab"))
+      val sc = big.join(lm, Seq("w1", "w2"))
+        .join(uni, col("w1") === col("u1"))
+        .crossJoin(broadcast(v))
+        .select(col("doc_id"),
+          floor(log((col("c12").cast("double") + 1.0)
+            / (col("c1").cast("double") + col("vocab").cast("double"))) * 1000000 + 0.5)
+            .cast("long").as("l6"))
+      val doc = sc.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum("l6").as("sum_l6"))
+      val w = Window.orderBy(
+        (col("sum_l6").cast("double") / col("n_bigrams").cast("double")).desc, col("doc_id"))
+      doc.select(col("doc_id"), col("n_bigrams"), col("sum_l6"),
+        round(exp(-(col("sum_l6").cast("double") / (col("n_bigrams").cast("double") * 1000000.0))), 4).as("ppl"),
+        ntile(3).over(w).cast("long").as("bucket"))
+        .orderBy("doc_id")
+    },
+
+    Q("q_agg_28_entropy",
+      """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+        |c AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+        |n AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens, CAST(count(*) AS BIGINT) AS vocab FROM c GROUP BY 1),
+        |h AS (SELECT c.lang AS hlang,
+        |  CAST(sum(CAST(floor(-(CAST(c.c AS DOUBLE) / CAST(n.n_tokens AS DOUBLE)) * ln(CAST(c.c AS DOUBLE) / CAST(n.n_tokens AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS h6
+        | FROM c JOIN n ON c.lang = n.lang GROUP BY 1)
+        |SELECT n.lang AS lang, n.n_tokens AS n_tokens, n.vocab AS vocab, h.h6 AS h6,
+        | floor(CAST(h.h6 AS DOUBLE) / 1000000 / ln(2.0) * 10000 + 0.5) / 10000 AS h_bits,
+        | floor(CAST(h.h6 AS DOUBLE) / 1000000 / ln(CAST(n.vocab AS DOUBLE)) * 10000 + 0.5) / 10000 AS h_norm
+        |FROM h JOIN n ON h.hlang = n.lang ORDER BY lang""".stripMargin) { (s, d) =>
+      // Shannon entropy of the per-language token distribution — the
+      // corpus-diversity readout (low normalized entropy = repetitive/
+      // templated text; the aggregate cousin of q_text_17's per-doc
+      // repetition filters). Each token's −p·ln p contribution is
+      // quantized to a 1e-6 integer, so the per-language entropy is an
+      // integer SUM (no float-accumulation-order hazard) and h_bits /
+      // h_norm are fixed IEEE expressions over exact integers. Two
+      // map-side-combinable aggregates; the per-language stats table is
+      // language-bounded → broadcast back.
+      val tok = Tables(s, d, "documents")
+        .select(col("lang"), explode(tokens(col("text"))).as("token"))
+      val c = tok.groupBy("lang", "token").agg(count(lit(1)).as("c"))
+      val n = c.groupBy("lang").agg(sum("c").as("n_tokens"), count(lit(1)).as("vocab"))
+        .withColumnRenamed("lang", "nlang")
+      val p = col("c").cast("double") / col("n_tokens").cast("double")
+      val h = c.join(broadcast(n), col("lang") === col("nlang"))
+        .select(col("lang"), floor(-p * log(p) * 1000000 + 0.5).cast("long").as("h6c"))
+        .groupBy("lang").agg(sum("h6c").as("h6"))
+      h.join(broadcast(n), col("lang") === col("nlang"))
+        .select(col("lang"), col("n_tokens"), col("vocab"), col("h6"),
+          round(col("h6").cast("double") / 1000000 / log(lit(2.0)), 4).as("h_bits"),
+          round(col("h6").cast("double") / 1000000 / log(col("vocab").cast("double")), 4).as("h_norm"))
+        .orderBy("lang")
+    },
+
+    Q("q_scan_15_partition_prune",
+      "SELECT doc_id, n_chars FROM documents WHERE lang = 'fr' ORDER BY doc_id") { (s, d) =>
+      // Partition-pruned read: write the corpus hive-partitioned by
+      // language, read back ONE partition through a lang filter. The
+      // oracle reads the unpartitioned source — equality proves the
+      // layout round-trips AND the pruned scan misses nothing. The plan
+      // contract (Round3dOpsSpec) pins `PartitionFilters` on the scan:
+      // at 100 TB this is the difference between reading one language's
+      // directory and the whole corpus. Completes q_sink_1 (partitioned
+      // write) with the read-side pruning proof.
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_rt_prune_${s.sparkContext.applicationId}"
+      Tables(s, d, "documents").write.mode("overwrite")
+        .partitionBy("lang").parquet(tmp)
+      s.read.parquet(tmp)
+        .filter(col("lang") === "fr")
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    },
+  )
+}
