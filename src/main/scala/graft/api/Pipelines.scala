@@ -514,4 +514,65 @@ object Pipelines {
         ((col("n") * col("__keys")).cast("double") / col("__total").cast("double")).as("skew_x"))
       .orderBy(col("n").desc, col(keyCol)).limit(topN)
   }
+
+  /** Two-sample Kolmogorov–Smirnov test (generalizes q_stat_3_ks): D
+    * between the `valueCol` distributions of rows where `groupCol` ==
+    * groupA vs groupB. Returns one row (n1, n2, d_num, d_stat) with the
+    * integer core D·n1·n2 exact in BIGINT — bit-identical under any
+    * partitioning. The ECDF cumsum runs on the merged DISTINCT-value
+    * grid (bounded by measurement resolution, not corpus size).
+    */
+  def ksTest(df: DataFrame, valueCol: String, groupCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    val src = df.filter(col(groupCol).isin(groupA, groupB))
+      .select(col(valueCol).as("__v"),
+        when(col(groupCol) === groupA, 1L).otherwise(0L).as("__ia"))
+    val pts = src.groupBy("__v")
+      .agg(sum("__ia").as("__c1"), (count(lit(1)) - sum("__ia")).as("__c2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("__v").rowsBetween(Long.MinValue, 0)
+    val cum = pts.select(sum("__c1").over(w).as("__cum1"), sum("__c2").over(w).as("__cum2"))
+    val n = pts.agg(sum("__c1").as("n1"), sum("__c2").as("n2"))
+    cum.crossJoin(broadcast(n))
+      .groupBy("n1", "n2")
+      .agg(max(abs(col("n2") * col("__cum1") - col("n1") * col("__cum2"))).as("d_num"))
+      .select(col("n1"), col("n2"), col("d_num"),
+        (col("d_num").cast("double")
+          / (col("n1").cast("double") * col("n2").cast("double"))).as("d_stat"))
+  }
+
+  /** BM25 ranking (generalizes q_text_22_bm25): top `k` documents for a
+    * bag-of-terms query under Lucene-style idf. Per-(doc,term) scores
+    * quantize to 1e-6 integers BEFORE the per-doc sum, so the multi-term
+    * reduction has no float-addition-order hazard. df/corpus stats are
+    * broadcast; the postings side is term-filtered before the
+    * doc-length join. Returns (idCol, score, rnk).
+    */
+  def bm25(df: DataFrame, idCol: String, textCol: String, terms: Seq[String],
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tok = df.select(col(idCol), explode(split(col(textCol), " ")).as("__t"))
+    val dl = tok.groupBy(idCol).agg(count(lit(1)).as("__dl"))
+    val stats = dl.agg(count(lit(1)).as("__nd"), sum("__dl").as("__tot"))
+    val tf = tok.filter(col("__t").isin(terms: _*))
+      .groupBy(idCol, "__t").agg(count(lit(1)).as("__tf"))
+    val dfq = tok.filter(col("__t").isin(terms: _*))
+      .groupBy("__t").agg(countDistinct(idCol).as("__df"))
+    val avgdl = col("__tot").cast("double") / col("__nd").cast("double")
+    val idf = log(lit(1.0) + (col("__nd").cast("double") - col("__df").cast("double") + 0.5)
+      / (col("__df").cast("double") + 0.5))
+    val s6 = floor((idf
+      * (col("__tf").cast("double") * (k1 + 1.0))
+      / (col("__tf").cast("double") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl").cast("double") / avgdl)))
+      * 1000000 + 0.5).cast("long")
+    val total = tf.join(broadcast(dfq), "__t")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), s6.as("__s6"))
+      .groupBy(idCol).agg(sum("__s6").as("__s6"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__s6").desc, col(idCol).asc)
+    total.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), (col("__s6").cast("double") / 1000000).as("score"), col("rnk"))
+  }
 }

@@ -333,5 +333,76 @@ object Round3dOps {
         .select("doc_id", "n_chars")
         .orderBy("doc_id")
     },
+
+    Q("q_agg_29_gini",
+      """WITH c AS (SELECT o_orderpriority AS prio, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents, o_orderkey FROM orders),
+        |r AS (SELECT prio, cents, CAST(row_number() OVER (PARTITION BY prio ORDER BY cents, o_orderkey) AS BIGINT) AS i FROM c),
+        |a AS (SELECT prio, CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s, CAST(sum(i * cents) AS BIGINT) AS w FROM r GROUP BY prio)
+        |SELECT prio, n, floor((CAST(2 * w - (n + 1) * s AS DOUBLE) / CAST(n * s AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS gini
+        |FROM a ORDER BY prio""".stripMargin) { (s, d) =>
+      // Gini coefficient of order value per priority class — the
+      // imbalance readout for "is one segment's spend concentrated in a
+      // few giant orders" (and, on corpora: token-mass concentration
+      // across sources). Sorted-rank identity G = (2·Σi·xᵢ −
+      // (n+1)·Σxᵢ)/(n·Σxᵢ) over ascending exact cents: every sum is
+      // BIGINT (ties contribute identically under any permutation — x
+      // constant within a tie — and (cents, orderkey) is total anyway);
+      // ONE per-group window sort + one aggregate. Σi·x ~ n²·x̄
+      // overflows BIGINT around n≈1e8 per group — swap the rank/sum
+      // columns to DECIMAL(38,0) there (q_agg_26's escalation path).
+      val w = Window.partitionBy("prio").orderBy("cents", "o_orderkey")
+      Tables(s, d, "orders")
+        .select(col("o_orderpriority").as("prio"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"),
+          col("o_orderkey"))
+        .withColumn("i", row_number().over(w).cast("long"))
+        .groupBy("prio")
+        .agg(count(lit(1)).as("n"), sum("cents").as("s"), sum(col("i") * col("cents")).as("w2"))
+        .select(col("prio"), col("n"),
+          round((lit(2) * col("w2") - (col("n") + 1) * col("s")).cast("double")
+            / (col("n") * col("s")).cast("double"), 6).as("gini"))
+        .orderBy("prio")
+    },
+
+    Q("q_dq_17_cusum",
+      """WITH x AS (SELECT l_suppkey AS k, CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c, l_orderkey, l_linenumber FROM lineitem),
+        |a AS (SELECT k, CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS s FROM x GROUP BY k),
+        |r AS (SELECT x.k AS k, a.n AS n, a.s AS s,
+        |  CAST(sum(x.c) OVER (PARTITION BY x.k ORDER BY x.l_orderkey, x.l_linenumber, x.c ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p,
+        |  CAST(row_number() OVER (PARTITION BY x.k ORDER BY x.l_orderkey, x.l_linenumber, x.c) AS BIGINT) AS i
+        | FROM x JOIN a ON x.k = a.k),
+        |m AS (SELECT k, n, s, CAST(max(abs(n * p - i * s)) AS BIGINT) AS max_cusum FROM r GROUP BY k, n, s)
+        |SELECT k AS l_suppkey, n, max_cusum,
+        | floor(CAST(max_cusum AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS rel
+        |FROM m ORDER BY l_suppkey""".stripMargin) { (s, d) =>
+      // CUSUM change-point screen: per supplier, the maximum cumulative
+      // deviation of line revenue from the supplier's own mean over the
+      // (orderkey, linenumber) sequence — the classic "did this feed's
+      // level shift mid-stream" detector. Division-free integer core:
+      // CUSUM_k = Σ≤k(xᵢ − S/n) scaled by n is n·Pₖ − k·S, exact in
+      // BIGINT; `rel` normalizes by n·S so a sustained shift of r%
+      // reads as ≈ r/4 at the midpoint. Two shuffles on the supplier
+      // key (stats + window); the stats table joins back broadcast.
+      // n·P overflows BIGINT near n≈1e8 rows per key — DECIMAL(38)
+      // escalation as q_agg_29. Window order carries c because
+      // (orderkey, linenumber) is not unique in the fixtures (q_win_10's
+      // lesson); ties are c-identical so prefix sums are unaffected.
+      val li = Tables(s, d, "lineitem")
+        .select(col("l_suppkey").as("k"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("c"),
+          col("l_orderkey"), col("l_linenumber"))
+      val a = li.groupBy("k").agg(count(lit(1)).as("n"), sum("c").as("s"))
+      val w = Window.partitionBy("k").orderBy("l_orderkey", "l_linenumber", "c")
+      li.join(broadcast(a), "k")
+        .select(col("k"), col("n"), col("s"),
+          sum("c").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("p"),
+          row_number().over(w).cast("long").as("i"))
+        .groupBy("k", "n", "s")
+        .agg(max(abs(col("n") * col("p") - col("i") * col("s"))).as("max_cusum"))
+        .select(col("k").as("l_suppkey"), col("n"), col("max_cusum"),
+          round(col("max_cusum").cast("double")
+            / (col("n").cast("double") * col("s").cast("double")), 6).as("rel"))
+        .orderBy("l_suppkey")
+    },
   )
 }

@@ -255,4 +255,29 @@ class PipelinesSpec extends SparkSpec {
     val pinned = Registry.byName("q_dq_15_skew_profile").fn(spark, sf).collect().toSeq
     assert(api == pinned)
   }
+
+  test("ksTest == q_stat_3_ks") {
+    val ev = graft.sources.Tables(spark, sf, "events")
+    val api = Pipelines.ksTest(ev, "value", "event_type", "click", "view")
+      .select(col("n1"), col("n2"), col("d_num"), round(col("d_stat"), 6).as("d_stat"))
+      .collect().toSeq
+    val pinned = Registry.byName("q_stat_3_ks").fn(spark, sf).collect().toSeq
+    assert(api == pinned)
+  }
+
+  test("bm25 == q_text_22_bm25 (rank-exact; scores within 2 quanta)") {
+    // The declared query hardcodes the folded literal 2.2 to match its
+    // oracle bit-for-bit; the generic form computes k1+1.0, which is one
+    // ulp away (1.2+1.0 == 2.1999999999999997). Ranks must agree; the
+    // quantized scores may differ by at most 2e-6.
+    val docs = graft.sources.Tables(spark, sf, "documents")
+    val api = Pipelines.bm25(docs, "doc_id", "text", Seq("vector", "merge", "filter"))
+      .orderBy("rnk").collect().toSeq
+    val pinned = Registry.byName("q_text_22_bm25").fn(spark, sf).collect().toSeq
+    assert(api.map(r => (r.getLong(0), r.getLong(2)))
+      == pinned.map(r => (r.getLong(0), r.getLong(2))))
+    api.zip(pinned).foreach { case (a, p) =>
+      assert(math.abs(a.getDouble(1) - p.getDouble(1)) <= 2e-6)
+    }
+  }
 }

@@ -166,6 +166,41 @@ class Round3dOpsSpec extends SparkSpec {
     assert(df.collect().toSeq == expected)
   }
 
+  test("q_agg_29_gini: matches a sorted-rank replication; bounds hold") {
+    val rows = Registry.byName("q_agg_29_gini").fn(spark, sf).collect()
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderpriority", "o_totalprice", "o_orderkey").collect()
+      .map(r => (r.getString(0), math.floor(r.getDouble(1) * 100 + 0.5).toLong, r.getLong(2)))
+    rows.foreach { r =>
+      val prio = r.getString(0)
+      val xs = orders.filter(_._1 == prio).sortBy(t => (t._2, t._3)).map(_._2)
+      val n = xs.length.toLong
+      val s = xs.sum
+      val w = xs.zipWithIndex.map { case (x, i) => (i + 1).toLong * x }.sum
+      val gini = math.floor((2 * w - (n + 1) * s).toDouble / (n * s).toDouble * 1e6 + 0.5) / 1e6
+      assert(r.getLong(1) == n)
+      assert(r.getDouble(2) == gini, s"$prio gini ${r.getDouble(2)} != $gini")
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) < 1.0)
+    }
+  }
+
+  test("q_dq_17_cusum: matches a prefix-sum replication; invariant under shift sign") {
+    val rows = Registry.byName("q_dq_17_cusum").fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_suppkey", "l_extendedprice", "l_orderkey", "l_linenumber").collect()
+      .map(r => (r.getLong(0), math.floor(r.getDouble(1) * 100 + 0.5).toLong,
+        r.getLong(2), r.getInt(3)))
+    li.groupBy(_._1).foreach { case (k, grp) =>
+      val xs = grp.sortBy(t => (t._3, t._4, t._2)).map(_._2)
+      val n = xs.length.toLong
+      val s = xs.sum
+      var p = 0L; var i = 0L; var best = 0L
+      xs.foreach { x => p += x; i += 1; best = math.max(best, math.abs(n * p - i * s)) }
+      assert(rows(k) == ((n, best)), s"supplier $k: ${rows(k)} != ${(n, best)}")
+    }
+  }
+
   test("plan contracts: stat/boundary tables broadcast, no corpus merge joins") {
     def plan(q: String): String =
       Registry.byName(q).fn(spark, sf).queryExecution.executedPlan.toString
