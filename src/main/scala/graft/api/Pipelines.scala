@@ -575,4 +575,34 @@ object Pipelines {
       .filter(col("rnk") <= k)
       .select(col(idCol), (col("__s6").cast("double") / 1000000).as("score"), col("rnk"))
   }
+
+  /** Population Stability Index (generalizes q_dq_18_psi): `buckets`
+    * quantile bins from the REFERENCE group's distribution, per-bucket
+    * (p_ref − p_cur)·ln(p_ref/p_cur). Returns one row per populated
+    * bucket — threshold the parts (or their sum, driver-side) in an
+    * alerting rule; counts stay BIGINT, each part is one fixed IEEE
+    * expression. Boundaries are a 1-row broadcast; assignment is a
+    * per-row array scan (swap to width_bucket + approx boundaries at
+    * 100 TB).
+    */
+  def psi(df: DataFrame, valueCol: String, groupCol: String,
+      refGroup: String, curGroup: String, buckets: Int = 10): DataFrame = {
+    val a = df.filter(col(groupCol) === refGroup).select(col(valueCol).as("__v"))
+    val b = df.filter(col(groupCol) === curGroup).select(col(valueCol).as("__v"))
+    val qs = (1 until buckets).map(i => i.toDouble / buckets)
+    val bounds = a.agg(
+      expr(s"percentile(__v, array(${qs.mkString(", ")}))").as("__bounds"))
+    val ab = a.withColumn("__ia", lit(1L)).unionAll(b.withColumn("__ia", lit(0L)))
+    val g = ab.crossJoin(broadcast(bounds))
+      .select((lit(1L) + size(filter(col("__bounds"), bv => col("__v") > bv)).cast("long")).as("bucket"),
+        col("__ia"))
+      .groupBy("bucket")
+      .agg(sum("__ia").as("n_a"), (count(lit(1)) - sum("__ia")).as("n_b"))
+    val t = g.agg(sum("n_a").as("__ta"), sum("n_b").as("__tb"))
+    val pa = col("n_a").cast("double") / col("__ta").cast("double")
+    val pb = col("n_b").cast("double") / col("__tb").cast("double")
+    g.crossJoin(broadcast(t))
+      .select(col("bucket"), col("n_a"), col("n_b"),
+        ((pa - pb) * log(pa / pb)).as("psi_part"))
+  }
 }

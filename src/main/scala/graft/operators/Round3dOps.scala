@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Q
+import graft.functions.KMeans
 import graft.functions.Num.round
 import graft.functions.TextFunctions.tokens
 import graft.sources.Tables
@@ -403,6 +404,114 @@ object Round3dOps {
           round(col("max_cusum").cast("double")
             / (col("n").cast("double") * col("s").cast("double")), 6).as("rel"))
         .orderBy("l_suppkey")
+    },
+
+    Q("q_dq_18_psi",
+      """WITH a AS (SELECT value AS v FROM events WHERE event_type = 'click'),
+        |b AS (SELECT value AS v FROM events WHERE event_type = 'view'),
+        |q AS (SELECT quantile_cont(v, 0.1) AS b1, quantile_cont(v, 0.2) AS b2, quantile_cont(v, 0.3) AS b3,
+        |             quantile_cont(v, 0.4) AS b4, quantile_cont(v, 0.5) AS b5, quantile_cont(v, 0.6) AS b6,
+        |             quantile_cont(v, 0.7) AS b7, quantile_cont(v, 0.8) AS b8, quantile_cont(v, 0.9) AS b9 FROM a),
+        |ab AS (SELECT v, 1 AS ia FROM a UNION ALL SELECT v, 0 AS ia FROM b),
+        |bk AS (SELECT CAST(1 + (CASE WHEN v > q.b1 THEN 1 ELSE 0 END) + (CASE WHEN v > q.b2 THEN 1 ELSE 0 END)
+        | + (CASE WHEN v > q.b3 THEN 1 ELSE 0 END) + (CASE WHEN v > q.b4 THEN 1 ELSE 0 END)
+        | + (CASE WHEN v > q.b5 THEN 1 ELSE 0 END) + (CASE WHEN v > q.b6 THEN 1 ELSE 0 END)
+        | + (CASE WHEN v > q.b7 THEN 1 ELSE 0 END) + (CASE WHEN v > q.b8 THEN 1 ELSE 0 END)
+        | + (CASE WHEN v > q.b9 THEN 1 ELSE 0 END) AS BIGINT) AS bucket, ia FROM ab, q),
+        |g AS (SELECT bucket, CAST(sum(ia) AS BIGINT) AS n_a, CAST(count(*) - sum(ia) AS BIGINT) AS n_b FROM bk GROUP BY bucket),
+        |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb FROM g)
+        |SELECT bucket, n_a, n_b,
+        | floor(((CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE)) - (CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE)))
+        |   * ln((CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE)) / (CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS psi_part
+        |FROM g, t ORDER BY bucket""".stripMargin) { (s, d) =>
+      // Population Stability Index — the industry-standard monitoring
+      // metric for "has this score/feature distribution drifted": decile
+      // buckets from the REFERENCE sample's quantiles, per-bucket
+      // (p_a − p_b)·ln(p_a/p_b). Emitted per bucket (the q_stat_1
+      // per-cell discipline): a PSI total is a float sum whose
+      // accumulation order differs across engines, and per-bucket parts
+      // are what an alerting rule thresholds anyway. Counts stay BIGINT;
+      // each part is one fixed IEEE expression. The 9 boundaries are a
+      // 1-row broadcast; bucket assignment is nine codegen'd compares
+      // per row (no sort, no shuffle beyond the 10-group agg —
+      // `width_bucket` at 100 TB with approx_percentile boundaries).
+      // TV-distance twin: q_dq_7_drift.
+      val ev = Tables(s, d, "events")
+      val a = ev.filter(col("event_type") === "click").select(col("value").as("v"))
+      val b = ev.filter(col("event_type") === "view").select(col("value").as("v"))
+      val q = a.agg(
+        expr("percentile(v, 0.1)").as("b1"), expr("percentile(v, 0.2)").as("b2"),
+        expr("percentile(v, 0.3)").as("b3"), expr("percentile(v, 0.4)").as("b4"),
+        expr("percentile(v, 0.5)").as("b5"), expr("percentile(v, 0.6)").as("b6"),
+        expr("percentile(v, 0.7)").as("b7"), expr("percentile(v, 0.8)").as("b8"),
+        expr("percentile(v, 0.9)").as("b9"))
+      val ab = a.withColumn("ia", lit(1L)).unionAll(b.withColumn("ia", lit(0L)))
+      val bucket = (1 to 9).map(i => when(col("v") > col(s"b$i"), 1L).otherwise(0L))
+        .foldLeft(lit(1L): org.apache.spark.sql.Column)(_ + _)
+      val g = ab.crossJoin(broadcast(q))
+        .select(bucket.cast("long").as("bucket"), col("ia"))
+        .groupBy("bucket")
+        .agg(sum("ia").as("n_a"), (count(lit(1)) - sum("ia")).as("n_b"))
+      val t = g.agg(sum("n_a").as("ta"), sum("n_b").as("tb"))
+      val pa = col("n_a").cast("double") / col("ta").cast("double")
+      val pb = col("n_b").cast("double") / col("tb").cast("double")
+      g.crossJoin(broadcast(t))
+        .select(col("bucket"), col("n_a"), col("n_b"),
+          round((pa - pb) * log(pa / pb), 6).as("psi_part"))
+        .orderBy("bucket")
+    },
+
+    Q("q_sim_15_cluster_purity",
+      """WITH e AS (
+        | SELECT vec_id, unnest(generate_series(1, len(embedding))) AS pos,
+        |  CAST(unnest(embedding) AS DOUBLE) AS val
+        | FROM embeddings WHERE vec_id < 200),
+        |c0 AS (SELECT vec_id AS cid, pos, val AS c FROM e WHERE vec_id < 4),
+        |d1 AS (SELECT e.vec_id, c.cid, sum((e.val - c.c) * (e.val - c.c)) AS d2
+        |       FROM e JOIN c0 c ON e.pos = c.pos GROUP BY e.vec_id, c.cid),
+        |a1 AS (SELECT vec_id, cid FROM (
+        |       SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d1)
+        |       WHERE rn = 1),
+        |c1 AS (SELECT a1.cid, e.pos, avg(e.val) AS c FROM e JOIN a1 ON e.vec_id = a1.vec_id GROUP BY a1.cid, e.pos),
+        |d2t AS (SELECT e.vec_id, c.cid, sum((e.val - c.c) * (e.val - c.c)) AS d2
+        |        FROM e JOIN c1 c ON e.pos = c.pos GROUP BY e.vec_id, c.cid),
+        |a2 AS (SELECT vec_id, cid FROM (
+        |       SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d2t)
+        |       WHERE rn = 1),
+        |lab AS (SELECT a2.cid AS cluster, CAST(emb.label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS nl
+        |        FROM a2 JOIN embeddings emb ON a2.vec_id = emb.vec_id GROUP BY 1, 2),
+        |tot AS (SELECT cluster, CAST(sum(nl) AS BIGINT) AS n FROM lab GROUP BY 1),
+        |mj AS (SELECT cluster, label AS maj_label, nl AS maj_n FROM (
+        |   SELECT cluster, label, nl, row_number() OVER (PARTITION BY cluster ORDER BY nl DESC, label) AS rn FROM lab) WHERE rn = 1)
+        |SELECT t.cluster AS cluster, t.n AS n, m.maj_label AS maj_label, m.maj_n AS maj_n,
+        |  floor(CAST(m.maj_n AS DOUBLE) / CAST(t.n AS DOUBLE) * 1000000 + 0.5) / 1000000 AS purity
+        |FROM tot t JOIN mj m ON t.cluster = m.cluster ORDER BY cluster""".stripMargin) { (s, d) =>
+      // Cluster purity — the external-evaluation metric for a trained
+      // clustering against ground-truth labels (per cluster: size,
+      // majority label, majority share). Reuses q_sim_7's declarative
+      // Lloyd pipeline for the assignments (same 1-iteration unroll,
+      // same argmin tie→lowest cid), then one (cluster, label) count
+      // aggregate + a k-row majority window. Label counts are BIGINT;
+      // purity is one division per cluster row. Scale: the eval side is
+      // k·|labels|-bounded — tiny next to the assignment pass it audits.
+      val emb = Tables(s, d, "embeddings")
+      val e = emb.filter(col("vec_id") < 200)
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      val init = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("cid"), col("v").as("cvec"))
+      val assigned = KMeans.assign(e, KMeans.update(KMeans.assign(e, init)))
+        .select(col("vec_id"), col("cid").as("cluster"))
+      val lab = assigned
+        .join(emb.select(col("vec_id"), col("label").cast("long").as("label")), "vec_id")
+        .groupBy("cluster", "label").agg(count(lit(1)).as("nl"))
+      val tot = lab.groupBy("cluster").agg(sum("nl").as("n"))
+      val w = Window.partitionBy("cluster").orderBy(col("nl").desc, col("label"))
+      val mj = lab.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("cluster"), col("label").as("maj_label"), col("nl").as("maj_n"))
+      tot.join(mj, "cluster")
+        .select(col("cluster"), col("n"), col("maj_label"), col("maj_n"),
+          round(col("maj_n").cast("double") / col("n").cast("double"), 6).as("purity"))
+        .orderBy("cluster")
     },
   )
 }

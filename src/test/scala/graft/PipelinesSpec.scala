@@ -280,4 +280,13 @@ class PipelinesSpec extends SparkSpec {
       assert(math.abs(a.getDouble(1) - p.getDouble(1)) <= 2e-6)
     }
   }
+
+  test("psi == q_dq_18_psi") {
+    val ev = graft.sources.Tables(spark, sf, "events")
+    val api = Pipelines.psi(ev, "value", "event_type", "click", "view")
+      .select(col("bucket"), col("n_a"), col("n_b"), round(col("psi_part"), 6).as("psi_part"))
+      .orderBy("bucket").collect().toSeq
+    val pinned = Registry.byName("q_dq_18_psi").fn(spark, sf).collect().toSeq
+    assert(api == pinned)
+  }
 }

@@ -201,6 +201,34 @@ class Round3dOpsSpec extends SparkSpec {
     }
   }
 
+  test("q_dq_18_psi: buckets partition both samples, reference deciles balanced") {
+    val rows = Registry.byName("q_dq_18_psi").fn(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 10L), "all 10 buckets populated")
+    val na = events.filter(col("event_type") === "click").count()
+    val nb = events.filter(col("event_type") === "view").count()
+    assert(rows.map(_.getLong(1)).sum == na && rows.map(_.getLong(2)).sum == nb)
+    // decile boundaries come from the reference sample: its buckets are
+    // near-equal (ties can shift a few rows across a boundary)
+    rows.foreach { r =>
+      assert(math.abs(r.getLong(1) - na / 10.0) <= math.max(2.0, na * 0.05),
+        s"bucket ${r.getLong(0)} reference count ${r.getLong(1)} not ~${na / 10}")
+      assert(!r.getDouble(3).isNaN && !r.getDouble(3).isInfinite)
+    }
+  }
+
+  test("q_sim_15_cluster_purity: clusters partition the sample, majority is the mode") {
+    val rows = Registry.byName("q_sim_15_cluster_purity").fn(spark, sf).collect()
+    val sample = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") < 200).count()
+    assert(rows.map(_.getLong(1)).sum == sample, "every sampled vector lands in one cluster")
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(1), "majority count bounded by cluster size")
+      val purity = r.getDouble(4)
+      assert(purity > 0.0 && purity <= 1.0)
+      assert(purity == math.floor(r.getLong(3).toDouble / r.getLong(1).toDouble * 1e6 + 0.5) / 1e6)
+    }
+  }
+
   test("plan contracts: stat/boundary tables broadcast, no corpus merge joins") {
     def plan(q: String): String =
       Registry.byName(q).fn(spark, sf).queryExecution.executedPlan.toString
