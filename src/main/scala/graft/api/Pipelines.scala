@@ -598,10 +598,15 @@ object Pipelines {
         col("__ia"))
       .groupBy("bucket")
       .agg(sum("__ia").as("n_a"), (count(lit(1)) - sum("__ia")).as("n_b"))
-    val t = g.agg(sum("n_a").as("__ta"), sum("n_b").as("__tb"))
+    // totals via an unpartitioned window over g's ≤buckets rows —
+    // re-aggregating g (or rescanning the source) would replay the
+    // quantile + bucket-assign subtree (see q_dq_18_psi)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
     val pa = col("n_a").cast("double") / col("__ta").cast("double")
     val pb = col("n_b").cast("double") / col("__tb").cast("double")
-    g.crossJoin(broadcast(t))
+    g.withColumn("__ta", sum("n_a").over(wAll))
+      .withColumn("__tb", sum("n_b").over(wAll))
       .select(col("bucket"), col("n_a"), col("n_b"),
         ((pa - pb) * log(pa / pb)).as("psi_part"))
   }

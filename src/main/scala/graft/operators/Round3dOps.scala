@@ -452,10 +452,15 @@ object Round3dOps {
         .select(bucket.cast("long").as("bucket"), col("ia"))
         .groupBy("bucket")
         .agg(sum("ia").as("n_a"), (count(lit(1)) - sum("ia")).as("n_b"))
-      val t = g.agg(sum("n_a").as("ta"), sum("n_b").as("tb"))
+      // totals via an unpartitioned window over g's ≤buckets rows —
+      // re-aggregating g (or rescanning events) would replay the
+      // percentile + bucket-assign subtree: 6 parquet scans → 3. The
+      // single-partition window is 10 rows, not the corpus.
+      val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       val pa = col("n_a").cast("double") / col("ta").cast("double")
       val pb = col("n_b").cast("double") / col("tb").cast("double")
-      g.crossJoin(broadcast(t))
+      g.withColumn("ta", sum("n_a").over(wAll))
+        .withColumn("tb", sum("n_b").over(wAll))
         .select(col("bucket"), col("n_a"), col("n_b"),
           round((pa - pb) * log(pa / pb), 6).as("psi_part"))
         .orderBy("bucket")
