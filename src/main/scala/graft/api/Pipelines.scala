@@ -555,8 +555,9 @@ object Pipelines {
     val stats = dl.agg(count(lit(1)).as("__nd"), sum("__dl").as("__tot"))
     val tf = tok.filter(col("__t").isin(terms: _*))
       .groupBy(idCol, "__t").agg(count(lit(1)).as("__tf"))
-    val dfq = tok.filter(col("__t").isin(terms: _*))
-      .groupBy("__t").agg(countDistinct(idCol).as("__df"))
+    // df from the tf table (one row per (doc, term)) — not a fourth
+    // corpus scan+explode pass
+    val dfq = tf.groupBy("__t").agg(count(lit(1)).as("__df"))
     val avgdl = col("__tot").cast("double") / col("__nd").cast("double")
     val idf = log(lit(1.0) + (col("__nd").cast("double") - col("__df").cast("double") + 0.5)
       / (col("__df").cast("double") + 0.5))

@@ -277,7 +277,10 @@ object Round2Ops {
             slice(toks, lit(2), size(toks) - 1).as("w2"))).as("p"))
         .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
       val lm = big.groupBy("w1", "w2").agg(count(lit(1)).cast("double").as("c12"))
-      val uni = big.groupBy("w1").agg(count(lit(1)).cast("double").as("c1"))
+      // unigram counts roll up from the LM table (Σ_w2 c12 = c1, exact:
+      // integer-valued doubles < 2^53) — deriving them from the bigram
+      // stream again would cost another full scan+explode pass
+      val uni = lm.groupBy("w1").agg(sum("c12").as("c1"))
         .withColumnRenamed("w1", "u1")
       big.join(lm, Seq("w1", "w2"))
         .join(uni, col("w1") === col("u1"))

@@ -169,8 +169,10 @@ object Round3dOps {
       val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot"))
       val tf = tok.filter(col("token").isin(terms: _*))
         .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      val dfq = tok.filter(col("token").isin(terms: _*))
-        .groupBy("token").agg(countDistinct("doc_id").as("df"))
+      // df(t) = rows per token in the tf table (one row per (doc, term))
+      // — deriving it from tok again would cost a fourth full
+      // scan+explode pass over the corpus
+      val dfq = tf.groupBy("token").agg(count(lit(1)).as("df"))
       val avgdl = col("tot").cast("double") / col("n_docs").cast("double")
       val idf = log(lit(1.0) + (col("n_docs").cast("double") - col("df").cast("double") + 0.5)
         / (col("df").cast("double") + 0.5))
@@ -260,9 +262,12 @@ object Round3dOps {
             slice(toks, lit(2), size(toks) - 1).as("w2"))).as("p"))
         .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
       val lm = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      val uni = big.groupBy("w1").agg(count(lit(1)).as("c1"))
+      // unigram counts and vocab both roll up from the LM table
+      // (Σ_w2 c12 = c1; vocab = distinct w2) — deriving them from the
+      // bigram stream again would cost two more scan+explode passes
+      val uni = lm.groupBy("w1").agg(sum("c12").as("c1"))
         .withColumnRenamed("w1", "u1")
-      val v = big.agg(countDistinct("w2").as("vocab"))
+      val v = lm.agg(countDistinct("w2").as("vocab"))
       val sc = big.join(lm, Seq("w1", "w2"))
         .join(uni, col("w1") === col("u1"))
         .crossJoin(broadcast(v))
