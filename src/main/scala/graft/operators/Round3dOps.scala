@@ -55,9 +55,14 @@ object Round3dOps {
       val pts = src.groupBy("v")
         .agg(sum("ia").as("c1"), (count(lit(1)) - sum("ia")).as("c2"))
       val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // totals = the last value of each (monotone) cumsum — taking them
+      // as a window max avoids re-deriving the pts aggregate for a
+      // separate totals branch (2 corpus aggregation passes → 1)
+      val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       val cum = pts.select(sum("c1").over(w).as("cum1"), sum("c2").over(w).as("cum2"))
-      val n = pts.agg(sum("c1").as("n1"), sum("c2").as("n2"))
-      cum.crossJoin(broadcast(n))
+        .withColumn("n1", max("cum1").over(wAll))
+        .withColumn("n2", max("cum2").over(wAll))
+      cum
         .groupBy("n1", "n2")
         .agg(max(abs(col("n2") * col("cum1") - col("n1") * col("cum2"))).as("d_num"))
         .select(col("n1"), col("n2"), col("d_num"),
@@ -126,8 +131,10 @@ object Round3dOps {
         .select(floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
       val dig = cents.select(substring(col("cents").cast("string"), 1, 1).cast("long").as("digit"))
       val g = dig.groupBy("digit").agg(count(lit(1)).as("n"))
-      val t = g.agg(sum("n").as("total"))
-      g.crossJoin(broadcast(t))
+      // total via an unpartitioned window over g's 9 rows (the psi
+      // pattern) — a separate totals aggregate re-derives g
+      val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      g.withColumn("total", sum("n").over(wAll))
         .select(col("digit"), col("n"),
           round(col("n").cast("double") / col("total").cast("double"), 6).as("pct"),
           round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 6).as("benford_pct"))
@@ -308,13 +315,20 @@ object Round3dOps {
       val tok = Tables(s, d, "documents")
         .select(col("lang"), explode(tokens(col("text"))).as("token"))
       val c = tok.groupBy("lang", "token").agg(count(lit(1)).as("c"))
-      val n = c.groupBy("lang").agg(sum("c").as("n_tokens"), count(lit(1)).as("vocab"))
-        .withColumnRenamed("lang", "nlang")
+      // per-language stats as windows over the (lang, token) count table
+      // (vocab-bounded — tiny) instead of a separate aggregate branch
+      // that would re-derive c from the token stream; carried through
+      // the final aggregate as max (constant per group)
+      val wLang = Window.partitionBy("lang")
+      val withStats = c
+        .withColumn("n_tokens", sum("c").over(wLang))
+        .withColumn("vocab", count(lit(1)).over(wLang))
       val p = col("c").cast("double") / col("n_tokens").cast("double")
-      val h = c.join(broadcast(n), col("lang") === col("nlang"))
-        .select(col("lang"), floor(-p * log(p) * 1000000 + 0.5).cast("long").as("h6c"))
-        .groupBy("lang").agg(sum("h6c").as("h6"))
-      h.join(broadcast(n), col("lang") === col("nlang"))
+      withStats
+        .select(col("lang"), col("n_tokens"), col("vocab"),
+          floor(-p * log(p) * 1000000 + 0.5).cast("long").as("h6c"))
+        .groupBy("lang")
+        .agg(max("n_tokens").as("n_tokens"), max("vocab").as("vocab"), sum("h6c").as("h6"))
         .select(col("lang"), col("n_tokens"), col("vocab"), col("h6"),
           round(col("h6").cast("double") / 1000000 / log(lit(2.0)), 4).as("h_bits"),
           round(col("h6").cast("double") / 1000000 / log(col("vocab").cast("double")), 4).as("h_norm"))
