@@ -537,5 +537,60 @@ object Round3dOps {
           round(col("maj_n").cast("double") / col("n").cast("double"), 6).as("purity"))
         .orderBy("cluster")
     },
+
+    Q("q_text_24_pmi",
+      """WITH b AS (SELECT struct_extract(p, 1) AS w1, struct_extract(p, 2) AS w2 FROM (
+        |  SELECT unnest(list_zip(
+        |    list_slice(string_split(text, ' '), 1, len(string_split(text, ' ')) - 1),
+        |    list_slice(string_split(text, ' '), 2, len(string_split(text, ' '))))) AS p
+        |  FROM documents)),
+        |lm AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM b GROUP BY 1, 2),
+        |r1 AS (SELECT w1 AS u1, CAST(sum(c12) AS BIGINT) AS c1 FROM lm GROUP BY 1),
+        |r2 AS (SELECT w2 AS u2, CAST(sum(c12) AS BIGINT) AS c2 FROM lm GROUP BY 1),
+        |n AS (SELECT CAST(sum(c2) AS BIGINT) AS nn FROM r2),
+        |sc AS (SELECT w1, w2, c12,
+        |  CAST(floor(ln(CAST(c12 AS DOUBLE) * CAST(nn AS DOUBLE) / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))) * 1000000 + 0.5) AS BIGINT) AS pmi6
+        | FROM lm JOIN r1 ON lm.w1 = r1.u1 JOIN r2 ON lm.w2 = r2.u2, n WHERE c12 >= 20)
+        |SELECT w1, w2, c12, CAST(pmi6 AS DOUBLE) / 1000000 AS pmi, CAST(rn AS BIGINT) AS rn FROM (
+        | SELECT *, row_number() OVER (ORDER BY pmi6 DESC, w1, w2) AS rn FROM sc)
+        |WHERE rn <= 20 ORDER BY rn""".stripMargin) { (s, d) =>
+      // PMI collocation mining: top-20 bigrams by pointwise mutual
+      // information ln(p12/(p1·p2)) with a min-count support threshold
+      // (the classic collocation/phrase-detection primitive; the
+      // association cousin of q_text_16's fluency score). ONE corpus
+      // scan+explode pass: marginals r1/r2 and the total all roll up
+      // from the vocab²-bounded LM table (the q_text_23 lesson); the
+      // ln argument multiplies as DOUBLE (c12·N overflows BIGINT near
+      // 1e18 at corpus scale); ordering is by the 1e-6-quantized
+      // integer, w1, w2 — total and engine-stable. Margin joins are
+      // vocab-bounded broadcasts.
+      val toks = tokens(col("text"))
+      val big = Tables(s, d, "documents")
+        .select(explode(arrays_zip(
+          slice(toks, lit(1), size(toks) - 1).as("w1"),
+          slice(toks, lit(2), size(toks) - 1).as("w2"))).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val lm = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      // marginals + total as windows OVER the vocab²-bounded LM table —
+      // separate rollup aggregates re-derive the corpus scan+explode
+      // (observed 4 parquet scans → 1; ReuseExchange does not fire
+      // across the differently-aggregated branches)
+      val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val sc = lm
+        .withColumn("c1", sum("c12").over(Window.partitionBy("w1")))
+        .withColumn("c2", sum("c12").over(Window.partitionBy("w2")))
+        .withColumn("nn", sum("c12").over(wAll))
+        .filter(col("c12") >= 20)
+        .select(col("w1"), col("w2"), col("c12"),
+          floor(log(col("c12").cast("double") * col("nn").cast("double")
+            / (col("c1").cast("double") * col("c2").cast("double"))) * 1000000 + 0.5)
+            .cast("long").as("pmi6"))
+      val w = Window.orderBy(col("pmi6").desc, col("w1"), col("w2"))
+      sc.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 20)
+        .select(col("w1"), col("w2"), col("c12"),
+          (col("pmi6").cast("double") / 1000000).as("pmi"), col("rn").cast("long").as("rn"))
+        .orderBy("rn")
+    },
   )
 }

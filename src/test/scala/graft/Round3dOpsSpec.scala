@@ -229,6 +229,29 @@ class Round3dOpsSpec extends SparkSpec {
     }
   }
 
+  test("q_text_24_pmi: top-20 matches a quantized-integer replication") {
+    val bigrams = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().flatMap { r =>
+        val t = r.getString(0).split(" "); t.dropRight(1).zip(t.drop(1))
+      }
+    val c12 = bigrams.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val c1 = bigrams.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val c2 = bigrams.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nn = bigrams.length.toLong
+    val expected = c12.toSeq.filter(_._2 >= 20).map { case ((w1, w2), c) =>
+      val pmi6 = math.floor(math.log(
+        c.toDouble * nn.toDouble / (c1(w1).toDouble * c2(w2).toDouble)) * 1000000 + 0.5).toLong
+      (w1, w2, c, pmi6)
+    }.sortBy(t => (-t._4, t._1, t._2)).take(20)
+    val got = Registry.byName("q_text_24_pmi").fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case ((gw1, gw2, gc, gpmi), (ew1, ew2, ec, e6)) =>
+      assert((gw1, gw2, gc) == ((ew1, ew2, ec)))
+      assert(gpmi == e6.toDouble / 1000000)
+    }
+  }
+
   test("plan contracts: stat/boundary tables broadcast, no corpus merge joins") {
     def plan(q: String): String =
       Registry.byName(q).fn(spark, sf).queryExecution.executedPlan.toString
