@@ -252,6 +252,21 @@ class Round3dOpsSpec extends SparkSpec {
     }
   }
 
+  test("plan contracts: single-scan statistics (totals ride windows, not rescans)") {
+    // the round-3d audit found totals/marginal branches re-deriving
+    // their inputs (psi 6 scans, pmi 4); these pins keep them fixed
+    def scans(q: String): Int =
+      "(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(
+        Registry.byName(q).fn(spark, sf).queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))).length
+    assert(scans("q_stat_3_ks") == 1)
+    assert(scans("q_stat_4_mannwhitney") == 1)
+    assert(scans("q_dq_16_benford") == 1)
+    assert(scans("q_agg_28_entropy") == 1)
+    assert(scans("q_text_24_pmi") == 1)
+    assert(scans("q_dq_18_psi") <= 3)
+  }
+
   test("plan contracts: stat/boundary tables broadcast, no corpus merge joins") {
     def plan(q: String): String =
       Registry.byName(q).fn(spark, sf).queryExecution.executedPlan.toString
