@@ -28,7 +28,8 @@ object Registry {
       Round2Ops.all ++
       Round3Ops.all ++
       Round3cOps.all ++
-      Round3dOps.all
+      Round3dOps.all ++
+      Round3eOps.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(

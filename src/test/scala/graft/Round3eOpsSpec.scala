@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-3e operators (regression + dependence statistics): brute-force
+  * replications of the exact-BIGINT sufficient-statistic cores and
+  * single-scan plan contracts.
+  */
+class Round3eOpsSpec extends SparkSpec {
+
+  // the shared closed form, replicated in plain Scala with the same
+  // operation shape as the query's final projection
+  private def ols(pts: Seq[(Long, Long)]): (Double, Double) = {
+    val n = pts.length.toDouble
+    val sx = pts.map(_._1).sum.toDouble; val sy = pts.map(_._2).sum.toDouble
+    val sxy = pts.map(p => p._1 * p._2).sum.toDouble
+    val sxx = pts.map(p => p._1 * p._1).sum.toDouble
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    (slope, (sy - slope * sx) / n)
+  }
+
+  private def round6(x: Double): Double = math.floor(x * 1000000 + 0.5) / 1000000
+
+  test("q_stat_5_ols: per-group closed form matches a driver-side replication") {
+    val pts = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_quantity").cast("long"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val got = Registry.byName("q_stat_5_ols").fn(spark, sf).collect()
+    assert(got.map(_.getString(0)).toSeq == got.map(_.getString(0)).toSeq.sorted)
+    got.foreach { r =>
+      val grp = r.getString(0)
+      val (slope, icept) = ols(pts(grp))
+      assert(r.getLong(1) == pts(grp).length)
+      assert(r.getDouble(2) == round6(slope / 100), s"slope mismatch for $grp")
+      assert(r.getDouble(3) == round6(icept / 100), s"intercept mismatch for $grp")
+    }
+  }
+
+  test("q_stat_6_mutualinfo: quantized cell sum matches replication; independent-ish data ⇒ small MI") {
+    val cells = spark.read.parquet(s"$sf/orders.parquet")
+      .groupBy("o_orderstatus", "o_orderpriority").count()
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val n = cells.values.sum
+    val cx = cells.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val cy = cells.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val expected = cells.map { case ((x, y), c) =>
+      math.floor(c.toDouble / n.toDouble *
+        math.log(c.toDouble * n.toDouble / (cx(x).toDouble * cy(y).toDouble)) * 1000000 + 0.5).toLong
+    }.sum
+    val row = Registry.byName("q_stat_6_mutualinfo").fn(spark, sf).collect().head
+    assert(row.getLong(0) == n)
+    assert(row.getLong(1) == cells.size)
+    assert(row.getDouble(2) == expected.toDouble / 1000000, "quantized MI mismatch")
+    // synthetic status/priority are near-independent: MI well under 0.1 nats
+    // (quantization can push individual cells slightly negative)
+    assert(math.abs(row.getDouble(2)) < 0.1)
+  }
+
+  test("q_text_25_zipf: log-log OLS matches replication and slopes downward") {
+    val counts = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (t, c) => (-c, t) }.take(1000)
+    val pts = counts.zipWithIndex.map { case ((_, c), i) =>
+      (math.floor(math.log((i + 1).toDouble) * 1000000 + 0.5).toLong,
+        math.floor(math.log(c.toDouble) * 1000000 + 0.5).toLong)
+    }
+    val (slope, icept) = ols(pts.toSeq)
+    val row = Registry.byName("q_text_25_zipf").fn(spark, sf).collect().head
+    assert(row.getLong(0) == pts.length)
+    assert(row.getDouble(1) == round6(slope), "slope mismatch")
+    assert(row.getDouble(2) == round6(icept / 1000000), "intercept mismatch")
+    assert(row.getDouble(1) < 0, "rank-frequency fit must slope downward")
+  }
+
+  test("plan contracts: round-3e statistics are single-scan") {
+    def scans(q: String): Int =
+      "(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(
+        Registry.byName(q).fn(spark, sf).queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))).length
+    assert(scans("q_stat_5_ols") == 1)
+    assert(scans("q_stat_6_mutualinfo") == 1)
+    assert(scans("q_text_25_zipf") == 1)
+  }
+}
