@@ -160,5 +160,93 @@ object Round3eOps {
       olsClosedForm(st, slopeDiv = 1.0, interceptDiv = 1000000.0)
         .select(col("n"), col("slope"), col("intercept"))
     },
+
+    Q("q_agg_30_assoc",
+      """WITH ob AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+        |            FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |pairs AS (SELECT x.b AS b1, y.b AS b2, CAST(count(*) AS BIGINT) AS c12
+        |          FROM ob x JOIN ob y ON x.ok = y.ok AND x.b < y.b GROUP BY 1,2),
+        |m AS (SELECT b, CAST(count(*) AS BIGINT) AS cb FROM ob GROUP BY 1),
+        |n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS no FROM ob),
+        |sc AS (SELECT b1, b2, c12,
+        |        CAST(floor(CAST(c12 AS DOUBLE)/CAST(no AS DOUBLE)*1000000+0.5) AS BIGINT) AS sup6,
+        |        CAST(floor(CAST(c12 AS DOUBLE)*CAST(no AS DOUBLE)/(CAST(m1.cb AS DOUBLE)*CAST(m2.cb AS DOUBLE))*1000000+0.5) AS BIGINT) AS lift6
+        |       FROM pairs JOIN m m1 ON pairs.b1 = m1.b JOIN m m2 ON pairs.b2 = m2.b, n
+        |       WHERE c12 >= 50)
+        |SELECT b1, b2, c12, CAST(sup6 AS DOUBLE)/1000000 AS support, CAST(lift6 AS DOUBLE)/1000000 AS lift, CAST(rn AS BIGINT) AS rn
+        |FROM (SELECT *, row_number() OVER (ORDER BY lift6 DESC, b1, b2) AS rn FROM sc)
+        |WHERE rn <= 20 ORDER BY rn""".stripMargin) { (s, d) =>
+      // Market-basket association rules: top-20 brand pairs co-bought
+      // within an order, ranked by lift = p12/(p1·p2) with a min-support
+      // threshold — the classic affinity-mining primitive (and, on
+      // corpora, the domain-cooccurrence screen for mixture design).
+      // The basket table (order, brand) is localCheckpoint'ed ONCE and
+      // feeds the pair self-join, both marginals, and the total — the
+      // q_dedup_7 lineage-truncation pattern; without it the
+      // lineitem⋈part subtree replays 4×. The self-join is
+      // orderkey-partitioned (baskets are small: pairs-per-order ≤
+      // brands²/2); marginal joins are brand-bounded broadcasts; the
+      // dims broadcast under AQE sizing. Ordering by the quantized
+      // integer (lift6, b1, b2) — total and engine-stable.
+      val ob = Tables(s, d, "lineitem")
+        .join(Tables(s, d, "part"), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
+        .distinct()
+        .localCheckpoint()
+      val pairs = ob.as("x").join(ob.as("y"),
+          col("x.ok") === col("y.ok") && col("x.b") < col("y.b"))
+        .groupBy(col("x.b").as("b1"), col("y.b").as("b2"))
+        .agg(count(lit(1)).as("c12"))
+      val m = ob.groupBy(col("b")).agg(count(lit(1)).as("cb"))
+      val no = ob.select(countDistinct("ok").as("no"))
+      // marginals are |brands|-bounded (dimension, not corpus, scale) —
+      // safe to broadcast, unlike the corpus-derived hints q_text_16 dropped
+      val sc = pairs
+        .join(broadcast(m.select(col("b").as("b1"), col("cb").as("cb1"))), Seq("b1"))
+        .join(broadcast(m.select(col("b").as("b2"), col("cb").as("cb2"))), Seq("b2"))
+        .crossJoin(no)
+        .filter(col("c12") >= 50)
+        .select(col("b1"), col("b2"), col("c12"),
+          floor(col("c12").cast("double") / col("no").cast("double") * 1000000 + 0.5)
+            .cast("long").as("sup6"),
+          floor(col("c12").cast("double") * col("no").cast("double")
+            / (col("cb1").cast("double") * col("cb2").cast("double")) * 1000000 + 0.5)
+            .cast("long").as("lift6"))
+      sc.withColumn("rn", row_number().over(Window.orderBy(col("lift6").desc, col("b1"), col("b2"))))
+        .filter(col("rn") <= 20)
+        .select(col("b1"), col("b2"), col("c12"),
+          (col("sup6").cast("double") / 1000000).as("support"),
+          (col("lift6").cast("double") / 1000000).as("lift"),
+          col("rn").cast("long").as("rn"))
+        .orderBy("rn")
+    },
+
+    Q("q_stream_13_markov",
+      """WITH seq AS (SELECT event_type AS a,
+        |                    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id) AS b
+        |             FROM events),
+        |tr AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c FROM seq WHERE b IS NOT NULL GROUP BY 1,2)
+        |SELECT a, b, c, CAST(sum(c) OVER (PARTITION BY a) AS BIGINT) AS c_a,
+        |       floor(CAST(c AS DOUBLE)/CAST(sum(c) OVER (PARTITION BY a) AS DOUBLE)*1000000+0.5)/1000000 AS p
+        |FROM tr ORDER BY a, b""".stripMargin) { (s, d) =>
+      // First-order Markov transition matrix over each user's event
+      // sequence: P(next = b | current = a) — the session-behavior
+      // model behind next-event prediction and anomaly scoring (and
+      // q_text_16's bigram LM lifted from tokens to events). ONE scan:
+      // a per-user lead window (ordered by (ts, event_id) — event_id
+      // breaks timestamp ties deterministically), a |types|²-bounded
+      // count aggregate, and row totals riding that table as a window
+      // (no re-aggregation branch). Probabilities quantized to 1e-6.
+      val seq = Tables(s, d, "events")
+        .select(col("event_type").as("a"),
+          lead(col("event_type"), 1).over(
+            Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))).as("b"))
+      val tr = seq.filter(col("b").isNotNull)
+        .groupBy("a", "b").agg(count(lit(1)).as("c"))
+      tr.withColumn("c_a", sum("c").over(Window.partitionBy("a")))
+        .select(col("a"), col("b"), col("c"), col("c_a"),
+          (floor(col("c").cast("double") / col("c_a").cast("double") * 1000000 + 0.5) / 1000000).as("p"))
+        .orderBy("a", "b")
+    },
   )
 }

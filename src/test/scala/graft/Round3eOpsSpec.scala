@@ -76,6 +76,54 @@ class Round3eOpsSpec extends SparkSpec {
     assert(row.getDouble(1) < 0, "rank-frequency fit must slope downward")
   }
 
+  test("q_agg_30_assoc: lift ranking matches a brute-force basket replication") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brandOf = spark.read.parquet(s"$sf/part.parquet")
+      .select("p_partkey", "p_brand").collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val ob = li.map { case (ok, pk) => (ok, brandOf(pk)) }.distinct
+    val no = ob.map(_._1).distinct.length.toLong
+    val cb = ob.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pairCounts = ob.groupBy(_._1).values.flatMap { basket =>
+      val bs = basket.map(_._2).distinct.sorted
+      for (i <- bs.indices; j <- i + 1 until bs.length) yield (bs(i), bs(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = pairCounts.toSeq
+      .filter(_._2 >= 50)
+      .map { case ((b1, b2), c12) =>
+        val lift6 = math.floor(c12.toDouble * no.toDouble / (cb(b1).toDouble * cb(b2).toDouble) * 1000000 + 0.5).toLong
+        (b1, b2, c12, lift6)
+      }
+      .sortBy { case (b1, b2, _, lift6) => (-lift6, b1, b2) }
+      .take(20)
+    val got = Registry.byName("q_agg_30_assoc").fn(spark, sf).collect()
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (r, (b1, b2, c12, lift6)) =>
+      assert(r.getString(0) == b1 && r.getString(1) == b2, s"pair order mismatch at rn=${r.getLong(5)}")
+      assert(r.getLong(2) == c12)
+      assert(r.getDouble(4) == lift6.toDouble / 1000000)
+      assert(r.getDouble(3) == math.floor(c12.toDouble / no.toDouble * 1000000 + 0.5) / 1000000)
+    }
+  }
+
+  test("q_stream_13_markov: transition counts match a per-user sequence replication; rows normalize") {
+    val evs = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts").cast("long")) // nanos as long (SparkSpec sets the legacy conf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val expected = evs.groupBy(_._1).values.flatMap { seq =>
+      seq.sortBy(e => (e._4 / 1000, e._2)).map(_._3).sliding(2).filter(_.length == 2)
+        .map(w => (w(0), w(1)))
+    }.groupBy(p => p).view.mapValues(_.size.toLong).toMap
+    val got = Registry.byName("q_stream_13_markov").fn(spark, sf).collect()
+    assert(got.map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap == expected)
+    // per-state totals and row-normalization (within quantization slack)
+    got.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(2)).sum == rows.head.getLong(3))
+      assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < rows.length * 5e-7 + 1e-9)
+    }
+  }
+
   test("plan contracts: round-3e statistics are single-scan") {
     def scans(q: String): Int =
       "(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(
@@ -84,5 +132,9 @@ class Round3eOpsSpec extends SparkSpec {
     assert(scans("q_stat_5_ols") == 1)
     assert(scans("q_stat_6_mutualinfo") == 1)
     assert(scans("q_text_25_zipf") == 1)
+    assert(scans("q_stream_13_markov") == 1)
+    // assoc reads parquet only while materializing its checkpointed
+    // basket table; the declared plan itself must not rescan the source
+    assert(scans("q_agg_30_assoc") == 0)
   }
 }
