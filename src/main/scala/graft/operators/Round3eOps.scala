@@ -248,5 +248,228 @@ object Round3eOps {
           (floor(col("c").cast("double") / col("c_a").cast("double") * 1000000 + 0.5) / 1000000).as("p"))
         .orderBy("a", "b")
     },
+
+    Q("q_time_5_acf",
+      """WITH day AS (SELECT CAST(date_trunc('day', ts::TIMESTAMP) AS DATE) AS dday, CAST(count(*) AS BIGINT) AS x
+        |             FROM events GROUP BY 1),
+        |dev AS (SELECT dday, CAST(count(*) OVER () * x - sum(x) OVER () AS BIGINT) AS d FROM day),
+        |den AS (SELECT CAST(sum(d*d) AS BIGINT) AS den FROM dev),
+        |lagged AS (
+        |  SELECT k.k AS lag, CAST(sum(d.d * l.d) AS BIGINT) AS num
+        |  FROM (SELECT unnest(range(1, 8)) AS k) k
+        |  JOIN dev d ON true
+        |  JOIN dev l ON l.dday = d.dday - CAST(k.k AS INTEGER)
+        |  GROUP BY 1)
+        |SELECT lag, num, den.den AS den,
+        |       floor(CAST(num AS DOUBLE)/CAST(den.den AS DOUBLE)*1000000+0.5)/1000000 AS acf
+        |FROM lagged, den ORDER BY lag""".stripMargin) { (s, d) =>
+      // Autocorrelation of the daily event-count series at calendar lags
+      // 1..7 — the seasonality/persistence readout completing the
+      // time-series family (spine→ffill→ohlc→ewma→acf). Integer core:
+      // the n²-scaled deviation dᵗ = n·xᵗ − Σx is exact BIGINT (counts
+      // are integers), so numerator Σ dᵗ·dᵗ⁻ᵏ and denominator Σ dᵗ² are
+      // exact too (n² cancels in the ratio; ≈1e17 at sf0.1 — DECIMAL(38)
+      // escalation at ~1e9 events/day, the q_agg_29 note). ONE corpus
+      // scan; everything after the per-day aggregate is day-bounded:
+      // deviations ride as unpartitioned windows, the lag join is a
+      // 7×days self-join of a tiny table (calendar-lag semantics, robust
+      // to gaps), the denominator a 1-row cross join. The day aggregate
+      // is localCheckpoint'ed: it feeds the self-join's two sides AND
+      // the denominator — without it the corpus scan replays 3×.
+      val day = Tables(s, d, "events")
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("dday"))
+        .agg(count(lit(1)).as("x"))
+        .localCheckpoint()
+      val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val dev = day.select(col("dday"),
+        (count(lit(1)).over(wAll) * col("x") - sum("x").over(wAll)).as("d"))
+      val den = dev.agg(sum(col("d") * col("d")).as("den"))
+      val ks = s.range(1, 8).select(col("id").as("lag"))
+      val lagged = dev.as("d").crossJoin(broadcast(ks))
+        .join(dev.as("l"), col("l.dday") === date_sub(col("d.dday"), col("lag").cast("int")))
+        .groupBy("lag").agg(sum(col("d.d") * col("l.d")).as("num"))
+      lagged.crossJoin(broadcast(den))
+        .select(col("lag"), col("num"), col("den"),
+          (floor(col("num").cast("double") / col("den").cast("double") * 1000000 + 0.5) / 1000000).as("acf"))
+        .orderBy("lag")
+    },
+
+    Q("q_stat_7_survival",
+      """WITH u AS (SELECT user_id,
+        |                  min(CASE WHEN event_type='signup' THEN ts::TIMESTAMP END) AS t_s,
+        |                  max(ts::TIMESTAMP) AS t_max
+        |           FROM events GROUP BY user_id),
+        |p AS (SELECT e.user_id, min(e.ts::TIMESTAMP) AS t_p
+        |      FROM events e JOIN u ON e.user_id = u.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts::TIMESTAMP > u.t_s GROUP BY 1),
+        |c AS (SELECT CAST(max(epoch(t_max)) AS BIGINT) AS t_end FROM u),
+        |subj AS (SELECT CASE WHEN p.t_p IS NOT NULL THEN CAST(floor((epoch(p.t_p) - epoch(u.t_s))/86400) AS BIGINT)
+        |                     ELSE CAST(floor((c.t_end - epoch(u.t_s))/86400) AS BIGINT) END AS tt,
+        |                CASE WHEN p.t_p IS NOT NULL THEN 1 ELSE 0 END AS ev
+        |         FROM u LEFT JOIN p ON u.user_id = p.user_id, c
+        |         WHERE u.t_s IS NOT NULL),
+        |g AS (SELECT tt, CAST(sum(ev) AS BIGINT) AS d, CAST(count(*) AS BIGINT) AS ctot FROM subj GROUP BY tt),
+        |r AS (SELECT tt, d, CAST(sum(ctot) OVER () - sum(ctot) OVER (ORDER BY tt) + ctot AS BIGINT) AS n_risk FROM g),
+        |l AS (SELECT tt, d, n_risk,
+        |             CASE WHEN d > 0 AND d < n_risk THEN CAST(floor(ln(1.0 - CAST(d AS DOUBLE)/CAST(n_risk AS DOUBLE))*1000000+0.5) AS BIGINT) ELSE 0 END AS lnterm,
+        |             CASE WHEN d >= n_risk THEN 1 ELSE 0 END AS zf
+        |      FROM r),
+        |s AS (SELECT tt, d, n_risk,
+        |             CAST(sum(lnterm) OVER (ORDER BY tt) AS BIGINT) AS lns,
+        |             max(zf) OVER (ORDER BY tt) AS zmax FROM l)
+        |SELECT tt, d, n_risk,
+        |       CASE WHEN zmax = 1 THEN 0.0 ELSE floor(exp(CAST(lns AS DOUBLE)/1000000)*1000000+0.5)/1000000 END AS s
+        |FROM s WHERE d > 0 ORDER BY tt""".stripMargin) { (s, d) =>
+      // Kaplan–Meier survival curve of days from first signup to first
+      // subsequent purchase, right-censored at the corpus horizon — the
+      // time-to-conversion estimator (and, on data pipelines, the
+      // "how long until a crawled page is re-crawled/duplicated"
+      // family). The product Π(1 − dᵢ/nᵢ) is an ORDERED float product —
+      // computed as exp of the cumulative sum of 1e-6-quantized
+      // ln(1 − d/n) terms, making the accumulation an integer prefix
+      // sum (no float-product order hazard); when d = n_risk the
+      // survivor function hits exact 0 (a cumulative-max flag, not
+      // ln(0)). TWO passes over events (per-user stages + the
+      // conditional purchase-after-signup join); everything downstream
+      // is bounded by distinct duration days. At-risk counts come from
+      // the total minus an exclusive prefix — one window sort over the
+      // duration table.
+      // u (the per-user stage table) feeds the purchase join, the
+      // censor horizon, and the subject table — checkpoint it once so
+      // the corpus aggregate isn't re-derived per consumer
+      val ev = Tables(s, d, "events")
+      val u = ev.groupBy("user_id").agg(
+        min(when(col("event_type") === "signup", col("ts"))).as("t_s"),
+        max(col("ts")).as("t_max"))
+        .localCheckpoint()
+      val p = ev.join(u, Seq("user_id"))
+        .filter(col("event_type") === "purchase" && col("ts") > col("t_s"))
+        .groupBy("user_id").agg(min("ts").as("t_p"))
+      val cEnd = u.agg(max(unix_timestamp(col("t_max"))).as("t_end"))
+      val subj = u.filter(col("t_s").isNotNull)
+        .join(p, Seq("user_id"), "left")
+        .crossJoin(broadcast(cEnd))
+        .select(
+          when(col("t_p").isNotNull,
+            floor((unix_timestamp(col("t_p")) - unix_timestamp(col("t_s"))) / 86400))
+            .otherwise(floor((col("t_end") - unix_timestamp(col("t_s"))) / 86400))
+            .cast("long").as("tt"),
+          when(col("t_p").isNotNull, 1L).otherwise(0L).as("ev"))
+      val g = subj.groupBy("tt").agg(sum("ev").as("d"), count(lit(1)).as("ctot"))
+      val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val wCum = Window.orderBy("tt").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val r = g.select(col("tt"), col("d"),
+        (sum("ctot").over(wAll) - sum("ctot").over(wCum) + col("ctot")).as("n_risk"))
+      val l = r
+        .withColumn("lnterm",
+          when(col("d") > 0 && col("d") < col("n_risk"),
+            floor(log(lit(1.0) - col("d").cast("double") / col("n_risk").cast("double")) * 1000000 + 0.5).cast("long"))
+            .otherwise(0L))
+        .withColumn("zf", when(col("d") >= col("n_risk"), 1).otherwise(0))
+      l.select(col("tt"), col("d"), col("n_risk"),
+          sum("lnterm").over(wCum).as("lns"), max("zf").over(wCum).as("zmax"))
+        .filter(col("d") > 0)
+        .select(col("tt"), col("d"), col("n_risk"),
+          when(col("zmax") === 1, lit(0.0))
+            .otherwise(floor(exp(col("lns").cast("double") / 1000000) * 1000000 + 0.5) / 1000000).as("s"))
+        .orderBy("tt")
+    },
+
+    Q("q_sim_16_rrf", {
+      val dot = "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_zip(%s, %s), p -> CAST(struct_extract(p, 1) * struct_extract(p, 2) AS DOUBLE))), (acc, x) -> acc + x)"
+      val n2 = "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(%s, x -> CAST(x * x AS DOUBLE))), (acc, x) -> acc + x)"
+      val cos = s"(${dot.format("e.embedding", "pr.pvec")} / (sqrt(${n2.format("e.embedding")}) * sqrt(${n2.format("pr.pvec")})))"
+      s"""WITH pr AS (SELECT embedding AS pvec FROM embeddings WHERE vec_id = 0),
+         |vr AS (SELECT vec_id AS id, row_number() OVER (ORDER BY $cos DESC, vec_id) AS rv
+         |       FROM embeddings e, pr WHERE e.vec_id <> 0),
+         |pt AS (SELECT list_distinct(string_split(text, ' ')) AS ptok FROM documents WHERE doc_id = 0),
+         |lr AS (SELECT doc_id AS id,
+         |              row_number() OVER (ORDER BY len(list_intersect(list_distinct(string_split(text, ' ')), pt.ptok)) DESC, doc_id) AS rl
+         |       FROM documents, pt WHERE doc_id <> 0),
+         |f AS (SELECT vr.id, rv, rl,
+         |             CAST(floor(1000000.0/(60+rv)+0.5) AS BIGINT) + CAST(floor(1000000.0/(60+rl)+0.5) AS BIGINT) AS rrf6
+         |      FROM vr JOIN lr ON vr.id = lr.id)
+         |SELECT id, CAST(rv AS BIGINT) AS rank_vec, CAST(rl AS BIGINT) AS rank_lex,
+         |       CAST(rrf6 AS DOUBLE)/1000000 AS rrf, CAST(rn AS BIGINT) AS rn
+         |FROM (SELECT *, row_number() OVER (ORDER BY rrf6 DESC, id) AS rn FROM f)
+         |WHERE rn <= 10 ORDER BY rn""".stripMargin
+    }) { (s, d) =>
+      // Reciprocal-rank fusion (k=60): hybrid retrieval combining the
+      // vector rank list (cosine vs the probe embedding) with the
+      // lexical rank list (distinct-token overlap with the probe doc) —
+      // the standard way real RAG/retrieval stacks merge BM25-ish and
+      // ANN candidates without score calibration. Per-list 1/(60+rank)
+      // contributions are 1e-6-quantized INTEGERS, so the fusion sum
+      // and its ordering are exact; both rank lists break ties by id.
+      // Each list is one corpus pass against a broadcast 1-row probe;
+      // the fusion join is id-partitioned. At 100 TB each list would be
+      // a top-K heap (q_agg_23's native aggregate), not a full sort.
+      graft.expressions.VectorExpressions.register(s)
+      val emb = Tables(s, d, "embeddings")
+      val probeV = emb.filter(col("vec_id") === 0).select(col("embedding").as("pvec"))
+      val vr = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(probeV))
+        .select(col("vec_id").as("id"),
+          expr("cosine_similarity(embedding, pvec)").as("cos"))
+        .select(col("id"), row_number().over(Window.orderBy(col("cos").desc, col("id"))).as("rv"))
+      val docs = Tables(s, d, "documents")
+      val probeT = docs.filter(col("doc_id") === 0)
+        .select(array_distinct(tokens(col("text"))).as("ptok"))
+      val lr = docs.filter(col("doc_id") =!= 0).crossJoin(broadcast(probeT))
+        .select(col("doc_id").as("id"),
+          size(array_intersect(array_distinct(tokens(col("text"))), col("ptok"))).as("ov"))
+        .select(col("id"), row_number().over(Window.orderBy(col("ov").desc, col("id"))).as("rl"))
+      val fused = vr.join(lr, Seq("id"))
+        .select(col("id"), col("rv"), col("rl"),
+          (floor(lit(1000000.0) / (col("rv") + 60) + 0.5).cast("long")
+            + floor(lit(1000000.0) / (col("rl") + 60) + 0.5).cast("long")).as("rrf6"))
+      fused.withColumn("rn", row_number().over(Window.orderBy(col("rrf6").desc, col("id"))))
+        .filter(col("rn") <= 10)
+        .select(col("id"), col("rv").cast("long").as("rank_vec"), col("rl").cast("long").as("rank_lex"),
+          (col("rrf6").cast("double") / 1000000).as("rrf"), col("rn").cast("long").as("rn"))
+        .orderBy("rn")
+    },
+
+    Q("q_dq_19_fd",
+      """WITH deps AS (
+        | SELECT 'lineitem: l_orderkey -> l_suppkey' AS dep, l_orderkey AS lhs, CAST(l_suppkey AS VARCHAR) AS rhs FROM lineitem
+        | UNION ALL
+        | SELECT 'lineitem: l_partkey -> l_suppkey', l_partkey, CAST(l_suppkey AS VARCHAR) FROM lineitem
+        | UNION ALL
+        | SELECT 'orders: o_custkey -> o_orderpriority', o_custkey, o_orderpriority FROM orders),
+        |g AS (SELECT dep, lhs, CAST(count(DISTINCT rhs) AS BIGINT) AS nd FROM deps GROUP BY 1,2)
+        |SELECT dep, CAST(count(*) AS BIGINT) AS n_lhs,
+        |       CAST(count(CASE WHEN nd > 1 THEN 1 END) AS BIGINT) AS n_violating,
+        |       CAST(max(nd) AS BIGINT) AS max_rhs,
+        |       floor(CAST(count(CASE WHEN nd > 1 THEN 1 END) AS DOUBLE)/CAST(count(*) AS DOUBLE)*1000000+0.5)/1000000 AS violation_rate
+        |FROM g GROUP BY dep ORDER BY dep""".stripMargin) { (s, d) =>
+      // Functional-dependency audit: for candidate LHS→RHS rules,
+      // measure how far the data is from satisfying them (violating-LHS
+      // share, worst fan-out) — the schema-discovery/data-profiling
+      // primitive behind key detection and denormalization checks. Each
+      // candidate is a two-level aggregate (distinct-RHS per LHS, then
+      // LHS-bounded rollup) — both map-side combinable. Both lineitem
+      // candidates come out of ONE scan (explode of two dep structs —
+      // a union would scan the fact table per candidate). Violation
+      // rates here are intentionally non-trivial (synthetic keys don't
+      // determine suppliers) — the point is the measurement, not a pass.
+      val li = Tables(s, d, "lineitem")
+      val or = Tables(s, d, "orders")
+      val deps = li.select(explode(array(
+          struct(lit("lineitem: l_orderkey -> l_suppkey").as("dep"),
+            col("l_orderkey").as("lhs"), col("l_suppkey").cast("string").as("rhs")),
+          struct(lit("lineitem: l_partkey -> l_suppkey").as("dep"),
+            col("l_partkey").as("lhs"), col("l_suppkey").cast("string").as("rhs")))).as("e"))
+        .select(col("e.dep").as("dep"), col("e.lhs").as("lhs"), col("e.rhs").as("rhs"))
+        .unionAll(or.select(lit("orders: o_custkey -> o_orderpriority").as("dep"),
+          col("o_custkey").as("lhs"), col("o_orderpriority").as("rhs")))
+      deps.groupBy("dep", "lhs").agg(countDistinct("rhs").as("nd"))
+        .groupBy("dep")
+        .agg(count(lit(1)).as("n_lhs"),
+          count(when(col("nd") > 1, 1)).as("n_violating"),
+          max("nd").as("max_rhs"))
+        .select(col("dep"), col("n_lhs"), col("n_violating"), col("max_rhs"),
+          (floor(col("n_violating").cast("double") / col("n_lhs").cast("double") * 1000000 + 0.5) / 1000000).as("violation_rate"))
+        .orderBy("dep")
+    },
   )
 }

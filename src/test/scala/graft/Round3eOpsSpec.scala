@@ -124,6 +124,76 @@ class Round3eOpsSpec extends SparkSpec {
     }
   }
 
+  test("q_time_5_acf: lag-0 identity, symmetry of the integer core, bounded values") {
+    val rows = Registry.byName("q_time_5_acf").fn(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 7L))
+    val den = rows.head.getLong(2)
+    assert(rows.forall(_.getLong(2) == den), "shared denominator")
+    // brute-force replication over the daily count series
+    // ts is nanos-as-long here: exact integer div to seconds before the cast
+    val days = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy(date_trunc("day", expr("ts div 1000000000").cast("timestamp")).cast("date").as("d"))
+      .count().collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1))).toMap
+    val n = days.size.toLong; val sTot = days.values.sum
+    val dev = days.view.mapValues(x => n * x - sTot).toMap
+    val expDen = dev.values.map(v => v * v).sum
+    assert(den == expDen, s"den $den != $expDen")
+    rows.foreach { r =>
+      val k = r.getLong(0)
+      val num = dev.map { case (dd, v) =>
+        dev.get(dd.minusDays(k)).map(_ * v).getOrElse(0L)
+      }.sum
+      assert(r.getLong(1) == num, s"num mismatch at lag $k")
+      assert(math.abs(r.getDouble(3)) <= 1.0)
+    }
+  }
+
+  test("q_stat_7_survival: survivor function is monotone non-increasing in (0,1] until 0") {
+    val rows = Registry.byName("q_stat_7_survival").fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(0)).toSeq == rows.map(_.getLong(0)).toSeq.sorted)
+    val ss = rows.map(_.getDouble(3))
+    assert(ss.zip(ss.tail).forall { case (a, b) => b <= a + 1e-12 }, "monotone")
+    assert(ss.forall(s0 => s0 >= 0.0 && s0 <= 1.0))
+    // n_risk is non-increasing and d <= n_risk everywhere
+    val nr = rows.map(_.getLong(2))
+    assert(nr.zip(nr.tail).forall { case (a, b) => b <= a })
+    assert(rows.forall(r => r.getLong(1) <= r.getLong(2)))
+  }
+
+  test("q_sim_16_rrf: fusion scores match the two independently-computed rank lists") {
+    val got = Registry.byName("q_sim_16_rrf").fn(spark, sf).collect()
+    assert(got.length == 10)
+    got.foreach { r =>
+      val expected = (math.floor(1000000.0 / (60 + r.getLong(1)) + 0.5)
+        + math.floor(1000000.0 / (60 + r.getLong(2)) + 0.5)) / 1000000
+      assert(r.getDouble(3) == expected)
+    }
+    // fused order is by score desc then id
+    val scores = got.map(r => (-r.getDouble(3), r.getLong(0)))
+    assert(scores.toSeq == scores.toSeq.sorted)
+  }
+
+  test("q_dq_19_fd: a held dependency audits clean; a violated one doesn't") {
+    // l_partkey -> p_brand genuinely holds (brand is a function of part)
+    import org.apache.spark.sql.functions.countDistinct
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val pt = spark.read.parquet(s"$sf/part.parquet")
+    val held = li.join(pt, col("l_partkey") === col("p_partkey"))
+      .groupBy("l_partkey").agg(countDistinct("p_brand").as("nd"))
+      .filter(col("nd") > 1).count()
+    assert(held == 0, "brand must be functionally determined by partkey")
+    val rows = Registry.byName("q_dq_19_fd").fn(spark, sf).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      val expected = math.floor(r.getLong(2).toDouble / r.getLong(1).toDouble * 1000000 + 0.5) / 1000000
+      assert(r.getDouble(4) == expected)
+    }
+    // the synthetic data violates all three candidates somewhere
+    assert(rows.forall(_.getLong(3) >= 1))
+  }
+
   test("plan contracts: round-3e statistics are single-scan") {
     def scans(q: String): Int =
       "(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(
@@ -133,8 +203,13 @@ class Round3eOpsSpec extends SparkSpec {
     assert(scans("q_stat_6_mutualinfo") == 1)
     assert(scans("q_text_25_zipf") == 1)
     assert(scans("q_stream_13_markov") == 1)
-    // assoc reads parquet only while materializing its checkpointed
-    // basket table; the declared plan itself must not rescan the source
+    // assoc/acf read parquet only while materializing their checkpointed
+    // aggregates; the declared plans themselves must not rescan sources
     assert(scans("q_agg_30_assoc") == 0)
+    assert(scans("q_time_5_acf") == 0)
+    // survival: one live pass (purchase join); the per-user stage table
+    // is checkpointed. fd: one scan per audited table.
+    assert(scans("q_stat_7_survival") == 1)
+    assert(scans("q_dq_19_fd") == 2)
   }
 }
