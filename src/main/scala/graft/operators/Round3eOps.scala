@@ -302,9 +302,9 @@ object Round3eOps {
         |p AS (SELECT e.user_id, min(e.ts::TIMESTAMP) AS t_p
         |      FROM events e JOIN u ON e.user_id = u.user_id
         |      WHERE e.event_type = 'purchase' AND e.ts::TIMESTAMP > u.t_s GROUP BY 1),
-        |c AS (SELECT CAST(max(epoch(t_max)) AS BIGINT) AS t_end FROM u),
-        |subj AS (SELECT CASE WHEN p.t_p IS NOT NULL THEN CAST(floor((epoch(p.t_p) - epoch(u.t_s))/86400) AS BIGINT)
-        |                     ELSE CAST(floor((c.t_end - epoch(u.t_s))/86400) AS BIGINT) END AS tt,
+        |c AS (SELECT CAST(max(floor(epoch(t_max))) AS BIGINT) AS t_end FROM u),
+        |subj AS (SELECT CASE WHEN p.t_p IS NOT NULL THEN CAST(floor((floor(epoch(p.t_p)) - floor(epoch(u.t_s)))/86400) AS BIGINT)
+        |                     ELSE CAST(floor((c.t_end - floor(epoch(u.t_s)))/86400) AS BIGINT) END AS tt,
         |                CASE WHEN p.t_p IS NOT NULL THEN 1 ELSE 0 END AS ev
         |         FROM u LEFT JOIN p ON u.user_id = p.user_id, c
         |         WHERE u.t_s IS NOT NULL),
@@ -470,6 +470,105 @@ object Round3eOps {
         .select(col("dep"), col("n_lhs"), col("n_violating"), col("max_rhs"),
           (floor(col("n_violating").cast("double") / col("n_lhs").cast("double") * 1000000 + 0.5) / 1000000).as("violation_rate"))
         .orderBy("dep")
+    },
+
+    Q("q_scan_16_weighted_sample",
+      """WITH h AS (SELECT doc_id, n_chars,
+        |                  CAST(((doc_id % 1000000007) * 2654435761) % 1000000007 AS BIGINT) AS hv
+        |           FROM documents),
+        |k AS (SELECT doc_id, n_chars,
+        |             CAST(floor(ln(CAST(hv + 1 AS DOUBLE) / 1000000008.0) / CAST(n_chars AS DOUBLE) * 1000000000 + 0.5) AS BIGINT) AS key9
+        |      FROM h)
+        |SELECT doc_id, n_chars, CAST(key9 AS DOUBLE)/1000000000 AS key, CAST(rn AS BIGINT) AS rn
+        |FROM (SELECT *, row_number() OVER (ORDER BY key9 DESC, doc_id) AS rn FROM k)
+        |WHERE rn <= 20 ORDER BY rn""".stripMargin) { (s, d) =>
+      // Weighted sampling without replacement (Efraimidis–Spirakis
+      // A-ES): P(doc selected) ∝ n_chars, via key = ln(u)/w with
+      // u ∈ (0,1] from the SAME overflow-safe multiplicative hash as
+      // q_text_13's split — so the sample is reproducible across runs,
+      // engines, and partitionings, where rand()-weighted sampling is
+      // not. (Length-weighted doc sampling is how corpus audits sample
+      // by token mass rather than doc count.) Keys are 1e-9-quantized
+      // integers ranked (key9, doc_id) — total order. ONE scan; at
+      // 100 TB the global top-20 becomes q_agg_23's mergeable heap
+      // rather than a full sort.
+      val h = Tables(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          (((col("doc_id") % 1000000007L) * 2654435761L) % 1000000007L).as("hv"))
+      val k = h.select(col("doc_id"), col("n_chars"),
+        floor(log((col("hv") + 1).cast("double") / 1000000008.0)
+          / col("n_chars").cast("double") * 1000000000 + 0.5).cast("long").as("key9"))
+      k.withColumn("rn", row_number().over(Window.orderBy(col("key9").desc, col("doc_id"))))
+        .filter(col("rn") <= 20)
+        .select(col("doc_id"), col("n_chars"),
+          (col("key9").cast("double") / 1000000000).as("key"), col("rn").cast("long").as("rn"))
+        .orderBy("rn")
+    },
+
+    Q("q_text_26_coverage",
+      """WITH tf AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        |            FROM (SELECT unnest(string_split(text,' ')) AS token FROM documents) GROUP BY token),
+        |r AS (SELECT cnt, CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rank,
+        |             CAST(sum(cnt) OVER (ORDER BY cnt DESC, token) AS BIGINT) AS cum,
+        |             CAST(sum(cnt) OVER () AS BIGINT) AS total FROM tf)
+        |SELECT rank AS k, cum, total,
+        |       floor(CAST(cum AS DOUBLE)/CAST(total AS DOUBLE)*1000000+0.5)/1000000 AS coverage
+        |FROM r WHERE rank IN (5, 10, 25) ORDER BY rank""".stripMargin) { (s, d) =>
+      // Vocabulary coverage curve: share of total token mass covered by
+      // the top-k vocabulary (k = 5/10/25) — the readout that sizes a
+      // tokenizer vocab or a stopword list ("how much of the corpus do
+      // the top-k types explain"). ONE corpus scan+explode; rank,
+      // cumulative mass, AND the total all ride the vocab-bounded
+      // frequency table as windows (the q_text_24 rollup lesson). The
+      // window-sum is HUGEINT in the oracle — CAST (the q_text_21 trap).
+      val tf = Tables(s, d, "documents")
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+      val wRank = Window.orderBy(col("cnt").desc, col("token"))
+      val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      tf.select(
+          row_number().over(wRank).cast("long").as("k"),
+          sum("cnt").over(wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"),
+          sum("cnt").over(wAll).as("total"))
+        .filter(col("k").isin(5L, 10L, 25L))
+        .select(col("k"), col("cum"), col("total"),
+          (floor(col("cum").cast("double") / col("total").cast("double") * 1000000 + 0.5) / 1000000).as("coverage"))
+        .orderBy("k")
+    },
+
+    Q("q_stream_14_interarrival",
+      """WITH seq AS (SELECT user_id, CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT) AS es,
+        |                    lag(CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id) AS prev
+        |             FROM events),
+        |g AS (SELECT user_id, CAST(es - prev AS BIGINT) AS gap FROM seq WHERE prev IS NOT NULL),
+        |st AS (SELECT user_id, CAST(count(*) AS BIGINT) AS m, CAST(sum(gap) AS BIGINT) AS sg, CAST(sum(gap*gap) AS BIGINT) AS sg2
+        |       FROM g GROUP BY user_id HAVING count(*) >= 2)
+        |SELECT user_id, m, sg, sg2,
+        |       floor(sqrt(CAST(m AS DOUBLE)*CAST(sg2 AS DOUBLE) - CAST(sg AS DOUBLE)*CAST(sg AS DOUBLE)) / CAST(sg AS DOUBLE) * 1000000 + 0.5)/1000000 AS cv
+        |FROM st ORDER BY user_id""".stripMargin) { (s, d) =>
+      // Inter-arrival burstiness per user: coefficient of variation of
+      // the gaps between consecutive events — CV ≈ 1 is Poisson
+      // (memoryless), ≫1 is bursty, ≪1 is metronomic; the behavioral
+      // screen for bot/automation detection and feed-health monitoring.
+      // Gap sufficient statistics (m, Σg, Σg²) are exact BIGINTs from
+      // whole-second gaps; CV = √(m·Σg² − (Σg)²)/Σg is ONE fixed IEEE
+      // expression per user (the q_stat_5 closed-form discipline). ONE
+      // scan: lag window (ts, event_id)-ordered, then a per-user
+      // map-side-combinable aggregate.
+      val seq = Tables(s, d, "events")
+        .select(col("user_id"), unix_timestamp(col("ts")).as("es"),
+          lag(unix_timestamp(col("ts")), 1).over(
+            Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))).as("prev"))
+      val st = seq.filter(col("prev").isNotNull)
+        .select(col("user_id"), (col("es") - col("prev")).as("gap"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("m"), sum("gap").as("sg"), sum(col("gap") * col("gap")).as("sg2"))
+        .filter(col("m") >= 2)
+      st.select(col("user_id"), col("m"), col("sg"), col("sg2"),
+          (floor(sqrt(col("m").cast("double") * col("sg2").cast("double")
+            - col("sg").cast("double") * col("sg").cast("double"))
+            / col("sg").cast("double") * 1000000 + 0.5) / 1000000).as("cv"))
+        .orderBy("user_id")
     },
   )
 }

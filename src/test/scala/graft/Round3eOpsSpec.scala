@@ -194,6 +194,68 @@ class Round3eOpsSpec extends SparkSpec {
     assert(rows.forall(_.getLong(3) >= 1))
   }
 
+  test("q_scan_16_weighted_sample: keys replicate from the split hash; selection favors long docs") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "n_chars").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val keys = docs.map { case (id, w) =>
+      val hv = ((id % 1000000007L) * 2654435761L) % 1000000007L
+      val key9 = math.floor(math.log((hv + 1).toDouble / 1000000008.0) / w.toDouble * 1000000000 + 0.5).toLong
+      (id, w, key9)
+    }
+    val expected = keys.sortBy { case (id, _, k) => (-k, id) }.take(20)
+    val got = Registry.byName("q_scan_16_weighted_sample").fn(spark, sf).collect()
+    assert(got.length == 20)
+    got.zip(expected).foreach { case (r, (id, w, key9)) =>
+      assert(r.getLong(0) == id && r.getLong(1) == w)
+      assert(r.getDouble(2) == key9.toDouble / 1000000000)
+    }
+    // weighting sanity: the sample's mean doc length exceeds the corpus mean
+    val sampleMean = got.map(_.getLong(1)).sum.toDouble / got.length
+    val corpusMean = docs.map(_._2).sum.toDouble / docs.length
+    assert(sampleMean > corpusMean, s"weighted sample should favor long docs ($sampleMean vs $corpusMean)")
+  }
+
+  test("q_text_26_coverage: cumulative shares replicate and increase toward 1") {
+    val counts = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (t, c) => (-c, t) }
+    val total = counts.map(_._2).sum
+    val got = Registry.byName("q_text_26_coverage").fn(spark, sf).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(5L, 10L, 25L))
+    got.foreach { r =>
+      val k = r.getLong(0).toInt
+      val cum = counts.take(k).map(_._2).sum
+      assert(r.getLong(1) == cum && r.getLong(2) == total)
+      assert(r.getDouble(3) == math.floor(cum.toDouble / total.toDouble * 1000000 + 0.5) / 1000000)
+    }
+    val cov = got.map(_.getDouble(3))
+    assert(cov.zip(cov.tail).forall { case (a, b) => b > a } && cov.last <= 1.0)
+  }
+
+  test("q_stream_14_interarrival: sufficient statistics replicate; CV is the fixed closed form") {
+    val evs = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // order at MICROSECOND precision (the query's sort key); gap values
+    // truncate to whole seconds afterwards — sg2 is order-sensitive
+    val stats = evs.groupBy(_._1).view.mapValues { seq =>
+      val gaps = seq.sortBy(e => (e._3, e._2)).map(e => e._3 / 1000000)
+        .sliding(2).filter(_.length == 2).map(w => w(1) - w(0)).toArray
+      (gaps.length.toLong, gaps.sum, gaps.map(g => g * g).sum)
+    }.toMap.filter(_._2._1 >= 2)
+    val got = Registry.byName("q_stream_14_interarrival").fn(spark, sf).collect()
+    assert(got.length == stats.size)
+    got.foreach { r =>
+      val (m, sg, sg2) = stats(r.getLong(0))
+      assert(r.getLong(1) == m && r.getLong(2) == sg && r.getLong(3) == sg2)
+      val cv = math.floor(math.sqrt(m.toDouble * sg2.toDouble - sg.toDouble * sg.toDouble)
+        / sg.toDouble * 1000000 + 0.5) / 1000000
+      assert(r.getDouble(4) == cv)
+    }
+  }
+
   test("plan contracts: round-3e statistics are single-scan") {
     def scans(q: String): Int =
       "(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(
