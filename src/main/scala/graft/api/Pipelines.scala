@@ -611,4 +611,76 @@ object Pipelines {
       .select(col("bucket"), col("n_a"), col("n_b"),
         ((pa - pb) * log(pa / pb)).as("psi_part"))
   }
+
+  /** First-order Markov transition matrix (generalizes
+    * q_stream_13_markov): P(next = b | current = a) over each key's
+    * `stateCol` sequence ordered by `orderCols` (include a unique
+    * tiebreaker column — without one, equal order keys make the
+    * sequence, and thus the counts, nondeterministic). Row totals ride
+    * the |states|²-bounded transition table as a window.
+    */
+  def transitionMatrix(df: DataFrame, keyCol: String, stateCol: String,
+      orderCols: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(orderCols.map(col): _*)
+    val tr = df
+      .select(col(stateCol).as("a"), lead(col(stateCol), 1).over(w).as("b"))
+      .filter(col("b").isNotNull)
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+    val wA = org.apache.spark.sql.expressions.Window.partitionBy("a")
+    tr.withColumn("c_a", sum("c").over(wA))
+      .select(col("a"), col("b"), col("c"), col("c_a"),
+        (col("c").cast("double") / col("c_a").cast("double")).as("p"))
+  }
+
+  /** Weighted sampling without replacement (generalizes
+    * q_scan_16_weighted_sample; Efraimidis–Spirakis A-ES): the `n` rows
+    * with the largest key = ln(u)/w, where u ∈ (0,1] derives from the
+    * deterministic multiplicative hash of `idCol` — reproducible across
+    * runs, engines, and partitionings, unlike rand()-keyed sampling.
+    * P(row selected) ∝ `weightCol` (must be > 0). At 100 TB swap the
+    * rank for the mergeable top-k aggregate (q_agg_23).
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      n: Int): DataFrame = {
+    val hv = ((col(idCol) % 1000000007L) * 2654435761L) % 1000000007L
+    val key = log((hv + 1).cast("double") / 1000000008.0) / col(weightCol).cast("double")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__key").desc, col(idCol))
+    df.withColumn("__key", key)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__key", "__rn")
+  }
+
+  /** Welch's unequal-variance t-test (generalizes q_stat_8_welch):
+    * t-statistic and Welch–Satterthwaite df between `groupA` and
+    * `groupB`'s `valueCol` samples. Sufficient statistics are summed as
+    * DOUBLE here (the generic form can't assume a quantization for
+    * arbitrary value columns — the declared query shows the exact-cents
+    * discipline); one map-side-combinable aggregate, t/df as a 1-row
+    * projection.
+    */
+  def welchTTest(df: DataFrame, valueCol: String, groupCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    val st = df.filter(col(groupCol).isin(groupA, groupB))
+      .select(col(groupCol).as("__g"), col(valueCol).cast("double").as("__v"))
+      .groupBy("__g")
+      .agg(count(lit(1)).as("n"), sum("__v").as("sv"), sum(col("__v") * col("__v")).as("sv2"))
+    val p = st.agg(
+      max(when(col("__g") === groupA, col("n"))).as("n1"),
+      max(when(col("__g") === groupA, col("sv"))).as("sv1"),
+      max(when(col("__g") === groupA, col("sv2"))).as("sq1"),
+      max(when(col("__g") === groupB, col("n"))).as("n2"),
+      max(when(col("__g") === groupB, col("sv"))).as("svb"),
+      max(when(col("__g") === groupB, col("sv2"))).as("sq2"))
+    val n1 = col("n1").cast("double"); val n2 = col("n2").cast("double")
+    val e1 = (n1 * col("sq1") - col("sv1") * col("sv1")) / (n1 * (n1 - 1) * n1)
+    val e2 = (n2 * col("sq2") - col("svb") * col("svb")) / (n2 * (n2 - 1) * n2)
+    p.withColumn("__e1", e1).withColumn("__e2", e2)
+      .select(col("n1"), col("n2"),
+        ((col("sv1") / n1 - col("svb") / n2) / sqrt(col("__e1") + col("__e2"))).as("t"),
+        ((col("__e1") + col("__e2")) * (col("__e1") + col("__e2"))
+          / (col("__e1") * col("__e1") / (n1 - 1) + col("__e2") * col("__e2") / (n2 - 1))).as("df"))
+  }
 }

@@ -570,5 +570,55 @@ object Round3eOps {
             / col("sg").cast("double") * 1000000 + 0.5) / 1000000).as("cv"))
         .orderBy("user_id")
     },
+
+    Q("q_stat_8_welch",
+      """WITH s AS (SELECT event_type AS g, CAST(floor(value*100+0.5) AS BIGINT) AS v
+        |           FROM events WHERE event_type IN ('purchase','view')),
+        |st AS (SELECT g, CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS sv, CAST(sum(v*v) AS BIGINT) AS sv2
+        |       FROM s GROUP BY g),
+        |p AS (SELECT max(CASE WHEN g='purchase' THEN n END) AS n1, max(CASE WHEN g='purchase' THEN sv END) AS sv1,
+        |             max(CASE WHEN g='purchase' THEN sv2 END) AS sq1,
+        |             max(CASE WHEN g='view' THEN n END) AS n2, max(CASE WHEN g='view' THEN sv END) AS svb,
+        |             max(CASE WHEN g='view' THEN sv2 END) AS sq2 FROM st),
+        |sem AS (SELECT n1, n2, sv1, svb,
+        |  (CAST(n1 AS DOUBLE)*CAST(sq1 AS DOUBLE) - CAST(sv1 AS DOUBLE)*CAST(sv1 AS DOUBLE))/(CAST(n1 AS DOUBLE)*(CAST(n1 AS DOUBLE)-1)*CAST(n1 AS DOUBLE)) AS e1,
+        |  (CAST(n2 AS DOUBLE)*CAST(sq2 AS DOUBLE) - CAST(svb AS DOUBLE)*CAST(svb AS DOUBLE))/(CAST(n2 AS DOUBLE)*(CAST(n2 AS DOUBLE)-1)*CAST(n2 AS DOUBLE)) AS e2
+        | FROM p)
+        |SELECT n1, n2,
+        | floor((CAST(sv1 AS DOUBLE)/CAST(n1 AS DOUBLE) - CAST(svb AS DOUBLE)/CAST(n2 AS DOUBLE)) / sqrt(e1 + e2) * 1000000 + 0.5) / 1000000 AS t,
+        | floor((e1 + e2)*(e1 + e2) / (e1*e1/(CAST(n1 AS DOUBLE)-1) + e2*e2/(CAST(n2 AS DOUBLE)-1)) * 1000000 + 0.5) / 1000000 AS df
+        |FROM sem""".stripMargin) { (s, d) =>
+      // Welch's unequal-variance t-test between the purchase and view
+      // `value` samples, with the Welch–Satterthwaite df — the
+      // continuous-outcome A/B readout completing q_stat_2's
+      // proportion z-test. Six exact BIGINT sufficient statistics
+      // (n, Σv, Σv² per arm, cents-quantized) from ONE
+      // map-side-combinable aggregate; t and df are fixed IEEE
+      // expressions over them (squares written x·x on both engines —
+      // libm pow() is not guaranteed correctly rounded). Σv² ≈ 9e13 at
+      // sf0.1, ~9e16 at sf100 — exact; DECIMAL(38) beyond.
+      val st = Tables(s, d, "events")
+        .filter(col("event_type").isin("purchase", "view"))
+        .select(col("event_type").as("g"),
+          floor(col("value") * 100 + 0.5).cast("long").as("v"))
+        .groupBy("g")
+        .agg(count(lit(1)).as("n"), sum("v").as("sv"), sum(col("v") * col("v")).as("sv2"))
+      val p = st.agg(
+        max(when(col("g") === "purchase", col("n"))).as("n1"),
+        max(when(col("g") === "purchase", col("sv"))).as("sv1"),
+        max(when(col("g") === "purchase", col("sv2"))).as("sq1"),
+        max(when(col("g") === "view", col("n"))).as("n2"),
+        max(when(col("g") === "view", col("sv"))).as("svb"),
+        max(when(col("g") === "view", col("sv2"))).as("sq2"))
+      val n1 = col("n1").cast("double"); val n2 = col("n2").cast("double")
+      val e1 = (n1 * col("sq1").cast("double") - col("sv1").cast("double") * col("sv1").cast("double")) / (n1 * (n1 - 1) * n1)
+      val e2 = (n2 * col("sq2").cast("double") - col("svb").cast("double") * col("svb").cast("double")) / (n2 * (n2 - 1) * n2)
+      p.withColumn("e1", e1).withColumn("e2", e2)
+        .select(col("n1"), col("n2"),
+          (floor((col("sv1").cast("double") / n1 - col("svb").cast("double") / n2)
+            / sqrt(col("e1") + col("e2")) * 1000000 + 0.5) / 1000000).as("t"),
+          (floor((col("e1") + col("e2")) * (col("e1") + col("e2"))
+            / (col("e1") * col("e1") / (n1 - 1) + col("e2") * col("e2") / (n2 - 1)) * 1000000 + 0.5) / 1000000).as("df"))
+    },
   )
 }

@@ -289,4 +289,35 @@ class PipelinesSpec extends SparkSpec {
     val pinned = Registry.byName("q_dq_18_psi").fn(spark, sf).collect().toSeq
     assert(api == pinned)
   }
+
+  test("transitionMatrix == q_stream_13_markov") {
+    val ev = graft.sources.Tables(spark, sf, "events")
+    val api = Pipelines.transitionMatrix(ev, "user_id", "event_type", Seq("ts", "event_id"))
+      .select(col("a"), col("b"), col("c"), col("c_a"), round(col("p"), 6).as("p"))
+      .orderBy("a", "b").collect().toSeq
+    val pinned = Registry.byName("q_stream_13_markov").fn(spark, sf).collect().toSeq
+    assert(api == pinned)
+  }
+
+  test("weightedSample == q_scan_16_weighted_sample's selection") {
+    val docs = graft.sources.Tables(spark, sf, "documents")
+    val api = Pipelines.weightedSample(docs, "doc_id", "n_chars", 20)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val pinned = Registry.byName("q_scan_16_weighted_sample").fn(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(api == pinned)
+  }
+
+  test("welchTTest == q_stat_8_welch (t/df within float-sum tolerance)") {
+    // the generic form sums raw doubles (no cents assumption), so t and
+    // df carry float-accumulation noise vs the integer-exact query —
+    // ranks of magnitude must still agree to ~1e-9 relative
+    val ev = graft.sources.Tables(spark, sf, "events")
+    val api = Pipelines.welchTTest(ev, "value", "event_type", "purchase", "view")
+      .collect().head
+    val pinned = Registry.byName("q_stat_8_welch").fn(spark, sf).collect().head
+    assert(api.getLong(0) == pinned.getLong(0) && api.getLong(1) == pinned.getLong(1))
+    assert(math.abs(api.getDouble(2) - pinned.getDouble(2)) < 1e-4)
+    assert(math.abs(api.getDouble(3) - pinned.getDouble(3)) / pinned.getDouble(3) < 1e-6)
+  }
 }
