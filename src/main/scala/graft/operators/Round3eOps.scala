@@ -620,5 +620,48 @@ object Round3eOps {
           (floor((col("e1") + col("e2")) * (col("e1") + col("e2"))
             / (col("e1") * col("e1") / (n1 - 1) + col("e2") * col("e2") / (n2 - 1)) * 1000000 + 0.5) / 1000000).as("df"))
     },
+
+    Q("q_stat_9_theilsen",
+      """WITH day AS (SELECT CAST(date_trunc('day', ts::TIMESTAMP) AS DATE) AS dday, CAST(count(*) AS BIGINT) AS y
+        |             FROM events GROUP BY 1),
+        |idx AS (SELECT CAST(dday - (SELECT min(dday) FROM day) AS BIGINT) AS x, y FROM day),
+        |pr AS (SELECT CAST(floor(CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS s6
+        |      FROM idx a JOIN idx b ON b.x > a.x),
+        |rk AS (SELECT s6, row_number() OVER (ORDER BY s6) AS rn, count(*) OVER () AS m FROM pr)
+        |SELECT CAST(max(m) AS BIGINT) AS n_pairs,
+        |       CAST(sum(CASE WHEN rn IN ((m+1)//2, (m+2)//2) THEN s6 ELSE 0 END) AS BIGINT) AS med2_raw,
+        |       CAST(sum(CASE WHEN rn IN ((m+1)//2, (m+2)//2) THEN s6 ELSE 0 END) AS DOUBLE)
+        |         / (CASE WHEN max(m) % 2 = 0 THEN 2.0 ELSE 1.0 END) / 1000000 AS slope
+        |FROM rk""".stripMargin) { (s, d) =>
+      // Theil–Sen robust trend: median of all pairwise slopes of the
+      // daily event-count series — the outlier-proof companion to
+      // q_stat_5's least squares (one corrupt day moves OLS, not the
+      // pairwise median; breakdown point 29%). The day table is
+      // CALENDAR-bounded (it does not grow with corpus SF — same
+      // window, more events per day), so the O(days²) pair join is a
+      // bounded self-join of a checkpointed aggregate (the q_time_5
+      // pattern), not a corpus blowup. Slopes are 1e-6-quantized
+      // integers; the even/odd median is exact integer selection
+      // (sum of the one or two middle order statistics) with one final
+      // division — no float percentile machinery.
+      val day = Tables(s, d, "events")
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("dday"))
+        .agg(count(lit(1)).as("y"))
+        .localCheckpoint()
+      val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val idx = day.select(datediff(col("dday"), min("dday").over(wAll)).cast("long").as("x"), col("y"))
+      val pr = idx.as("a").join(idx.as("b"), col("b.x") > col("a.x"))
+        .select(floor((col("b.y") - col("a.y")).cast("double")
+          / (col("b.x") - col("a.x")).cast("double") * 1000000 + 0.5).cast("long").as("s6"))
+      val rk = pr.select(col("s6"),
+        row_number().over(Window.orderBy("s6")).as("rn"),
+        count(lit(1)).over(wAll).as("m"))
+      val mid = col("rn") === expr("(m + 1) div 2") || col("rn") === expr("(m + 2) div 2")
+      rk.agg(
+          max("m").cast("long").as("n_pairs"),
+          sum(when(mid, col("s6")).otherwise(0L)).cast("long").as("med2_raw"),
+          (sum(when(mid, col("s6")).otherwise(0L)).cast("double")
+            / when(max("m") % 2 === 0, 2.0).otherwise(1.0) / 1000000).as("slope"))
+    },
   )
 }

@@ -209,6 +209,61 @@ object Streams {
       }
   }
 
+  final case class TransitionEvent(user_id: Long, ts: java.sql.Timestamp,
+      ts_us: Long, event_id: Long, event_type: String)
+  final case class Transition(user_id: Long, a: String, b: String)
+
+  /** INCREMENTAL per-user transition extraction — the streaming twin of
+    * q_stream_13_markov's lead window (count the emitted pairs to get
+    * the transition matrix). State per key = the last FINALIZED event's
+    * type plus a buffer of events still above the watermark; each
+    * micro-batch merges its events into the buffer in (ts, event_id)
+    * order and finalizes the prefix below the watermark — a future
+    * event has ts ≥ watermark, so it can never sort between two
+    * finalized events and every emitted (a → b) pair is exactly the
+    * pair the batch lead-window produces. Keys with no new events are
+    * woken by the event-time timeout so buffered tails drain as the
+    * watermark advances.
+    *
+    * Scale note: one shuffle on the key; state is O(events inside the
+    * watermark delay per key), evicted monotonically — bounded memory.
+    */
+  def transitionsStream(events: DataFrame,
+      delay: String = "10 minutes"): org.apache.spark.sql.Dataset[Transition] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    val ds = events.withWatermark("ts", delay)
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+      .as[TransitionEvent]
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Option[String], Seq[(Long, Long, String)]), Transition](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, events: Iterator[TransitionEvent],
+         state: GroupState[(Option[String], Seq[(Long, Long, String)])]) =>
+          val (lastOpt0, buf0) = state.getOption.getOrElse((None, Seq.empty))
+          val buf = (buf0 ++ events.map(e => (e.ts_us, e.event_id, e.event_type)))
+            .sortBy(e => (e._1, e._2))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (done, open) = buf.partition(_._1 < wmUs)
+          val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
+          var last = lastOpt0
+          done.foreach { e =>
+            last.foreach(a => out += Transition(user, a, e._3))
+            last = Some(e._3)
+          }
+          if (open.isEmpty && out.isEmpty && last.isEmpty) state.remove()
+          else {
+            state.update((last, open))
+            if (open.nonEmpty)
+              // wake when the earliest buffered event can finalize
+              state.setTimeoutTimestamp(
+                math.max(state.getCurrentWatermarkMs() + 1L, open.head._1 / 1000L + 1L))
+          }
+          out.iterator
+      }
+  }
+
   /** One idempotent micro-batch write: the batch OVERWRITES its own
     * `batch_id=<id>` subdirectory, so foreachBatch's at-least-once retry
     * contract becomes exactly-once at the sink — a replayed batch

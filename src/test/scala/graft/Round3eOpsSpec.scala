@@ -256,6 +256,24 @@ class Round3eOpsSpec extends SparkSpec {
     }
   }
 
+  test("q_stat_9_theilsen: pairwise-slope median matches a brute-force replication") {
+    val days = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy(date_trunc("day", expr("ts div 1000000000").cast("timestamp")).cast("date").as("d"))
+      .count().collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val x0 = days.map(_._1).min
+    val idx = days.map { case (dd, y) => (java.time.temporal.ChronoUnit.DAYS.between(x0, dd), y) }
+    val slopes = (for {
+      (xi, yi) <- idx; (xj, yj) <- idx if xj > xi
+    } yield math.floor((yj - yi).toDouble / (xj - xi).toDouble * 1000000 + 0.5).toLong).sorted
+    val m = slopes.length
+    val med2 = if (m % 2 == 0) slopes(m / 2 - 1) + slopes(m / 2) else slopes((m - 1) / 2)
+    val divisor = if (m % 2 == 0) 2.0 else 1.0
+    val row = Registry.byName("q_stat_9_theilsen").fn(spark, sf).collect().head
+    assert(row.getLong(0) == m)
+    assert(row.getLong(1) == med2)
+    assert(row.getDouble(2) == med2.toDouble / divisor / 1000000)
+  }
+
   test("plan contracts: round-3e statistics are single-scan") {
     def scans(q: String): Int =
       "(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(
@@ -273,5 +291,7 @@ class Round3eOpsSpec extends SparkSpec {
     // is checkpointed. fd: one scan per audited table.
     assert(scans("q_stat_7_survival") == 1)
     assert(scans("q_dq_19_fd") == 2)
+    assert(scans("q_stat_9_theilsen") == 0) // checkpointed day table
+    assert(scans("q_stat_8_welch") == 1)
   }
 }

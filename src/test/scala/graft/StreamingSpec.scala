@@ -110,6 +110,42 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("incremental transition extraction matches the batch lead window once the watermark clears") {
+    import spark.implicits._
+    import org.apache.spark.sql.Row
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_trans").toString
+    Streams.prepareStreamInput(spark, sf, dir)
+    val real = spark.read.parquet(dir)
+    val maxTsMs = real.agg(max(unix_millis(col("ts")))).as[Long].head()
+    def appendSentinel(eventId: Long, tsMs: Long): Unit =
+      spark.createDataFrame(
+        java.util.Arrays.asList(Row(eventId, new java.sql.Timestamp(tsMs), -1L, "sentinel", 0.0)),
+        Streams.eventSchema).write.mode("append").parquet(dir)
+
+    val q = Streams.transitionsStream(Streams.eventStream(spark, dir)).toDF()
+      .writeStream.format("memory").queryName("stream_trans")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable() // watermark still 0 — everything buffered
+      appendSentinel(-1L, maxTsMs + 3600000L)
+      q.processAllAvailable() // watermark = max(real) - delay
+      appendSentinel(-2L, maxTsMs + 7200000L)
+      q.processAllAvailable() // watermark > max(real): every pair finalizes
+      appendSentinel(-3L, maxTsMs + 10800000L)
+      q.processAllAvailable() // fire timeouts registered during the prior batch
+    } finally q.stop()
+
+    val streamed = spark.table("stream_trans")
+      .filter(col("user_id") >= 0)
+      .groupBy("a", "b").count()
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val batch = graft.api.Pipelines.transitionMatrix(
+        real.filter(col("user_id") >= 0), "user_id", "event_type", Seq("ts", "event_id"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("foreachBatch idempotent sink: a retried batch does not duplicate rows") {
     val out = java.nio.file.Files.createTempDirectory("graft_fb_sink").toString
     val q = Streams.idempotentParquetSink(Streams.eventStream(spark, inputDir), out)
