@@ -663,5 +663,94 @@ object Round3eOps {
           (sum(when(mid, col("s6")).otherwise(0L)).cast("double")
             / when(max("m") % 2 === 0, 2.0).otherwise(1.0) / 1000000).as("slope"))
     },
+
+    Q("q_agg_31_means",
+      """WITH s AS (SELECT l_returnflag AS grp, CAST(floor(l_extendedprice*100+0.5) AS BIGINT) AS v FROM lineitem),
+        |q AS (SELECT grp,
+        |             CAST(floor(ln(CAST(v AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS lnq,
+        |             CAST(floor(1000000000000.0 / CAST(v AS DOUBLE) + 0.5) AS BIGINT) AS invq
+        |      FROM s),
+        |st AS (SELECT grp, CAST(count(*) AS BIGINT) AS n, CAST(sum(lnq) AS BIGINT) AS sl, CAST(sum(invq) AS BIGINT) AS si
+        |       FROM q GROUP BY grp)
+        |SELECT grp, n,
+        | floor(exp(CAST(sl AS DOUBLE)/CAST(n AS DOUBLE)/1000000) / 100 * 1000000 + 0.5) / 1000000 AS gmean,
+        | floor(CAST(n AS DOUBLE) * 1000000000000.0 / CAST(si AS DOUBLE) / 100 * 1000000 + 0.5) / 1000000 AS hmean
+        |FROM st ORDER BY grp""".stripMargin) { (s, d) =>
+      // Geometric and harmonic means per return flag — the two Pythagorean
+      // means Spark lacks natively (rate averaging wants harmonic;
+      // multiplicative/log-normal data wants geometric). Both are float
+      // reductions by definition — made order-free by quantizing the
+      // per-row transform to integers BEFORE summation: ln(v) at 1e-6
+      // (gmean = exp of the integer mean) and 1/v at 1e-12 (hmean =
+      // n/Σ — Σinvq ≈ 4e15 at sf100, exact). ONE map-side-combinable
+      // aggregate; the closed forms are a 3-row projection.
+      val st = Tables(s, d, "lineitem")
+        .select(col("l_returnflag").as("grp"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("v"))
+        .select(col("grp"),
+          floor(log(col("v").cast("double")) * 1000000 + 0.5).cast("long").as("lnq"),
+          floor(lit(1000000000000.0) / col("v").cast("double") + 0.5).cast("long").as("invq"))
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum("lnq").as("sl"), sum("invq").as("si"))
+      st.select(col("grp"), col("n"),
+          (floor(exp(col("sl").cast("double") / col("n").cast("double") / 1000000) / 100 * 1000000 + 0.5) / 1000000).as("gmean"),
+          (floor(col("n").cast("double") * 1000000000000.0 / col("si").cast("double") / 100 * 1000000 + 0.5) / 1000000).as("hmean"))
+        .orderBy("grp")
+    },
+
+    Q("q_graph_7_linkpred",
+      """WITH e AS (SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+        |  FROM lineitem a JOIN lineitem b
+        |   ON a.l_orderkey = b.l_orderkey AND a.l_linenumber + 1 = b.l_linenumber
+        |  WHERE a.l_suppkey <> b.l_suppkey AND a.l_orderkey % 200 = 0),
+        |bidir AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d FROM bidir GROUP BY 1),
+        |common AS (SELECT x.src AS a, y.src AS b, CAST(count(*) AS BIGINT) AS c
+        |           FROM bidir x JOIN bidir y ON x.dst = y.dst AND x.src < y.src
+        |           GROUP BY 1, 2),
+        |sc AS (SELECT a, b, c, da.d AS da, db.d AS db,
+        |        CAST(floor(CAST(c AS DOUBLE)/CAST(da.d + db.d - c AS DOUBLE)*1000000+0.5) AS BIGINT) AS j6
+        |       FROM common JOIN deg da ON common.a = da.node JOIN deg db ON common.b = db.node)
+        |SELECT a, b, c, da, db, CAST(j6 AS DOUBLE)/1000000 AS jaccard, CAST(rn AS BIGINT) AS rn
+        |FROM (SELECT *, row_number() OVER (ORDER BY j6 DESC, a, b) AS rn FROM sc)
+        |WHERE rn <= 20 ORDER BY rn""".stripMargin) { (s, d) =>
+      // Link prediction by neighborhood Jaccard: top-20 supplier pairs
+      // by |N(a)∩N(b)| / |N(a)∪N(b)| over the sampled handoff graph
+      // (q_graph_4's graph) — the classic "who should be connected"
+      // feature. The bidirectional edge list feeds the wedge self-join
+      // (twice) and the degree table — checkpointed once (q_agg_30's
+      // hub pattern). The wedge join is dst-partitioned: candidate
+      // pairs are generated per shared neighbor (O(Σ deg²), the
+      // triangle-counting shape), never all-pairs. |union| =
+      // da + db − c by inclusion-exclusion — no second set pass.
+      val li = Tables(s, d, "lineitem").filter(col("l_orderkey") % 200 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"))
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_linenumber") + 1 === col("b.l_linenumber") &&
+            col("a.l_suppkey") =!= col("b.l_suppkey"))
+        .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
+        .distinct()
+      val bidir = e.select(col("src"), col("dst"))
+        .union(e.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+        .localCheckpoint()
+      val deg = bidir.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+      val common = bidir.as("x").join(bidir.as("y"),
+          col("x.dst") === col("y.dst") && col("x.src") < col("y.src"))
+        .groupBy(col("x.src").as("a"), col("y.src").as("b"))
+        .agg(count(lit(1)).as("c"))
+      val sc = common
+        .join(deg.select(col("node").as("a"), col("d").as("da")), Seq("a"))
+        .join(deg.select(col("node").as("b"), col("d").as("db")), Seq("b"))
+        .select(col("a"), col("b"), col("c"), col("da"), col("db"),
+          floor(col("c").cast("double") / (col("da") + col("db") - col("c")).cast("double") * 1000000 + 0.5)
+            .cast("long").as("j6"))
+      sc.withColumn("rn", row_number().over(Window.orderBy(col("j6").desc, col("a"), col("b"))))
+        .filter(col("rn") <= 20)
+        .select(col("a"), col("b"), col("c"), col("da"), col("db"),
+          (col("j6").cast("double") / 1000000).as("jaccard"), col("rn").cast("long").as("rn"))
+        .orderBy("rn")
+    },
   )
 }

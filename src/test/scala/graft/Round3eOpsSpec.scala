@@ -274,6 +274,58 @@ class Round3eOpsSpec extends SparkSpec {
     assert(row.getDouble(2) == med2.toDouble / divisor / 1000000)
   }
 
+  test("q_agg_31_means: AM >= GM >= HM per group; quantized cores replicate") {
+    val vals = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_returnflag"), floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val got = Registry.byName("q_agg_31_means").fn(spark, sf).collect()
+    got.foreach { r =>
+      val vs = vals(r.getString(0))
+      assert(r.getLong(1) == vs.length)
+      val sl = vs.map(v => math.floor(math.log(v.toDouble) * 1000000 + 0.5).toLong).sum
+      val si = vs.map(v => math.floor(1000000000000.0 / v.toDouble + 0.5).toLong).sum
+      val g = math.floor(math.exp(sl.toDouble / vs.length / 1000000) / 100 * 1000000 + 0.5) / 1000000
+      val h = math.floor(vs.length.toDouble * 1000000000000.0 / si.toDouble / 100 * 1000000 + 0.5) / 1000000
+      assert(r.getDouble(2) == g && r.getDouble(3) == h)
+      // Pythagorean mean inequality on positive data
+      val am = vs.map(_.toDouble / 100).sum / vs.length
+      assert(am >= r.getDouble(2) && r.getDouble(2) >= r.getDouble(3))
+    }
+  }
+
+  test("q_graph_7_linkpred: jaccard values replicate from the adjacency sets") {
+    val rows = Registry.byName("q_graph_7_linkpred").fn(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    // rebuild adjacency from the same sampled graph definition
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_orderkey") % 200 === 0)
+      .select("l_orderkey", "l_linenumber", "l_suppkey")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byOrder = li.groupBy(_._1)
+    val edges = byOrder.values.flatMap { lines =>
+      // (orderkey, linenumber) is NOT unique in the fixture — multimap
+      val m = lines.groupBy(_._2).view.mapValues(_.map(_._3).toSet).toMap
+      // .toSeq first: flatMap on a Map of pairs would collapse by key
+      m.toSeq.flatMap { case (ln, ss) =>
+        m.getOrElse(ln + 1, Set.empty)
+          .flatMap(t => ss.filter(_ != t).map(s => (s, t)))
+      }
+    }.toSet
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val inter = adj(a).intersect(adj(b)).size.toLong
+      val union = adj(a).union(adj(b)).size.toLong
+      assert(r.getLong(2) == inter, s"common-neighbor count mismatch for ($a,$b)")
+      assert(r.getLong(3) == adj(a).size && r.getLong(4) == adj(b).size)
+      assert(r.getDouble(5) == math.floor(inter.toDouble / union.toDouble * 1000000 + 0.5) / 1000000)
+    }
+    // ranking is by quantized jaccard desc then pair
+    val ord = rows.map(r => (-math.floor(r.getDouble(5) * 1000000).toLong, r.getLong(0), r.getLong(1)))
+    assert(ord.toSeq == ord.toSeq.sorted)
+  }
+
   test("plan contracts: round-3e statistics are single-scan") {
     def scans(q: String): Int =
       "(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(
@@ -293,5 +345,7 @@ class Round3eOpsSpec extends SparkSpec {
     assert(scans("q_dq_19_fd") == 2)
     assert(scans("q_stat_9_theilsen") == 0) // checkpointed day table
     assert(scans("q_stat_8_welch") == 1)
+    assert(scans("q_agg_31_means") == 1)
+    assert(scans("q_graph_7_linkpred") == 0) // checkpointed bidirectional edges
   }
 }
