@@ -752,5 +752,110 @@ object Round3eOps {
           (col("j6").cast("double") / 1000000).as("jaccard"), col("rn").cast("long").as("rn"))
         .orderBy("rn")
     },
+
+    Q("q_dq_20_corrmatrix",
+      """WITH s AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+        |                  CAST(floor(l_extendedprice+0.5) AS BIGINT) AS p,
+        |                  CAST(floor(l_discount*100+0.5) AS BIGINT) AS dd,
+        |                  CAST(floor(l_tax*100+0.5) AS BIGINT) AS t
+        |           FROM lineitem),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(q) AS BIGINT) AS sq, CAST(sum(p) AS BIGINT) AS sp, CAST(sum(dd) AS BIGINT) AS sd, CAST(sum(t) AS BIGINT) AS stx,
+        |  CAST(sum(q*q) AS BIGINT) AS sqq, CAST(sum(p*p) AS BIGINT) AS spp, CAST(sum(dd*dd) AS BIGINT) AS sdd, CAST(sum(t*t) AS BIGINT) AS stt,
+        |  CAST(sum(q*p) AS BIGINT) AS sqp, CAST(sum(q*dd) AS BIGINT) AS sqd, CAST(sum(q*t) AS BIGINT) AS sqt,
+        |  CAST(sum(p*dd) AS BIGINT) AS spd, CAST(sum(p*t) AS BIGINT) AS spt, CAST(sum(dd*t) AS BIGINT) AS sdt
+        | FROM s),
+        |pairs AS (
+        | SELECT 'quantity~price' AS pair, sq AS sa, sp AS sb, sqq AS saa, spp AS sbb, sqp AS sab, n FROM st
+        | UNION ALL SELECT 'quantity~discount', sq, sd, sqq, sdd, sqd, n FROM st
+        | UNION ALL SELECT 'quantity~tax', sq, stx, sqq, stt, sqt, n FROM st
+        | UNION ALL SELECT 'price~discount', sp, sd, spp, sdd, spd, n FROM st
+        | UNION ALL SELECT 'price~tax', sp, stx, spp, stt, spt, n FROM st
+        | UNION ALL SELECT 'discount~tax', sd, stx, sdd, stt, sdt, n FROM st)
+        |SELECT pair,
+        | floor((CAST(n AS DOUBLE)*CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE)*CAST(sb AS DOUBLE))
+        |   / sqrt((CAST(n AS DOUBLE)*CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE)*CAST(sa AS DOUBLE))
+        |        * (CAST(n AS DOUBLE)*CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE)*CAST(sb AS DOUBLE)))
+        |   * 1000000 + 0.5) / 1000000 AS corr
+        |FROM pairs ORDER BY pair""".stripMargin) { (s, d) =>
+      // Full pairwise Pearson correlation matrix over the four numeric
+      // lineitem columns in ONE corpus pass — the profiling step before
+      // feature selection (q_agg_21 computes one pair; this computes
+      // the matrix without rescanning per pair). 15 exact BIGINT
+      // sufficient statistics (4 sums, 4 square-sums, 6 cross-sums, n)
+      // from one map-side-combinable aggregate; the 6 pair rows explode
+      // from the single stats row. Price is quantized to whole DOLLARS
+      // (not cents): Σp² must stay under 2^63 at sf100 — at cents it
+      // crosses at sf0.1. Discount/tax are basis-point integers.
+      val st = Tables(s, d, "lineitem")
+        .select(col("l_quantity").cast("long").as("q"),
+          floor(col("l_extendedprice") + 0.5).cast("long").as("p"),
+          floor(col("l_discount") * 100 + 0.5).cast("long").as("dd"),
+          floor(col("l_tax") * 100 + 0.5).cast("long").as("t"))
+        .agg(count(lit(1)).as("n"),
+          sum("q").as("sq"), sum("p").as("sp"), sum("dd").as("sd"), sum("t").as("stx"),
+          sum(col("q") * col("q")).as("sqq"), sum(col("p") * col("p")).as("spp"),
+          sum(col("dd") * col("dd")).as("sdd"), sum(col("t") * col("t")).as("stt"),
+          sum(col("q") * col("p")).as("sqp"), sum(col("q") * col("dd")).as("sqd"),
+          sum(col("q") * col("t")).as("sqt"), sum(col("p") * col("dd")).as("spd"),
+          sum(col("p") * col("t")).as("spt"), sum(col("dd") * col("t")).as("sdt"))
+      def pairStruct(name: String, sa: String, sb: String, saa: String, sbb: String, sab: String) =
+        struct(lit(name).as("pair"), col(sa).as("sa"), col(sb).as("sb"),
+          col(saa).as("saa"), col(sbb).as("sbb"), col(sab).as("sab"), col("n").as("nn"))
+      val pairs = st.select(explode(array(
+          pairStruct("quantity~price", "sq", "sp", "sqq", "spp", "sqp"),
+          pairStruct("quantity~discount", "sq", "sd", "sqq", "sdd", "sqd"),
+          pairStruct("quantity~tax", "sq", "stx", "sqq", "stt", "sqt"),
+          pairStruct("price~discount", "sp", "sd", "spp", "sdd", "spd"),
+          pairStruct("price~tax", "sp", "stx", "spp", "stt", "spt"),
+          pairStruct("discount~tax", "sd", "stx", "sdd", "stt", "sdt"))).as("e"))
+        .select(col("e.*"))
+      val nD = col("nn").cast("double")
+      pairs.select(col("pair"),
+          (floor((nD * col("sab").cast("double") - col("sa").cast("double") * col("sb").cast("double"))
+            / sqrt((nD * col("saa").cast("double") - col("sa").cast("double") * col("sa").cast("double"))
+              * (nD * col("sbb").cast("double") - col("sb").cast("double") * col("sb").cast("double")))
+            * 1000000 + 0.5) / 1000000).as("corr"))
+        .orderBy("pair")
+    },
+
+    Q("q_text_27_confusion",
+      """WITH p AS (SELECT lang,
+        |  CASE WHEN s_data >= s_query AND s_data >= s_row THEN 'cat_data'
+        |       WHEN s_query >= s_row THEN 'cat_query' ELSE 'cat_row' END AS predicted
+        | FROM (SELECT lang,
+        |  CAST(len(list_filter(string_split(text, ' '), t -> t IN ('data', 'table', 'spark'))) AS BIGINT) AS s_data,
+        |  CAST(len(list_filter(string_split(text, ' '), t -> t IN ('query', 'filter', 'join'))) AS BIGINT) AS s_query,
+        |  CAST(len(list_filter(string_split(text, ' '), t -> t IN ('row', 'group', 'small'))) AS BIGINT) AS s_row
+        |  FROM documents)),
+        |cells AS (SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1,2)
+        |SELECT lang, predicted, n,
+        | CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS n_lang,
+        | floor(CAST(n AS DOUBLE)/CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE)*1000000+0.5)/1000000 AS share
+        |FROM cells ORDER BY lang, predicted""".stripMargin) { (s, d) =>
+      // Classifier-evaluation cross-tab: q_text_4's keyword-argmax
+      // prediction against the labeled lang column, with per-label row
+      // shares — the confusion-matrix primitive every labeling/filtering
+      // model ships with. ONE scan: per-row argmax (same scoring
+      // expressions as q_text_4, same fixed tie-break), a
+      // |labels|·|classes|-bounded count aggregate, and row totals
+      // riding that table as a window.
+      def score(c: org.apache.spark.sql.Column, markers: Seq[String]) =
+        size(filter(tokens(c), t => t.isin(markers: _*))).cast("long")
+      val p = Tables(s, d, "documents")
+        .select(col("lang"),
+          score(col("text"), Seq("data", "table", "spark")).as("s_data"),
+          score(col("text"), Seq("query", "filter", "join")).as("s_query"),
+          score(col("text"), Seq("row", "group", "small")).as("s_row"))
+        .select(col("lang"),
+          when(col("s_data") >= col("s_query") && col("s_data") >= col("s_row"), "cat_data")
+            .when(col("s_query") >= col("s_row"), "cat_query")
+            .otherwise("cat_row").as("predicted"))
+      val cells = p.groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+      cells.withColumn("n_lang", sum("n").over(Window.partitionBy("lang")))
+        .select(col("lang"), col("predicted"), col("n"), col("n_lang"),
+          (floor(col("n").cast("double") / col("n_lang").cast("double") * 1000000 + 0.5) / 1000000).as("share"))
+        .orderBy("lang", "predicted")
+    },
   )
 }

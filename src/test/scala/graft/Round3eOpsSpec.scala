@@ -326,6 +326,45 @@ class Round3eOpsSpec extends SparkSpec {
     assert(ord.toSeq == ord.toSeq.sorted)
   }
 
+  test("q_dq_20_corrmatrix: each pair matches the single-pair exact Pearson replication") {
+    val rows = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_quantity").cast("long"),
+        floor(col("l_extendedprice") + 0.5).cast("long"),
+        floor(col("l_discount") * 100 + 0.5).cast("long"),
+        floor(col("l_tax") * 100 + 0.5).cast("long"))
+      .collect().map(r => Array(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    def corr(i: Int, j: Int): Double = {
+      val n = rows.length.toDouble
+      val sa = rows.map(_(i)).sum.toDouble; val sb = rows.map(_(j)).sum.toDouble
+      val saa = rows.map(r => r(i) * r(i)).sum.toDouble
+      val sbb = rows.map(r => r(j) * r(j)).sum.toDouble
+      val sab = rows.map(r => r(i) * r(j)).sum.toDouble
+      math.floor((n * sab - sa * sb) / math.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)) * 1000000 + 0.5) / 1000000
+    }
+    val idx = Map("quantity" -> 0, "price" -> 1, "discount" -> 2, "tax" -> 3)
+    val got = Registry.byName("q_dq_20_corrmatrix").fn(spark, sf).collect()
+    assert(got.length == 6)
+    got.foreach { r =>
+      val Array(a, b) = r.getString(0).split("~")
+      assert(r.getDouble(1) == corr(idx(a), idx(b)), s"corr mismatch for ${r.getString(0)}")
+      assert(math.abs(r.getDouble(1)) <= 1.0)
+    }
+  }
+
+  test("q_text_27_confusion: cells partition the corpus; shares sum to 1 per label") {
+    val rows = Registry.byName("q_text_27_confusion").fn(spark, sf).collect()
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_.getLong(2)).sum == total, "every doc lands in exactly one cell")
+    rows.groupBy(_.getString(0)).foreach { case (_, cells) =>
+      assert(cells.map(_.getLong(2)).sum == cells.head.getLong(3))
+      assert(math.abs(cells.map(_.getDouble(4)).sum - 1.0) < cells.length * 5e-7 + 1e-9)
+    }
+    // the prediction column agrees with the declared langid query
+    val pred = Registry.byName("q_text_4_langid").fn(spark, sf).collect()
+      .groupBy(r => (r.getString(1), r.getString(5))).view.mapValues(_.length.toLong).toMap
+    assert(rows.map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap == pred)
+  }
+
   test("plan contracts: round-3e statistics are single-scan") {
     def scans(q: String): Int =
       "(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(
@@ -347,5 +386,7 @@ class Round3eOpsSpec extends SparkSpec {
     assert(scans("q_stat_8_welch") == 1)
     assert(scans("q_agg_31_means") == 1)
     assert(scans("q_graph_7_linkpred") == 0) // checkpointed bidirectional edges
+    assert(scans("q_dq_20_corrmatrix") == 1) // 6 pairs, ONE pass
+    assert(scans("q_text_27_confusion") == 1)
   }
 }
