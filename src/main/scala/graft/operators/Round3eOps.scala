@@ -857,5 +857,92 @@ object Round3eOps {
           (floor(col("n").cast("double") / col("n_lang").cast("double") * 1000000 + 0.5) / 1000000).as("share"))
         .orderBy("lang", "predicted")
     },
+
+    Q("q_time_6_seasonality",
+      """WITH day AS (SELECT CAST(date_trunc('day', ts::TIMESTAMP) AS DATE) AS dday, CAST(count(*) AS BIGINT) AS x
+        |             FROM events GROUP BY 1),
+        |dev AS (SELECT dday, x, isodow(dday) AS dow,
+        |               CAST(count(*) OVER () AS BIGINT) AS n, CAST(sum(x) OVER () AS BIGINT) AS s FROM day),
+        |tot AS (SELECT CAST(sum((n*x - s)*(n*x - s)) AS BIGINT) AS ss_tot FROM dev),
+        |wd AS (SELECT dow, CAST(count(*) AS BIGINT) AS m, CAST(sum(x) AS BIGINT) AS sw,
+        |              CAST(max(n) AS BIGINT) AS n, CAST(max(s) AS BIGINT) AS s
+        |       FROM dev GROUP BY dow),
+        |btw AS (SELECT dow, m, sw, n, s,
+        |         CAST(floor((CAST(n AS DOUBLE)*CAST(sw AS DOUBLE) - CAST(m AS DOUBLE)*CAST(s AS DOUBLE))
+        |              * (CAST(n AS DOUBLE)*CAST(sw AS DOUBLE) - CAST(m AS DOUBLE)*CAST(s AS DOUBLE))
+        |              / CAST(m AS DOUBLE) + 0.5) AS BIGINT) AS bq
+        |        FROM wd)
+        |SELECT CAST(dow AS BIGINT) AS dow, m,
+        |       floor(CAST(sw AS DOUBLE)/CAST(m AS DOUBLE)*1000000+0.5)/1000000 AS mean_events,
+        |       floor(CAST(sum(bq) OVER () AS DOUBLE)/CAST(tot.ss_tot AS DOUBLE)*1000000+0.5)/1000000 AS strength
+        |FROM btw, tot ORDER BY dow""".stripMargin) { (s, d) =>
+      // Weekday seasonality profile + strength: per-ISO-weekday mean
+      // daily event count and the share of day-to-day variance explained
+      // by weekday (SS_between/SS_total — ANOVA's R², the seasonality-
+      // strength readout that decides whether a forecast needs a weekly
+      // component). The n²-scaled deviations (q_time_5's trick) keep
+      // SS_total an exact BIGINT; the between terms (n·Sw − m·S)²/m are
+      // fixed IEEE expressions quantized to integers before the 7-row
+      // sum. Day table checkpointed (totals branch + weekday branch);
+      // ISO weekday = Spark weekday()+1 ≡ DuckDB isodow.
+      val day = Tables(s, d, "events")
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("dday"))
+        .agg(count(lit(1)).as("x"))
+        .localCheckpoint()
+      val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val dev = day.select(col("dday"), col("x"), (weekday(col("dday")) + 1).as("dow"),
+        count(lit(1)).over(wAll).as("n"), sum("x").over(wAll).as("s"))
+      val tot = dev.agg(sum((col("n") * col("x") - col("s")) * (col("n") * col("x") - col("s"))).as("ss_tot"))
+      val wd = dev.groupBy("dow")
+        .agg(count(lit(1)).as("m"), sum("x").as("sw"), max("n").as("n"), max("s").as("s"))
+      val diff = col("n").cast("double") * col("sw").cast("double") - col("m").cast("double") * col("s").cast("double")
+      val btw = wd.select(col("dow"), col("m"), col("sw"),
+        floor(diff * diff / col("m").cast("double") + 0.5).cast("long").as("bq"))
+      btw.crossJoin(broadcast(tot))
+        .select(col("dow").cast("long").as("dow"), col("m"),
+          (floor(col("sw").cast("double") / col("m").cast("double") * 1000000 + 0.5) / 1000000).as("mean_events"),
+          (floor(sum("bq").over(wAll).cast("double") / col("ss_tot").cast("double") * 1000000 + 0.5) / 1000000).as("strength"))
+        .orderBy("dow")
+    },
+
+    Q("q_dq_21_keycand",
+      """WITH st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS d_okey,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS d_cust,
+        |  CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS d_status,
+        |  CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS d_prio
+        | FROM orders),
+        |cols AS (
+        | SELECT 'o_orderkey' AS col, d_okey AS nd, n FROM st
+        | UNION ALL SELECT 'o_custkey', d_cust, n FROM st
+        | UNION ALL SELECT 'o_orderstatus', d_status, n FROM st
+        | UNION ALL SELECT 'o_orderpriority', d_prio, n FROM st)
+        |SELECT col, nd, n, floor(CAST(nd AS DOUBLE)/CAST(n AS DOUBLE)*1000000+0.5)/1000000 AS uniqueness,
+        |       CASE WHEN nd = n THEN 1 ELSE 0 END AS is_key
+        |FROM cols ORDER BY col""".stripMargin) { (s, d) =>
+      // Key-candidate profile: per-column distinct count, uniqueness
+      // ratio, and an is-key flag — the first question schema discovery
+      // asks of an unknown table (q_dq_19's FD audit presumes candidate
+      // keys; this finds them). ONE logical pass: Spark plans the four
+      // exact distincts as a single Expand (4× row multiply, one
+      // shuffle) — at 100 TB swap exact distinct for HLL
+      // (approx_count_distinct / q_udaf_2's sketch) to drop the Expand.
+      // The 4 column rows explode from the single stats row.
+      val st = Tables(s, d, "orders")
+        .agg(count(lit(1)).as("n"),
+          countDistinct("o_orderkey").as("d_okey"),
+          countDistinct("o_custkey").as("d_cust"),
+          countDistinct("o_orderstatus").as("d_status"),
+          countDistinct("o_orderpriority").as("d_prio"))
+      def colStruct(name: String, nd: String) =
+        struct(lit(name).as("col"), col(nd).as("nd"), col("n").as("nn"))
+      st.select(explode(array(
+          colStruct("o_orderkey", "d_okey"), colStruct("o_custkey", "d_cust"),
+          colStruct("o_orderstatus", "d_status"), colStruct("o_orderpriority", "d_prio"))).as("e"))
+        .select(col("e.col").as("col"), col("e.nd").as("nd"), col("e.nn").as("n"),
+          (floor(col("e.nd").cast("double") / col("e.nn").cast("double") * 1000000 + 0.5) / 1000000).as("uniqueness"),
+          when(col("e.nd") === col("e.nn"), 1).otherwise(0).as("is_key"))
+        .orderBy("col")
+    },
   )
 }

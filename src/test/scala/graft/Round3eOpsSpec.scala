@@ -365,6 +365,45 @@ class Round3eOpsSpec extends SparkSpec {
     assert(rows.map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap == pred)
   }
 
+  test("q_time_6_seasonality: weekday cells partition the days; strength in [0,1] matches ANOVA replication") {
+    val days = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy(date_trunc("day", expr("ts div 1000000000").cast("timestamp")).cast("date").as("d"))
+      .count().collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val n = days.length.toLong; val sTot = days.map(_._2).sum
+    val ssTot = days.map { case (_, x) => val dv = n * x - sTot; dv * dv }.sum
+    val byDow = days.groupBy(_._1.getDayOfWeek.getValue)
+    val bq = byDow.view.mapValues { ds =>
+      val m = ds.length.toLong; val sw = ds.map(_._2).sum
+      val diff = n.toDouble * sw.toDouble - m.toDouble * sTot.toDouble
+      math.floor(diff * diff / m.toDouble + 0.5).toLong
+    }.toMap
+    val strength = math.floor(bq.values.sum.toDouble / ssTot.toDouble * 1000000 + 0.5) / 1000000
+    val got = Registry.byName("q_time_6_seasonality").fn(spark, sf).collect()
+    assert(got.map(_.getLong(1)).sum == n, "weekday cells partition the day set")
+    got.foreach { r =>
+      val dow = r.getLong(0).toInt
+      val ds = byDow(dow)
+      assert(r.getLong(1) == ds.length)
+      assert(r.getDouble(2) == math.floor(ds.map(_._2).sum.toDouble / ds.length * 1000000 + 0.5) / 1000000)
+      assert(r.getDouble(3) == strength)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
+  test("q_dq_21_keycand: distinct counts replicate; only the key column flags") {
+    val ord = spark.read.parquet(s"$sf/orders.parquet")
+    val got = Registry.byName("q_dq_21_keycand").fn(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getInt(4)))).toMap
+    val total = ord.count()
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority").foreach { c =>
+      val nd = ord.select(c).distinct().count()
+      val (gnd, gn, isKey) = got(c)
+      assert(gnd == nd && gn == total)
+      assert(isKey == (if (nd == total) 1 else 0))
+    }
+    assert(got("o_orderkey")._3 == 1 && got("o_custkey")._3 == 0)
+  }
+
   test("plan contracts: round-3e statistics are single-scan") {
     def scans(q: String): Int =
       "(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(
@@ -388,5 +427,7 @@ class Round3eOpsSpec extends SparkSpec {
     assert(scans("q_graph_7_linkpred") == 0) // checkpointed bidirectional edges
     assert(scans("q_dq_20_corrmatrix") == 1) // 6 pairs, ONE pass
     assert(scans("q_text_27_confusion") == 1)
+    assert(scans("q_time_6_seasonality") == 0) // checkpointed day table
+    assert(scans("q_dq_21_keycand") == 1)
   }
 }
