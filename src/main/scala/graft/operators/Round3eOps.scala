@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Q
+import graft.functions.KMeans
 import graft.functions.TextFunctions.tokens
 import graft.sources.Tables
 import org.apache.spark.sql.expressions.Window
@@ -943,6 +944,62 @@ object Round3eOps {
           (floor(col("e.nd").cast("double") / col("e.nn").cast("double") * 1000000 + 0.5) / 1000000).as("uniqueness"),
           when(col("e.nd") === col("e.nn"), 1).otherwise(0).as("is_key"))
         .orderBy("col")
+    },
+
+    Q("q_sim_17_silhouette",
+      """WITH e AS (
+        | SELECT vec_id, unnest(generate_series(1, len(embedding))) AS pos,
+        |  CAST(unnest(embedding) AS DOUBLE) AS val
+        | FROM embeddings WHERE vec_id < 200),
+        |c0 AS (SELECT vec_id AS cid, pos, val AS c FROM e WHERE vec_id < 4),
+        |d1 AS (SELECT e.vec_id, c.cid, sum((e.val - c.c) * (e.val - c.c)) AS d2
+        |       FROM e JOIN c0 c ON e.pos = c.pos GROUP BY e.vec_id, c.cid),
+        |a1 AS (SELECT vec_id, cid FROM (
+        |       SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d1)
+        |       WHERE rn = 1),
+        |c1 AS (SELECT a1.cid, e.pos, avg(e.val) AS c FROM e JOIN a1 ON e.vec_id = a1.vec_id GROUP BY a1.cid, e.pos),
+        |d2t AS (SELECT e.vec_id, c.cid, sum((e.val - c.c) * (e.val - c.c)) AS d2
+        |        FROM e JOIN c1 c ON e.pos = c.pos GROUP BY e.vec_id, c.cid),
+        |rk AS (SELECT vec_id, cid, d2, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d2t),
+        |ab AS (SELECT a.vec_id, a.cid AS cluster,
+        |        CAST(floor((sqrt(b.d2) - sqrt(a.d2)) / greatest(sqrt(a.d2), sqrt(b.d2)) * 1000000 + 0.5) AS BIGINT) AS s6
+        |       FROM (SELECT * FROM rk WHERE rn = 1) a JOIN (SELECT * FROM rk WHERE rn = 2) b ON a.vec_id = b.vec_id)
+        |SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+        |       floor(CAST(sum(s6) AS DOUBLE) / CAST(count(*) AS DOUBLE) + 0.5) / 1000000 AS mean_silhouette
+        |FROM ab GROUP BY cluster ORDER BY cluster""".stripMargin) { (s, d) =>
+      // Simplified (centroid-based) silhouette of the trained k-means:
+      // per vector s = (b − a)/max(a, b) with a = distance to own
+      // centroid, b = distance to the second-nearest — the internal
+      // cluster-quality readout pairing q_sim_15's external purity
+      // (same training as q_sim_7, spec-pinned). Per-row s is quantized
+      // to 1e-6 BEFORE the per-cluster mean, so the reduction is an
+      // integer sum. The distance ranking explodes k=4 broadcast
+      // centroids per row; at 100 TB a two-argmin native expression
+      // (argmin_sqdist's sibling) removes the n·k window shuffle.
+      graft.expressions.VectorExpressions.register(s)
+      val e = Tables(s, d, "embeddings").filter(col("vec_id") < 200)
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      val init = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("cid"), col("v").as("cvec"))
+      // checkpoint the trained 4-row centroid table: without it the
+      // whole Lloyd subtree re-executes for the broadcast AND the main
+      // plan (observed 7.9 s → sub-second)
+      val cents = KMeans.update(KMeans.assign(e, init)).localCheckpoint()
+      val d2 = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cid"),
+          graft.functions.VectorFunctions.sqDist(col("v"), col("cvec")).as("d2"))
+      val rk = d2.withColumn("rn",
+        row_number().over(Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))))
+      val a = rk.filter(col("rn") === 1).select(col("vec_id"), col("cid").as("cluster"), col("d2").as("da"))
+      val b = rk.filter(col("rn") === 2).select(col("vec_id"), col("d2").as("db"))
+      val ab = a.join(b, Seq("vec_id"))
+        .select(col("cluster"),
+          floor((sqrt(col("db")) - sqrt(col("da"))) / greatest(sqrt(col("da")), sqrt(col("db")))
+            * 1000000 + 0.5).cast("long").as("s6"))
+      ab.groupBy("cluster")
+        .agg(count(lit(1)).as("n"),
+          (floor(sum("s6").cast("double") / count(lit(1)).cast("double") + 0.5) / 1000000).as("mean_silhouette"))
+        .orderBy("cluster")
     },
   )
 }

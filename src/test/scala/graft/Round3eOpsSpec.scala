@@ -404,6 +404,18 @@ class Round3eOpsSpec extends SparkSpec {
     assert(got("o_orderkey")._3 == 1 && got("o_custkey")._3 == 0)
   }
 
+  test("q_sim_17_silhouette: cluster sizes match q_sim_7's assignment; scores bounded") {
+    val got = Registry.byName("q_sim_17_silhouette").fn(spark, sf).collect()
+    val sizes = Registry.byName("q_sim_7_kmeans").fn(spark, sf).collect()
+      .groupBy(_.getLong(1)).view.mapValues(_.length.toLong).toMap
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toMap == sizes,
+      "silhouette must be computed over the same trained assignment as q_sim_7")
+    assert(got.map(_.getLong(1)).sum == 200)
+    got.foreach { r =>
+      assert(r.getDouble(2) >= -1.0 && r.getDouble(2) <= 1.0)
+    }
+  }
+
   test("plan contracts: round-3e statistics are single-scan") {
     def scans(q: String): Int =
       "(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(
