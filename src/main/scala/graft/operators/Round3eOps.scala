@@ -1001,5 +1001,39 @@ object Round3eOps {
           (floor(sum("s6").cast("double") / count(lit(1)).cast("double") + 0.5) / 1000000).as("mean_silhouette"))
         .orderBy("cluster")
     },
+
+    Q("q_text_28_compression",
+      """WITH per AS (SELECT lang, CAST(n_chars AS BIGINT) AS nc,
+        |                    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+        |             FROM documents),
+        |st AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |              CAST(sum(nc) AS BIGINT) AS chars, CAST(sum(nt) AS BIGINT) AS toks,
+        |              CAST(min(floor(CAST(nc AS DOUBLE)/CAST(nt AS DOUBLE)*1000000+0.5)) AS BIGINT) AS min_r6,
+        |              CAST(max(floor(CAST(nc AS DOUBLE)/CAST(nt AS DOUBLE)*1000000+0.5)) AS BIGINT) AS max_r6
+        |       FROM per GROUP BY lang)
+        |SELECT lang, n_docs, chars, toks,
+        |       floor(CAST(chars AS DOUBLE)/CAST(toks AS DOUBLE)*1000000+0.5)/1000000 AS chars_per_token,
+        |       CAST(min_r6 AS DOUBLE)/1000000 AS min_ratio, CAST(max_r6 AS DOUBLE)/1000000 AS max_ratio
+        |FROM st ORDER BY lang""".stripMargin) { (s, d) =>
+      // Tokenizer compression ratio per language: chars-per-token of the
+      // corpus plus the per-doc min/max spread — the fertility metric
+      // that decides whether a tokenizer (here the whitespace baseline)
+      // treats every language fairly; the q_text_6 token counts' cost
+      // lens. ONE scan: integer char/token sums per language (exact
+      // corpus ratio from BIGINTs), per-doc ratios quantized to 1e-6
+      // BEFORE min/max so the extremes are engine-stable integers.
+      val per = Tables(s, d, "documents")
+        .select(col("lang"), col("n_chars").cast("long").as("nc"),
+          size(tokens(col("text"))).cast("long").as("nt"))
+      val r6 = floor(col("nc").cast("double") / col("nt").cast("double") * 1000000 + 0.5)
+      per.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("nc").as("chars"), sum("nt").as("toks"),
+          min(r6).cast("long").as("min_r6"), max(r6).cast("long").as("max_r6"))
+        .select(col("lang"), col("n_docs"), col("chars"), col("toks"),
+          (floor(col("chars").cast("double") / col("toks").cast("double") * 1000000 + 0.5) / 1000000).as("chars_per_token"),
+          (col("min_r6").cast("double") / 1000000).as("min_ratio"),
+          (col("max_r6").cast("double") / 1000000).as("max_ratio"))
+        .orderBy("lang")
+    },
   )
 }

@@ -416,6 +416,23 @@ class Round3eOpsSpec extends SparkSpec {
     }
   }
 
+  test("q_text_28_compression: sums replicate; corpus ratio sits inside the per-doc extremes") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("lang"), col("n_chars"), size(split(col("text"), " ")).cast("long").as("nt"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byLang = docs.groupBy(_._1)
+    val got = Registry.byName("q_text_28_compression").fn(spark, sf).collect()
+    assert(got.length == byLang.size)
+    got.foreach { r =>
+      val ds = byLang(r.getString(0))
+      assert(r.getLong(1) == ds.length)
+      assert(r.getLong(2) == ds.map(_._2).sum && r.getLong(3) == ds.map(_._3).sum)
+      val ratios = ds.map(d => math.floor(d._2.toDouble / d._3.toDouble * 1000000 + 0.5) / 1000000)
+      assert(r.getDouble(5) == ratios.min && r.getDouble(6) == ratios.max)
+      assert(r.getDouble(4) >= r.getDouble(5) - 1e-6 && r.getDouble(4) <= r.getDouble(6) + 1e-6)
+    }
+  }
+
   test("plan contracts: round-3e statistics are single-scan") {
     def scans(q: String): Int =
       "(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(
@@ -441,5 +458,6 @@ class Round3eOpsSpec extends SparkSpec {
     assert(scans("q_text_27_confusion") == 1)
     assert(scans("q_time_6_seasonality") == 0) // checkpointed day table
     assert(scans("q_dq_21_keycand") == 1)
+    assert(scans("q_text_28_compression") == 1)
   }
 }
