@@ -638,16 +638,22 @@ object Pipelines {
     * with the largest key = ln(u)/w, where u ∈ (0,1] derives from the
     * deterministic multiplicative hash of `idCol` — reproducible across
     * runs, engines, and partitionings, unlike rand()-keyed sampling.
-    * P(row selected) ∝ `weightCol` (must be > 0). At 100 TB swap the
-    * rank for the mergeable top-k aggregate (q_agg_23).
+    * P(row selected) ∝ `weightCol`; rows with weight ≤ 0 (or null) are
+    * excluded — a zero/negative A-ES weight has no sampling meaning and
+    * would otherwise silently dominate or vanish. Ids are folded
+    * through `pmod`, so negative ids hash correctly; note ids that
+    * collide mod 1e9+7 share u (same limitation as q_text_13's split
+    * hash) — pre-hash ids into [0, P) if the id space exceeds P. At
+    * 100 TB swap the rank for the mergeable top-k aggregate (q_agg_23).
     */
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
       n: Int): DataFrame = {
-    val hv = ((col(idCol) % 1000000007L) * 2654435761L) % 1000000007L
+    val hv = pmod(pmod(col(idCol), lit(1000000007L)) * 2654435761L, lit(1000000007L))
     val key = log((hv + 1).cast("double") / 1000000008.0) / col(weightCol).cast("double")
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("__key").desc, col(idCol))
-    df.withColumn("__key", key)
+    df.filter(col(weightCol) > 0)
+      .withColumn("__key", key)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= n)
       .drop("__key", "__rn")

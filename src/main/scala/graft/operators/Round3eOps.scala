@@ -377,9 +377,9 @@ object Round3eOps {
     },
 
     Q("q_sim_16_rrf", {
-      val dot = "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_zip(%s, %s), p -> CAST(struct_extract(p, 1) * struct_extract(p, 2) AS DOUBLE))), (acc, x) -> acc + x)"
-      val n2 = "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(%s, x -> CAST(x * x AS DOUBLE))), (acc, x) -> acc + x)"
-      val cos = s"(${dot.format("e.embedding", "pr.pvec")} / (sqrt(${n2.format("e.embedding")}) * sqrt(${n2.format("pr.pvec")})))"
+      // shared oracle-side cosine (identical fold shape to the Spark
+      // `cosine_similarity` expression) — do NOT inline a private copy
+      val cos = graft.functions.VectorFunctions.Duck.cosine("e.embedding", "pr.pvec")
       s"""WITH pr AS (SELECT embedding AS pvec FROM embeddings WHERE vec_id = 0),
          |vr AS (SELECT vec_id AS id, row_number() OVER (ORDER BY $cos DESC, vec_id) AS rv
          |       FROM embeddings e, pr WHERE e.vec_id <> 0),

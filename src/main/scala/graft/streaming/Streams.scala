@@ -225,11 +225,17 @@ object Streams {
     * woken by the event-time timeout so buffered tails drain as the
     * watermark advances.
     *
-    * Scale note: one shuffle on the key; state is O(events inside the
-    * watermark delay per key), evicted monotonically — bounded memory.
+    * Scale note: one shuffle on the key; buffered state is O(events
+    * inside the watermark delay per key), evicted monotonically. A
+    * key's remembered last-event type is evicted after `idleTtlMinutes`
+    * of event-time inactivity (otherwise churning key spaces grow the
+    * state store one entry per key forever); a transition spanning an
+    * idle gap longer than the TTL is dropped — size the TTL to the
+    * longest session gap that should still count as a transition.
     */
   def transitionsStream(events: DataFrame,
-      delay: String = "10 minutes"): org.apache.spark.sql.Dataset[Transition] = {
+      delay: String = "10 minutes",
+      idleTtlMinutes: Long = 60): org.apache.spark.sql.Dataset[Transition] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import events.sparkSession.implicits._
     val ds = events.withWatermark("ts", delay)
@@ -242,8 +248,8 @@ object Streams {
         (user: Long, events: Iterator[TransitionEvent],
          state: GroupState[(Option[String], Seq[(Long, Long, String)])]) =>
           val (lastOpt0, buf0) = state.getOption.getOrElse((None, Seq.empty))
-          val buf = (buf0 ++ events.map(e => (e.ts_us, e.event_id, e.event_type)))
-            .sortBy(e => (e._1, e._2))
+          val incoming = events.map(e => (e.ts_us, e.event_id, e.event_type)).toList
+          val buf = (buf0 ++ incoming).sortBy(e => (e._1, e._2))
           val wmUs = state.getCurrentWatermarkMs() * 1000L
           val (done, open) = buf.partition(_._1 < wmUs)
           val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
@@ -252,13 +258,19 @@ object Streams {
             last.foreach(a => out += Transition(user, a, e._3))
             last = Some(e._3)
           }
-          if (open.isEmpty && out.isEmpty && last.isEmpty) state.remove()
+          val idleExpired = state.hasTimedOut && incoming.isEmpty && open.isEmpty
+          if (open.isEmpty && (last.isEmpty || idleExpired)) state.remove()
           else {
             state.update((last, open))
             if (open.nonEmpty)
               // wake when the earliest buffered event can finalize
               state.setTimeoutTimestamp(
                 math.max(state.getCurrentWatermarkMs() + 1L, open.head._1 / 1000L + 1L))
+            else
+              // nothing buffered: keep `last` only through the idle TTL,
+              // then evict so churning key spaces don't grow state forever
+              state.setTimeoutTimestamp(
+                state.getCurrentWatermarkMs() + idleTtlMinutes * 60000L)
           }
           out.iterator
       }
