@@ -990,9 +990,14 @@ object Round3eOps {
           graft.functions.VectorFunctions.sqDist(col("v"), col("cvec")).as("d2"))
       val rk = d2.withColumn("rn",
         row_number().over(Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))))
-      val a = rk.filter(col("rn") === 1).select(col("vec_id"), col("cid").as("cluster"), col("d2").as("da"))
-      val b = rk.filter(col("rn") === 2).select(col("vec_id"), col("d2").as("db"))
-      val ab = a.join(b, Seq("vec_id"))
+      // best + second-best in ONE conditional aggregation — an
+      // rn=1 ⋈ rn=2 self-join would duplicate the whole ranking subtree
+      // (2 embeddings scans observed)
+      val ab = rk.filter(col("rn") <= 2)
+        .groupBy("vec_id")
+        .agg(max(when(col("rn") === 1, col("cid"))).as("cluster"),
+          max(when(col("rn") === 1, col("d2"))).as("da"),
+          max(when(col("rn") === 2, col("d2"))).as("db"))
         .select(col("cluster"),
           floor((sqrt(col("db")) - sqrt(col("da"))) / greatest(sqrt(col("da")), sqrt(col("db")))
             * 1000000 + 0.5).cast("long").as("s6"))

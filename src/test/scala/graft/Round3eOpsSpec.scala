@@ -459,5 +459,8 @@ class Round3eOpsSpec extends SparkSpec {
     assert(scans("q_time_6_seasonality") == 0) // checkpointed day table
     assert(scans("q_dq_21_keycand") == 1)
     assert(scans("q_text_28_compression") == 1)
+    // silhouette: one live embeddings scan (distance ranking); the
+    // trained centroid table is checkpointed (see the 7.9s->1.2s note)
+    assert(scans("q_sim_17_silhouette") == 1)
   }
 }
