@@ -488,6 +488,56 @@ object TextOps {
       labels.join(sizes, Seq("component"))
         .select(col("doc_id"), col("component"), col("csize"))
         .orderBy("doc_id")
+    },
+
+    Q("q_dedup_10_eval",
+      s"""WITH $duckLshBands,
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b ON a.j = b.j AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |ts AS (SELECT doc_id, list_distinct(string_split(text,' ')) AS s FROM documents WHERE doc_id < 100),
+         |truth AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM ts a JOIN ts b ON a.doc_id < b.doc_id
+         |          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)/len(list_distinct(a.s || b.s)) >= 0.9),
+         |m AS (SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+         |             CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_cand,
+         |             CAST((SELECT count(*) FROM cand JOIN truth ON cand.doc_a = truth.doc_a AND cand.doc_b = truth.doc_b) AS BIGINT) AS tp)
+         |SELECT n_truth, n_cand, tp,
+         | floor(CAST(tp AS DOUBLE)/CAST(n_cand AS DOUBLE)*1000000+0.5)/1000000 AS precision,
+         | floor(CAST(tp AS DOUBLE)/CAST(n_truth AS DOUBLE)*1000000+0.5)/1000000 AS recall,
+         | floor(2*CAST(tp AS DOUBLE)/CAST(n_cand + n_truth AS DOUBLE)*1000000+0.5)/1000000 AS f1
+         |FROM m""".stripMargin) { (s, d) =>
+      // Dedup-screen evaluation: precision/recall/F1 of the MinHash+LSH
+      // candidate generator against exact token-set Jaccard ≥ 0.9 ground
+      // truth — the tuning gate for (bands × rows), exactly what
+      // q_sim_11_recall is for the ANN index. High recall with low
+      // precision is the DESIGNED operating point: LSH only generates
+      // candidates; the exact verifier downstream removes false
+      // positives, but false negatives are lost forever. Both bounded
+      // pair sets are checkpointed (each feeds its own count AND the tp
+      // join); the exact-truth side is demonstration-bounded to the same
+      // 100 docs as q_dedup_3 — at 100 TB truth comes from a labeled
+      // sample, never all-pairs.
+      val docs = Tables(s, d, "documents").filter(col("doc_id") < 100)
+      val bands = lshBandKeys(docs)
+      val cand = bands.select(col("doc_id").as("doc_a"), col("j"), col("band_key")).as("a")
+        .join(bands.select(col("doc_id").as("doc_b"), col("j").as("j2"), col("band_key").as("band_key2")),
+          col("j") === col("j2") && col("band_key") === col("band_key2") && col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+        .localCheckpoint()
+      val ts = docs.select(col("doc_id"), tokenSet(col("text")).as("s"))
+      val truth = ts.as("x").join(ts.as("y"), col("x.doc_id") < col("y.doc_id"))
+        .filter(size(array_intersect(col("x.s"), col("y.s"))).cast("double")
+          / size(array_distinct(concat(col("x.s"), col("y.s")))) >= 0.9)
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .localCheckpoint()
+      val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+      val nCand = cand.agg(count(lit(1)).as("n_cand"))
+      val tp = cand.join(truth, Seq("doc_a", "doc_b")).agg(count(lit(1)).as("tp"))
+      nTruth.crossJoin(nCand).crossJoin(tp)
+        .select(col("n_truth"), col("n_cand"), col("tp"),
+          (floor(col("tp").cast("double") / col("n_cand").cast("double") * 1000000 + 0.5) / 1000000).as("precision"),
+          (floor(col("tp").cast("double") / col("n_truth").cast("double") * 1000000 + 0.5) / 1000000).as("recall"),
+          (floor(lit(2) * col("tp").cast("double") / (col("n_cand") + col("n_truth")).cast("double") * 1000000 + 0.5) / 1000000).as("f1"))
     }
   )
 }

@@ -433,6 +433,20 @@ class Round3eOpsSpec extends SparkSpec {
     }
   }
 
+  test("q_dedup_10_eval: counts consistent with q_dedup_3; metrics are the quantized ratios") {
+    val row = Registry.byName("q_dedup_10_eval").fn(spark, sf).collect().head
+    val (nTruth, nCand, tp) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    // the candidate set IS q_dedup_3's pair list (distinct pairs)
+    val lshPairs = Registry.byName("q_dedup_3_minhash_lsh").fn(spark, sf).count()
+    assert(nCand == lshPairs)
+    assert(tp <= math.min(nTruth, nCand))
+    assert(row.getDouble(3) == math.floor(tp.toDouble / nCand * 1000000 + 0.5) / 1000000)
+    assert(row.getDouble(4) == math.floor(tp.toDouble / nTruth * 1000000 + 0.5) / 1000000)
+    assert(row.getDouble(5) == math.floor(2.0 * tp / (nCand + nTruth) * 1000000 + 0.5) / 1000000)
+    // the LSH screen is a candidate GENERATOR: recall must dominate precision
+    assert(row.getDouble(4) >= row.getDouble(3))
+  }
+
   test("plan contracts: round-3e statistics are single-scan") {
     def scans(q: String): Int =
       "(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(
