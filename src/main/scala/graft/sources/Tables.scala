@@ -23,14 +23,26 @@ object Tables {
     if (name == "events") events(spark, sfDir) else
       spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** Spark 4.x cannot read Parquet TIMESTAMP(NANOS) ([PARQUET_TYPE_ILLEGAL]).
-    * Read the ns value as a plain long (legacy conf) and convert to a µs
-    * timestamp with exact integer arithmetic: `div`, not `/` — a double
-    * division of an epoch-ns value (~1.7e18 > 2^53) would lose precision.
+  /** The fixture generator has shipped `ts` two ways across rounds:
+    * Parquet TIMESTAMP(NANOS) (which Spark 4.x cannot read natively —
+    * [PARQUET_TYPE_ILLEGAL] — so the legacy conf reads it as a plain ns
+    * long) and plain TIMESTAMP(MICROS). Adapt on the observed schema so
+    * every downstream query always sees one thing: a `TimestampType` µs
+    * column under the UTC session zone.
+    *  - ns-long path: exact integer arithmetic (`div`, not `/` — a double
+    *    division of an epoch-ns value (~1.7e18 > 2^53) loses precision).
+    *  - µs path: cast TIMESTAMP_NTZ → TIMESTAMP (value-preserving under
+    *    UTC) so watermarks/windows behave identically on both layouts.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 }

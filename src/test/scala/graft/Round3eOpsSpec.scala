@@ -107,12 +107,12 @@ class Round3eOpsSpec extends SparkSpec {
   }
 
   test("q_stream_13_markov: transition counts match a per-user sequence replication; rows normalize") {
-    val evs = spark.read.parquet(s"$sf/events.parquet")
+    val evs = sources.Tables(spark, sf, "events")
       .select(col("user_id"), col("event_id"), col("event_type"),
-        col("ts").cast("long")) // nanos as long (SparkSpec sets the legacy conf)
+        unix_micros(col("ts"))) // µs regardless of the fixture's ts layout
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
     val expected = evs.groupBy(_._1).values.flatMap { seq =>
-      seq.sortBy(e => (e._4 / 1000, e._2)).map(_._3).sliding(2).filter(_.length == 2)
+      seq.sortBy(e => (e._4, e._2)).map(_._3).sliding(2).filter(_.length == 2)
         .map(w => (w(0), w(1)))
     }.groupBy(p => p).view.mapValues(_.size.toLong).toMap
     val got = Registry.byName("q_stream_13_markov").fn(spark, sf).collect()
@@ -130,9 +130,8 @@ class Round3eOpsSpec extends SparkSpec {
     val den = rows.head.getLong(2)
     assert(rows.forall(_.getLong(2) == den), "shared denominator")
     // brute-force replication over the daily count series
-    // ts is nanos-as-long here: exact integer div to seconds before the cast
-    val days = spark.read.parquet(s"$sf/events.parquet")
-      .groupBy(date_trunc("day", expr("ts div 1000000000").cast("timestamp")).cast("date").as("d"))
+    val days = sources.Tables(spark, sf, "events")
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("d"))
       .count().collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1))).toMap
     val n = days.size.toLong; val sTot = days.values.sum
     val dev = days.view.mapValues(x => n * x - sTot).toMap
@@ -235,8 +234,8 @@ class Round3eOpsSpec extends SparkSpec {
   }
 
   test("q_stream_14_interarrival: sufficient statistics replicate; CV is the fixed closed form") {
-    val evs = spark.read.parquet(s"$sf/events.parquet")
-      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"))
+    val evs = sources.Tables(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     // order at MICROSECOND precision (the query's sort key); gap values
     // truncate to whole seconds afterwards — sg2 is order-sensitive
@@ -257,8 +256,8 @@ class Round3eOpsSpec extends SparkSpec {
   }
 
   test("q_stat_9_theilsen: pairwise-slope median matches a brute-force replication") {
-    val days = spark.read.parquet(s"$sf/events.parquet")
-      .groupBy(date_trunc("day", expr("ts div 1000000000").cast("timestamp")).cast("date").as("d"))
+    val days = sources.Tables(spark, sf, "events")
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("d"))
       .count().collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
     val x0 = days.map(_._1).min
     val idx = days.map { case (dd, y) => (java.time.temporal.ChronoUnit.DAYS.between(x0, dd), y) }
@@ -366,8 +365,8 @@ class Round3eOpsSpec extends SparkSpec {
   }
 
   test("q_time_6_seasonality: weekday cells partition the days; strength in [0,1] matches ANOVA replication") {
-    val days = spark.read.parquet(s"$sf/events.parquet")
-      .groupBy(date_trunc("day", expr("ts div 1000000000").cast("timestamp")).cast("date").as("d"))
+    val days = sources.Tables(spark, sf, "events")
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("d"))
       .count().collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
     val n = days.length.toLong; val sTot = days.map(_._2).sum
     val ssTot = days.map { case (_, x) => val dv = n * x - sTot; dv * dv }.sum
