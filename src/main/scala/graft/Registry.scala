@@ -29,7 +29,8 @@ object Registry {
       Round3Ops.all ++
       Round3cOps.all ++
       Round3dOps.all ++
-      Round3eOps.all
+      Round3eOps.all ++
+      Round4Ops.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(

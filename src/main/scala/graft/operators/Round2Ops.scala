@@ -545,12 +545,18 @@ object Round2Ops {
         .orderBy("event_type")
     },
 
-    Q.noOracle("q_scan_10_malformed") { (s, d) =>
+    Q("q_scan_10_malformed",
+      // The input is GENERATED inside the query (20 good + 3 malformed
+      // lines), so the expected aggregate is a compile-time constant; the
+      // oracle pins it — a behavioral contract on PERMISSIVE parsing
+      // (corrupt rows are kept, their typed fields null), not a
+      // recomputation. Unit test asserts the same split structurally.
+      """SELECT CAST(23 AS BIGINT) AS n_rows, CAST(3 AS BIGINT) AS n_corrupt,
+        | CAST(190 AS BIGINT) AS id_sum""".stripMargin) { (s, d) =>
       // Tolerant ingestion: PERMISSIVE CSV parse with a corrupt-record
       // column — malformed rows land in __bad instead of failing the
       // job, and the query reports the good/bad split per file. The
-      // dead-letter pattern every production ETL ingest needs; no oracle
-      // (DuckDB cannot see the temp dir), structurally unit-tested.
+      // dead-letter pattern every production ETL ingest needs.
       val tmp = s"${sys.props("java.io.tmpdir")}/graft_rt_bad_${s.sparkContext.applicationId}"
       val good = (0 until 20).map(i => s"$i,name_$i,${i * 1.5}")
       val bad = Seq("not,enough", "x,y,notanumber,extra,cols", "justonefield")

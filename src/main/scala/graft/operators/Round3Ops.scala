@@ -401,7 +401,12 @@ object Round3Ops {
         .orderBy("o_orderpriority")
     },
 
-    Q.noOracle("q_scan_11_binaryfile") { (s, d) =>
+    Q("q_scan_11_binaryfile",
+      // DuckDB's glob() lists the same fixture directory the binaryFile
+      // source scans; file NAMES are sf-invariant (same ten tables in
+      // every sf dir) so the gate's canonical sf0.01 path is hardcoded.
+      """SELECT regexp_extract(file, '[^/]+$') AS file_name, true AS non_empty
+        |FROM glob('/root/testdata/sf0.01/*.parquet') ORDER BY file_name""".stripMargin) { (s, d) =>
       // Binary-blob ingestion: the `binaryFile` source reads opaque
       // payloads (images/audio/video in a real lake) with path + length
       // metadata — the entry point of the multimodal pipeline

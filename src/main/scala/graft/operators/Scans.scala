@@ -43,9 +43,13 @@ object Scans {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
-    // Connector round-trips: no oracle (DuckDB can't see the temp dir);
-    // checked structurally by unit tests + driver rows-only check.
-    Q.noOracle("q_scan_3_csv_roundtrip") { (s, d) =>
+    // Connector round-trips: the oracle does NOT read the temp dir (DuckDB
+    // can't see it) — it reads the SOURCE table, which the round-trip must
+    // reproduce value-for-value (CSV/JSON with explicit schemas and ORC are
+    // lossless for int/string/double at these magnitudes). The hash gate
+    // thus proves end-to-end write→read fidelity, not just shape.
+    Q("q_scan_3_csv_roundtrip",
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey") { (s, d) =>
       // fixed dir + overwrite: Bench invokes each fn twice (warm + timed)
       // and a fresh createTempDirectory per call would litter /tmp
       val tmp = s"${sys.props("java.io.tmpdir")}/graft_rt_csv_${s.sparkContext.applicationId}"
@@ -55,7 +59,8 @@ object Scans {
         .orderBy("r_regionkey")
     },
 
-    Q.noOracle("q_scan_4_jsonlines") { (s, d) =>
+    Q("q_scan_4_jsonlines",
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey") { (s, d) =>
       val tmp = s"${sys.props("java.io.tmpdir")}/graft_rt_json_${s.sparkContext.applicationId}"
       Tables(s, d, "nation").write.mode("overwrite").json(tmp)
       s.read.schema(nationSchema).json(tmp).orderBy("n_nationkey")

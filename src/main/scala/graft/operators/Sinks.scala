@@ -20,7 +20,10 @@ object Sinks {
 
   val all: Seq[Q] = Seq(
 
-    Q.noOracle("q_scan_8_orc_roundtrip") { (s, d) =>
+    // Oracle reads the SOURCE table the ORC round-trip must reproduce
+    // value-for-value (see q_scan_3's fidelity-gate note).
+    Q("q_scan_8_orc_roundtrip",
+      "SELECT * FROM supplier ORDER BY s_suppkey") { (s, d) =>
       val tmp = s"${sys.props("java.io.tmpdir")}/graft_rt_orc_${s.sparkContext.applicationId}"
       Tables(s, d, "supplier").write.mode("overwrite").orc(tmp)
       s.read.orc(tmp).orderBy("s_suppkey")
