@@ -276,6 +276,65 @@ object Streams {
       }
   }
 
+  final case class RateEvent(event_type: String, ts: java.sql.Timestamp, ts_us: Long)
+  final case class MinuteRate(event_type: String, minute_id: Long, n: Long,
+      m_prior: Long, z: Double)
+
+  /** Online minute-rate anomaly scoring — the streaming twin of
+    * q_stream_15_rate_burst, reshaped for the online setting: each
+    * minute's count is z-scored against the statistics of the minutes
+    * FINALIZED BEFORE it (a live detector can only use the past),
+    * whereas the batch query scores against the full-corpus stats.
+    * State per event_type = exact BIGINT sufficient statistics
+    * (m, Σn, Σn²) of finalized minutes + the open minute buckets still
+    * above the watermark. A minute finalizes when the watermark passes
+    * its end; finalization is in minute order, so every emitted z is a
+    * pure function of the event-time prefix — replayable and
+    * partition-independent, like the batch twin's closed form.
+    *
+    * Scale note: one shuffle on event_type (salt the key by minute at
+    * 100 TB if a single type dominates, merging stats downstream);
+    * state is O(open minutes) per type while finalized history is three
+    * longs — the state store stays |event_type|-bounded forever.
+    */
+  def rateAnomalyStream(events: DataFrame,
+      delay: String = "10 minutes"): org.apache.spark.sql.Dataset[MinuteRate] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    val ds = events.withWatermark("ts", delay)
+      .select(col("event_type"), col("ts"), unix_micros(col("ts")).as("ts_us"))
+      .as[RateEvent]
+    // state: (finalized (m, s1, s2), open minute buckets)
+    ds.groupByKey(_.event_type)
+      .flatMapGroupsWithState[((Long, Long, Long), Map[Long, Long]), MinuteRate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (typ: String, events: Iterator[RateEvent],
+         state: GroupState[((Long, Long, Long), Map[Long, Long])]) =>
+          val ((m0, s10, s20), open0) = state.getOption.getOrElse(((0L, 0L, 0L), Map.empty[Long, Long]))
+          val open = events.foldLeft(open0) { (acc, e) =>
+            val minute = e.ts_us / 60000000L
+            acc.updated(minute, acc.getOrElse(minute, 0L) + 1L)
+          }
+          val wmMinute = state.getCurrentWatermarkMs() * 1000L / 60000000L
+          val (done, still) = open.partition(_._1 < wmMinute)
+          var (m, s1, s2) = (m0, s10, s20)
+          val out = done.toSeq.sortBy(_._1).map { case (minute, n) =>
+            val den = m.toDouble * s2.toDouble - s1.toDouble * s1.toDouble
+            val z = if (m >= 2 && den > 0)
+              (m.toDouble * n - s1.toDouble) / math.sqrt(den) else 0.0
+            m += 1; s1 += n; s2 += n * n
+            MinuteRate(typ, minute, n, m - 1, z)
+          }
+          state.update(((m, s1, s2), still))
+          if (still.nonEmpty)
+            // wake when the earliest open minute can finalize
+            state.setTimeoutTimestamp(math.max(state.getCurrentWatermarkMs() + 1L,
+              (still.keys.min + 1L) * 60000L + 1L))
+          // open empty: stats persist (|event_type|-bounded), no timeout needed
+          out.iterator
+      }
+  }
+
   /** One idempotent micro-batch write: the batch OVERWRITES its own
     * `batch_id=<id>` subdirectory, so foreachBatch's at-least-once retry
     * contract becomes exactly-once at the sink — a replayed batch

@@ -241,6 +241,56 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("online rate-anomaly stream: prefix z-scores replicate; final stats match the batch minutes") {
+    import spark.implicits._
+    import org.apache.spark.sql.Row
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_rate").toString
+    Streams.prepareStreamInput(spark, sf, dir)
+    val real = spark.read.parquet(dir)
+    val maxTsMs = real.agg(max(unix_millis(col("ts")))).as[Long].head()
+    def appendSentinel(eventId: Long, tsMs: Long): Unit =
+      spark.createDataFrame(
+        java.util.Arrays.asList(Row(eventId, new java.sql.Timestamp(tsMs), -1L, "sentinel", 0.0)),
+        Streams.eventSchema).write.mode("append").parquet(dir)
+
+    val q = Streams.rateAnomalyStream(Streams.eventStream(spark, dir)).toDF()
+      .writeStream.format("memory").queryName("stream_rate")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      appendSentinel(-1L, maxTsMs + 3600000L)
+      q.processAllAvailable()
+      appendSentinel(-2L, maxTsMs + 7200000L)
+      q.processAllAvailable()
+      appendSentinel(-3L, maxTsMs + 10800000L)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("stream_rate")
+      .filter(col("event_type") =!= "sentinel")
+      .orderBy("event_type", "minute_id")
+      .as[Streams.MinuteRate].collect().toSeq
+    assert(streamed.nonEmpty)
+    // replicate: per type, minutes in order; z from the exact prefix stats
+    val minutes = real.filter(col("event_type") =!= "sentinel")
+      .select(col("event_type"), (unix_micros(col("ts")) / 60000000L).cast("long").as("m"))
+      .groupBy("event_type", "m").count()
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = minutes.groupBy(_._1).toSeq.flatMap { case (t, ms) =>
+      var (m, s1, s2) = (0L, 0L, 0L)
+      ms.sortBy(_._2).map { case (_, minute, n) =>
+        val den = m.toDouble * s2.toDouble - s1.toDouble * s1.toDouble
+        val z = if (m >= 2 && den > 0) (m.toDouble * n - s1.toDouble) / math.sqrt(den) else 0.0
+        val row = Streams.MinuteRate(t, minute, n, m, z)
+        m += 1; s1 += n; s2 += n * n
+        row
+      }
+    }.sortBy(r => (r.event_type, r.minute_id))
+    assert(streamed.size == expected.size,
+      s"streamed ${streamed.size} rows != ${expected.size} batch minutes (buckets not drained?)")
+    assert(streamed == expected)
+  }
+
   test("stream-stream click-purchase join matches the batch join") {
     val q = Streams.toMemorySink(
       Streams.clickPurchaseJoin(Streams.eventStream(spark, inputDir)),
