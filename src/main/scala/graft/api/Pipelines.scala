@@ -689,4 +689,78 @@ object Pipelines {
         ((col("__e1") + col("__e2")) * (col("__e1") + col("__e2"))
           / (col("__e1") * col("__e1") / (n1 - 1) + col("__e2") * col("__e2") / (n2 - 1))).as("df"))
   }
+
+  /** nDCG@k per query group (generalizes q_ret_1_ndcg): rank by
+    * `scoreCol` DESC with `idCol` tiebreak, binary relevance from
+    * `relCol` (boolean). Discount weights 1/log₂(r+1) are quantized at
+    * plan-build time (no runtime transcendental — the declared query's
+    * cross-engine-determinism trick, kept here for replayability).
+    * Groups with no relevant rows report ndcg 0.
+    */
+  def ndcgAtK(df: DataFrame, groupCol: String, scoreCol: String, idCol: String,
+      relCol: String, k: Int = 10): DataFrame = {
+    val w = (1 to k).map(r => math.floor(1e6 * math.log(2) / math.log(r + 1.0) + 0.5).toLong)
+    val wArr = array(w.map(lit): _*)
+    val byRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col(scoreCol).desc, col(idCol))
+    val byIdeal = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col("__rel").desc, col("__rn"))
+    df.select(col(groupCol), when(col(relCol), 1).otherwise(0).as("__rel"),
+        row_number().over(byRank).cast("long").as("__rn"))
+      .withColumn("__irn", row_number().over(byIdeal).cast("long"))
+      .groupBy(groupCol)
+      .agg(
+        sum(when(col("__rel") === 1 && col("__rn") <= k,
+          element_at(wArr, col("__rn").cast("int"))).otherwise(0L)).as("__dcgq"),
+        sum(when(col("__rel") === 1 && col("__irn") <= k,
+          element_at(wArr, col("__irn").cast("int"))).otherwise(0L)).as("__idcgq"),
+        count(lit(1)).as("n"), sum("__rel").cast("long").as("n_rel"))
+      .select(col(groupCol), col("n"), col("n_rel"),
+        when(col("__idcgq") > 0,
+          graft.functions.Num.round(
+            col("__dcgq").cast("double") / col("__idcgq").cast("double"), 6))
+          .otherwise(0.0).as("ndcg"))
+  }
+
+  /** Deterministic k-fold assignment (generalizes q_ml_1_kfold):
+    * appends `fold` ∈ [0, k) as a pure function of the stable id —
+    * the q_text_13/deterministicSplit hash chain, so membership is
+    * engine/partitioning/run-independent and stable under corpus growth.
+    */
+  def kfold(df: DataFrame, idCol: String, k: Int = 5): DataFrame =
+    df.withColumn("fold",
+      (pmod(col(idCol), lit(1000000007L)) * 2654435761L) % 1000000007L % k)
+
+  /** Per-group document cap (generalizes q_text_29_source_caps): keep
+    * the top `cap` rows per `groupCol` by (`qualityCol` DESC, `idCol`)
+    * — the "max N pages per domain" rule. Returns the kept rows; the
+    * rank filter sits directly on the window so WindowGroupLimit prunes
+    * past the cap inside each partition.
+    */
+  def capPerGroup(df: DataFrame, groupCol: String, qualityCol: String,
+      idCol: String, cap: Int): DataFrame = {
+    val byRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col(qualityCol).desc, col(idCol))
+    df.withColumn("__rn", row_number().over(byRank))
+      .filter(col("__rn") <= cap).drop("__rn")
+  }
+
+  /** Winsorized mean per group (generalizes q_agg_32_winsorize): clamp
+    * `valueCol` into [p_lo, p_hi] exact percentiles and average. Keeps
+    * tail rows at the boundary (contrast a trimmed mean, which drops
+    * them); the percentile pass is the only wide exchange and its
+    * per-group boundary table broadcasts back.
+    */
+  def winsorizedMean(df: DataFrame, groupCol: String, valueCol: String,
+      lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    val p = df.groupBy(groupCol).agg(
+      expr(s"percentile($valueCol, $lo)").as("__plo"),
+      expr(s"percentile($valueCol, $hi)").as("__phi"))
+    df.join(broadcast(p), groupCol)
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"),
+        avg(when(col(valueCol) < col("__plo"), col("__plo"))
+          .when(col(valueCol) > col("__phi"), col("__phi"))
+          .otherwise(col(valueCol))).as("winsor_mean"))
+  }
 }

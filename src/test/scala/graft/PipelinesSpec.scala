@@ -308,6 +308,49 @@ class PipelinesSpec extends SparkSpec {
     assert(api == pinned)
   }
 
+  test("ndcgAtK == q_ret_1_ndcg") {
+    val docs = graft.sources.Tables(spark, sf, "documents")
+      .withColumn("is_en", col("lang") === "en")
+    val api = Pipelines.ndcgAtK(docs, "source", "n_chars", "doc_id", "is_en")
+      .orderBy("source").collect().toSeq
+    val pinned = Registry.byName("q_ret_1_ndcg").fn(spark, sf).collect().toSeq
+    assert(api == pinned)
+  }
+
+  test("kfold == q_ml_1_kfold's assignment") {
+    val docs = graft.sources.Tables(spark, sf, "documents")
+    val api = Pipelines.kfold(docs, "doc_id")
+      .groupBy("fold").count().orderBy("fold")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val pinned = Registry.byName("q_ml_1_kfold").fn(spark, sf)
+      .select("fold", "n_docs").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(api == pinned)
+  }
+
+  test("capPerGroup keeps exactly q_text_29_source_caps' kept counts") {
+    val docs = graft.sources.Tables(spark, sf, "documents")
+    val api = Pipelines.capPerGroup(docs, "source", "n_chars", "doc_id", 15)
+      .groupBy("source").count().orderBy("source")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val pinned = Registry.byName("q_text_29_source_caps").fn(spark, sf)
+      .select("source", "n_kept").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(api == pinned)
+  }
+
+  test("winsorizedMean == q_agg_32_winsorize (mean within float-avg tolerance)") {
+    // the generic form averages raw doubles (no cents assumption); the
+    // declared query is integer-exact — 2dp agreement required
+    val li = graft.sources.Tables(spark, sf, "lineitem")
+    val api = Pipelines.winsorizedMean(li, "l_returnflag", "l_extendedprice")
+      .orderBy("l_returnflag").collect()
+    val pinned = Registry.byName("q_agg_32_winsorize").fn(spark, sf).collect()
+    assert(api.length == pinned.length)
+    api.zip(pinned).foreach { case (a, p) =>
+      assert(a.getString(0) == p.getString(0) && a.getLong(1) == p.getLong(1))
+      assert(math.abs(a.getDouble(2) - p.getDouble(2)) < 0.011)
+    }
+  }
+
   test("welchTTest == q_stat_8_welch (t/df within float-sum tolerance)") {
     // the generic form sums raw doubles (no cents assumption), so t and
     // df carry float-accumulation noise vs the integer-exact query —
