@@ -101,6 +101,75 @@ object Round4Ops {
         .orderBy("source")
     },
 
+    Q("q_ret_3_pr_at_k",
+      """WITH r AS (SELECT source, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS rel,
+        |        CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rn
+        |       FROM documents)
+        |SELECT source,
+        | CAST(sum(CASE WHEN rn <= 10 THEN rel ELSE 0 END) AS BIGINT) AS rel_in_k,
+        | CAST(sum(rel) AS BIGINT) AS n_rel,
+        | floor(CAST(sum(CASE WHEN rn <= 10 THEN rel ELSE 0 END) AS DOUBLE) / 10 * 1000000 + 0.5) / 1000000 AS p_at_k,
+        | CASE WHEN sum(rel) > 0
+        |  THEN floor(CAST(sum(CASE WHEN rn <= 10 THEN rel ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(rel) AS DOUBLE) * 1000000 + 0.5) / 1000000 ELSE 0.0 END AS r_at_k
+        |FROM r GROUP BY 1 ORDER BY source""".stripMargin) { (s, d) =>
+      // Precision@10 / Recall@10 per query group under the shared ranking
+      // contract (q_ret_1) — with nDCG and MRR this completes the
+      // retrieval-metrics set a RAG evaluation harness reports. Pure
+      // integer counts until the two final divisions.
+      val byRank = Window.partitionBy("source").orderBy(col("n_chars").desc, col("doc_id"))
+      Tables(s, d, "documents")
+        .select(col("source"), when(col("lang") === "en", 1L).otherwise(0L).as("rel"),
+          row_number().over(byRank).cast("long").as("rn"))
+        .groupBy("source")
+        .agg(sum(when(col("rn") <= 10, col("rel")).otherwise(0L)).as("rel_in_k"),
+          sum("rel").as("n_rel"))
+        .select(col("source"), col("rel_in_k"), col("n_rel"),
+          round(col("rel_in_k").cast("double") / 10, 6).as("p_at_k"),
+          when(col("n_rel") > 0,
+            round(col("rel_in_k").cast("double") / col("n_rel").cast("double"), 6))
+            .otherwise(0.0).as("r_at_k"))
+        .orderBy("source")
+    },
+
+    Q("q_ret_4_map",
+      """WITH r AS (SELECT source, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS rel,
+        |        CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rn
+        |       FROM documents),
+        |p AS (SELECT source, rel, rn,
+        |       CAST(sum(rel) OVER (PARTITION BY source ORDER BY rn) AS BIGINT) AS cum_rel
+        |      FROM r)
+        |SELECT source, CAST(sum(rel) AS BIGINT) AS n_rel,
+        | CAST(sum(CASE WHEN rel = 1 AND rn <= 10 THEN cum_rel * 1000000 // rn ELSE 0 END) AS BIGINT) AS apq,
+        | CASE WHEN sum(CASE WHEN rn <= 10 THEN rel ELSE 0 END) > 0
+        |  THEN floor(CAST(sum(CASE WHEN rel = 1 AND rn <= 10 THEN cum_rel * 1000000 // rn ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(CASE WHEN rn <= 10 THEN rel ELSE 0 END) AS DOUBLE) / 1000000 * 1000000 + 0.5) / 1000000
+        |  ELSE 0.0 END AS ap_at_k
+        |FROM p GROUP BY 1 ORDER BY source""".stripMargin) { (s, d) =>
+      // Average precision@10 per query group: mean over the relevant
+      // ranks r≤10 of precision-at-r = cum_rel(r)/r. Each precision term
+      // is the exact integer floor(cum_rel·10⁶ / r) — quantization
+      // BEFORE the mean keeps the whole statistic an order-free BIGINT
+      // sum (the §2.11h discipline); the running-relevance window is
+      // cast in the oracle (window-sum HUGEINT trap).
+      val byRank = Window.partitionBy("source").orderBy(col("n_chars").desc, col("doc_id"))
+      val cumW = Window.partitionBy("source").orderBy(col("rn"))
+      Tables(s, d, "documents")
+        .select(col("source"), when(col("lang") === "en", 1L).otherwise(0L).as("rel"),
+          row_number().over(byRank).cast("long").as("rn"))
+        .withColumn("cum_rel", sum("rel").over(cumW).cast("long"))
+        .groupBy("source")
+        .agg(sum("rel").as("n_rel"),
+          sum(when(col("rel") === 1 && col("rn") <= 10,
+            floor(col("cum_rel") * 1000000 / col("rn")).cast("long")).otherwise(0L)).as("apq"),
+          sum(when(col("rn") <= 10, col("rel")).otherwise(0L)).as("relk"))
+        .select(col("source"), col("n_rel"), col("apq"),
+          when(col("relk") > 0,
+            round(col("apq").cast("double") / col("relk").cast("double") / 1000000, 6))
+            .otherwise(0.0).as("ap_at_k"))
+        .orderBy("source")
+    },
+
     Q("q_ml_1_kfold",
       """SELECT ((doc_id % 1000000007) * 2654435761) % 1000000007 % 5 AS fold,
         | CAST(count(*) AS BIGINT) AS n_docs, CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,

@@ -55,6 +55,50 @@ class Round4OpsSpec extends SparkSpec {
     }
   }
 
+  test("q_ret_3_pr_at_k: counts replicate; precision/recall are the fixed closed forms") {
+    val expected = ranked.groupBy(_._1).map { case (src, rows) =>
+      val inK = rows.filter(r => r._3 <= 10 && r._2 == "en").size.toLong
+      val nRel = rows.count(_._2 == "en").toLong
+      src -> (inK, nRel)
+    }
+    val got = Registry.byName("q_ret_3_pr_at_k").fn(spark, sf).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (inK, nRel) = expected(r.getString(0))
+      assert(r.getLong(1) == inK && r.getLong(2) == nRel)
+      assert(r.getDouble(3) == math.floor(inK.toDouble / 10 * 1000000 + 0.5) / 1000000)
+      val rk = if (nRel > 0) math.floor(inK.toDouble / nRel * 1000000 + 0.5) / 1000000 else 0.0
+      assert(r.getDouble(4) == rk)
+    }
+  }
+
+  test("q_ret_4_map: quantized AP replicates a rank-walk; perfect prefix gives ap==1") {
+    val expected = ranked.groupBy(_._1).map { case (src, rows) =>
+      val rels = rows.sortBy(_._3).map(_._2 == "en")
+      var cum = 0L
+      var apq = 0L
+      var relk = 0L
+      rels.zipWithIndex.foreach { case (rel, i) =>
+        if (rel) {
+          cum += 1
+          if (i < 10) { apq += cum * 1000000L / (i + 1); relk += 1 }
+        }
+      }
+      src -> (rels.count(identity).toLong, apq, relk)
+    }
+    val got = Registry.byName("q_ret_4_map").fn(spark, sf).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (nRel, apq, relk) = expected(r.getString(0))
+      assert(r.getLong(1) == nRel)
+      assert(r.getLong(2) == apq, s"${r.getString(0)}: apq ${r.getLong(2)} != $apq")
+      val ap = if (relk > 0)
+        math.floor(apq.toDouble / relk / 1000000 * 1000000 + 0.5) / 1000000 else 0.0
+      assert(r.getDouble(3) == ap)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
   test("q_ml_1_kfold: folds partition the corpus; assignment matches the id hash") {
     val fold = (id: Long) => ((id % 1000000007L) * 2654435761L) % 1000000007L % 5
     val byFold = docs.groupBy(d => fold(d._1))
@@ -222,6 +266,8 @@ class Round4OpsSpec extends SparkSpec {
       "(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(plan(q)).length
     assert(scans("q_ret_1_ndcg") == 1)
     assert(scans("q_ret_2_mrr") == 1)
+    assert(scans("q_ret_3_pr_at_k") == 1)
+    assert(scans("q_ret_4_map") == 1)
     assert(scans("q_ml_1_kfold") == 1)
     assert(scans("q_text_29_source_caps") == 1)
     assert(scans("q_text_30_hapax") == 1)
