@@ -130,4 +130,73 @@ class PropertySpec extends SparkSpec {
     val badArity = code.groupBy("vec_id").count().filter($"count" =!= 8)
     assert(badArity.count() == 0)
   }
+
+  test("ndcgAtK laws: bounds, and ndcg == 1 exactly when no irrelevant row outranks a relevant one") {
+    val relGen = Gen.listOfN(12, Gen.oneOf(true, false))
+    for ((rels, gi) <- samples(relGen, 6).zipWithIndex) {
+      // scores descending by construction: rank i+1 has score -i
+      val rows = rels.zipWithIndex.map { case (r, i) => (1L, -i.toDouble, i.toLong, r) }
+      val got = graft.api.Pipelines.ndcgAtK(
+        rows.toDF("g", "score", "id", "rel"), "g", "score", "id", "rel")
+        .collect().head
+      val ndcg = got.getDouble(3)
+      assert(ndcg >= 0.0 && ndcg <= 1.0, s"sample $gi: ndcg $ndcg out of bounds")
+      val k = math.min(10, rels.length)
+      val topK = rels.take(k)
+      val nRel = rels.count(identity)
+      // perfect iff the top-min(10,n_rel) positions are all relevant
+      val perfect = nRel > 0 && topK.take(math.min(k, nRel)).forall(identity)
+      if (perfect) assert(ndcg == 1.0, s"sample $gi: expected 1.0, got $ndcg for $rels")
+      else if (nRel > 0) assert(ndcg < 1.0, s"sample $gi: expected <1, got $ndcg for $rels")
+      else assert(ndcg == 0.0)
+    }
+  }
+
+  test("kfold partitions every id into [0,k) and is stable under union") {
+    for (ids <- samples(Gen.nonEmptyListOf(Gen.chooseNum(0L, 100000L)).map(_.distinct), 5)) {
+      val df = ids.toDF("id")
+      val folds = graft.api.Pipelines.kfold(df, "id", 5)
+      assert(folds.filter($"fold" < 0 || $"fold" >= 5).count() == 0)
+      assert(folds.count() == ids.length)
+      // growing the corpus never moves an existing id's fold
+      val bigger = graft.api.Pipelines.kfold((ids ++ Seq(999999L)).distinct.toDF("id"), "id", 5)
+      val before = folds.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      bigger.collect().foreach(r =>
+        before.get(r.getLong(0)).foreach(f => assert(f == r.getLong(1))))
+    }
+  }
+
+  test("capPerGroup: at most cap rows per group, and exactly the quality-top ones") {
+    val rowGen = Gen.listOfN(20, Gen.zip(Gen.chooseNum(0, 2), Gen.chooseNum(0, 50)))
+    for ((rows, gi) <- samples(rowGen, 5).zipWithIndex) {
+      val df = rows.zipWithIndex.map { case ((g, q), i) => (g, q.toLong, i.toLong) }
+        .toDF("g", "q", "id")
+      val kept = graft.api.Pipelines.capPerGroup(df, "g", "q", "id", 3)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      kept.groupBy(_._1).foreach { case (g, ks) =>
+        assert(ks.length <= 3)
+        val all = rows.zipWithIndex.collect { case ((`g`, q), i) => (q.toLong, i.toLong) }
+        val expect = all.sortBy(t => (-t._1, t._2)).take(3).map(_._2).toSet
+        assert(ks.map(_._3).toSet == expect, s"sample $gi group $g")
+      }
+    }
+  }
+
+  test("winsorizedMean lies within [p_lo, p_hi] and is outlier-resistant") {
+    for (xs <- samples(Gen.nonEmptyListOf(Gen.chooseNum(1, 100)).map(_.take(30)), 5)
+         if xs.length >= 5) {
+      val base = xs.map(_.toDouble)
+      val df = (base :+ 1e9).zipWithIndex.map { case (v, i) => ("g", v, i) }.toDF("g", "v", "i")
+      val r = graft.api.Pipelines.winsorizedMean(df, "g", "v").collect().head
+      val m = r.getDouble(2)
+      val s = (base :+ 1e9).sorted
+      def pct(q: Double): Double = {
+        val pos = q * (s.length - 1); val lo = pos.toInt
+        if (lo + 1 < s.length) s(lo) + (pos - lo) * (s(lo + 1) - s(lo)) else s(lo)
+      }
+      assert(m >= pct(0.05) - 1e-9 && m <= pct(0.95) + 1e-9)
+      // a 1e9 outlier moves the winsorized mean by at most the clamp value's share
+      assert(m <= pct(0.95))
+    }
+  }
 }
