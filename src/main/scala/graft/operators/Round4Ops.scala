@@ -397,6 +397,52 @@ object Round4Ops {
         .orderBy("is_exact", "is_near")
     },
 
+    Q("q_pipe_1_curation",
+      """WITH base AS (SELECT doc_id, lang, text FROM documents WHERE n_chars >= 100),
+        |e AS (SELECT doc_id, lang, text,
+        |       min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS ek FROM base),
+        |ex AS (SELECT doc_id, lang, text FROM e WHERE doc_id = ek),
+        |n AS (SELECT doc_id, lang, text,
+        |       min(doc_id) OVER (PARTITION BY md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))) AS nk
+        |      FROM ex),
+        |kept AS (SELECT doc_id, lang, text FROM n WHERE doc_id = nk),
+        |s AS (SELECT lang,
+        |       CASE WHEN ((doc_id % 1000000007) * 2654435761) % 1000000007 % 100 < 80 THEN 'train'
+        |            WHEN ((doc_id % 1000000007) * 2654435761) % 1000000007 % 100 < 90 THEN 'valid'
+        |            ELSE 'test' END AS split,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |      FROM kept)
+        |SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |FROM s GROUP BY 1, 2 ORDER BY split, lang""".stripMargin) { (s, d) =>
+      // Flagship COMPOSITE: the canonical curation chain — length
+      // filter → exact dedup (survivor = min id per normalized-text
+      // digest) → near dedup (survivor = min id per token-set digest) →
+      // deterministic split → per-(split, lang) doc/token accounting —
+      // each stage the already-verified operator (q_text_5 /
+      // q_dedup_1 / q_dedup_2 / q_text_13 / q_text_6), composed in ONE
+      // declared query so the gate pins the interaction, not just the
+      // parts. Shape at 100 TB: one corpus scan, two digest-keyed
+      // window shuffles (16-byte keys, never the text re-shuffled
+      // after the first hash), then a |splits·langs|-bounded agg.
+      val base = Tables(s, d, "documents")
+        .filter(col("n_chars") >= 100).select("doc_id", "lang", "text")
+      val byEk = Window.partitionBy(md5(lower(trim(col("text")))))
+      val ex = base.withColumn("ek", min("doc_id").over(byEk))
+        .filter(col("doc_id") === col("ek")).drop("ek")
+      val byNk = Window.partitionBy(
+        md5(concat_ws(" ", sort_array(array_distinct(split(col("text"), " "))))))
+      val kept = ex.withColumn("nk", min("doc_id").over(byNk))
+        .filter(col("doc_id") === col("nk")).drop("nk")
+      val bucket = (pmod(col("doc_id"), lit(1000000007L)) * 2654435761L) % 1000000007L % 100
+      kept.select(col("lang"),
+          when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test").as("split"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+        .orderBy("split", "lang")
+    },
+
     Q("q_sim_18_label_cos",
       """WITH e AS (SELECT label, unnest(generate_series(1, len(embedding))) AS pos,
         |        CAST(unnest(embedding) AS DOUBLE) AS val FROM embeddings),

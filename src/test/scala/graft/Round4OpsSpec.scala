@@ -258,6 +258,33 @@ class Round4OpsSpec extends SparkSpec {
     }
   }
 
+  test("q_pipe_1_curation: the composed chain equals stage-by-stage brute force") {
+    val base = docs.filter(_._4 >= 100)
+    val afterExact = base.groupBy(d => d._5.trim.toLowerCase)
+      .values.map(_.minBy(_._1)).toSeq
+    val afterNear = afterExact.groupBy(d => d._5.split(" ").distinct.sorted.mkString(" "))
+      .values.map(_.minBy(_._1)).toSeq
+    def splitOf(id: Long): String = {
+      val b = ((id % 1000000007L) * 2654435761L) % 1000000007L % 100
+      if (b < 80) "train" else if (b < 90) "valid" else "test"
+    }
+    val expected = afterNear.groupBy(d => (splitOf(d._1), d._3)).map { case (k, ds) =>
+      k -> (ds.size.toLong, ds.map(_._5.split(" ").length.toLong).sum)
+    }
+    val got = Registry.byName("q_pipe_1_curation").fn(spark, sf).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (n, tok) = expected((r.getString(0), r.getString(1)))
+      assert(r.getLong(2) == n && r.getLong(3) == tok,
+        s"(${r.getString(0)}, ${r.getString(1)}): (${r.getLong(2)}, ${r.getLong(3)}) != ($n, $tok)")
+    }
+    // non-vacuousness: the filter stage must drop rows at this sf (the
+    // dedup stages drop nothing at sf0.001 — every duplicate is short —
+    // but DO drop at sf0.01, where the oracle gate pins them)
+    assert(base.length < docs.length, "length filter dropped nothing")
+    assert(afterNear.length <= afterExact.length && afterExact.length <= base.length)
+  }
+
   test("plan contracts: single corpus scan; stat/spine tables broadcast") {
     def plan(q: String): String =
       Registry.byName(q).fn(spark, sf).queryExecution.explainString(
@@ -274,6 +301,7 @@ class Round4OpsSpec extends SparkSpec {
     assert(scans("q_text_31_top_tokens") == 1)
     assert(scans("q_stream_15_rate_burst") == 1)
     assert(scans("q_dedup_11_ensemble") == 1)
+    assert(scans("q_pipe_1_curation") == 1)
     assert(!plan("q_stream_15_rate_burst").contains("SortMergeJoin"))
     val winsor = plan("q_agg_32_winsorize")
     assert(winsor.contains("BroadcastHashJoin"), "percentile boundary table must broadcast")
