@@ -21,7 +21,7 @@ object Round2Ops {
     * numbers link their suppliers (src → dst). Derived purely from the
     * lineitem fact — the repo's stand-in for a real edge table.
     */
-  private def handoffEdges(li: DataFrame): DataFrame = {
+  private[operators] def handoffEdges(li: DataFrame): DataFrame = {
     val a = li.select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
       col("l_suppkey").as("src"))
     val b = li.select(col("l_orderkey").as("ok2"), col("l_linenumber").as("ln2"),
@@ -31,7 +31,7 @@ object Round2Ops {
       .select("src", "dst")
   }
 
-  private val duckEdges =
+  private[operators] val duckEdges =
     """SELECT a.l_suppkey AS src, b.l_suppkey AS dst
       | FROM lineitem a JOIN lineitem b
       |  ON a.l_orderkey = b.l_orderkey AND a.l_linenumber + 1 = b.l_linenumber

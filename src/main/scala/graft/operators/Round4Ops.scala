@@ -397,6 +397,85 @@ object Round4Ops {
         .orderBy("is_exact", "is_near")
     },
 
+    Q("q_stat_10_kendall",
+      """WITH days AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+        |        CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        | CAST(sum(CASE WHEN b.y > a.y THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+        | CAST(sum(CASE WHEN b.y < a.y THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+        | floor((CAST(sum(CASE WHEN b.y > a.y THEN 1 ELSE 0 END) AS DOUBLE)
+        |      - CAST(sum(CASE WHEN b.y < a.y THEN 1 ELSE 0 END) AS DOUBLE))
+        |   / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS tau
+        |FROM days a JOIN days b ON b.d > a.d""".stripMargin) { (s, d) =>
+      // Kendall's tau-a of the daily event-count series against time —
+      // the rank-based monotone-trend test completing the dependence
+      // family (exact Pearson, Spearman, mutual information, Theil–Sen).
+      // Day pairs with tied counts land in the denominator only
+      // (tau-a; stated, not silently tau-b). Concordant/discordant are
+      // exact integer counts over the CALENDAR-bounded O(days²) pair
+      // join of a checkpointed day aggregate (the q_stat_9 shape — the
+      // corpus is scanned once, the pair join never grows with SF).
+      val day = Tables(s, d, "events")
+        .groupBy(expr("unix_micros(ts) div 86400000000").as("d"))
+        .agg(count(lit(1)).as("y"))
+        .localCheckpoint()
+      day.as("a").join(day.as("b"), col("b.d") > col("a.d"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("b.y") > col("a.y"), 1L).otherwise(0L)).as("nc"),
+          sum(when(col("b.y") < col("a.y"), 1L).otherwise(0L)).as("nd"))
+        .select(col("n_pairs"), col("nc"), col("nd"),
+          round((col("nc").cast("double") - col("nd").cast("double"))
+            / col("n_pairs").cast("double"), 6).as("tau"))
+    },
+
+    Q("q_graph_8_assortativity",
+      s"""WITH de AS (SELECT DISTINCT src, dst FROM (${Round2Ops.duckEdges})),
+         |sym AS (SELECT src, dst FROM de UNION SELECT dst, src FROM de),
+         |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS dg FROM sym GROUP BY 1),
+         |p AS (SELECT da.dg AS x, db.dg AS y
+         |      FROM sym JOIN deg da ON sym.src = da.node JOIN deg db ON sym.dst = db.node),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+         |        CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+         |        CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy FROM p)
+         |SELECT n,
+         | CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+         |  THEN floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |   / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+         |   * 1000000 + 0.5) / 1000000 ELSE 0.0 END AS assortativity
+         |FROM st""".stripMargin) { (s, d) =>
+      // Degree assortativity: Pearson correlation of endpoint degrees
+      // over the symmetrized distinct edge set — do high-degree nodes
+      // link to each other (hub-clique, r>0) or to leaves (hub-spoke,
+      // r<0)? Degrees are distinct-neighbor counts, so every sufficient
+      // statistic is an exact BIGINT; one closed-form IEEE expression
+      // (zero-variance regular graphs defined r=0). The degree table is
+      // node-sized and broadcasts onto the edge list — two broadcast
+      // joins, no edge re-shuffle.
+      val de = Round2Ops.handoffEdges(Tables(s, d, "lineitem")).distinct()
+      val sym = de.union(de.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+        .localCheckpoint()
+      val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("dg"))
+      val p = sym
+        .join(broadcast(deg).withColumnRenamed("node", "src").withColumnRenamed("dg", "x"), "src")
+        .join(broadcast(deg).withColumnRenamed("node", "dst").withColumnRenamed("dg", "y"), "dst")
+      val st = p.agg(count(lit(1)).as("n"),
+        sum("x").cast("long").as("sx"), sum("y").cast("long").as("sy"),
+        sum(col("x") * col("y")).cast("long").as("sxy"),
+        sum(col("x") * col("x")).cast("long").as("sxx"),
+        sum(col("y") * col("y")).cast("long").as("syy"))
+      val vx = col("n").cast("double") * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double")
+      val vy = col("n").cast("double") * col("syy").cast("double") -
+        col("sy").cast("double") * col("sy").cast("double")
+      st.select(col("n"),
+        when(vx * vy > 0,
+          round((col("n").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double")) / sqrt(vx * vy), 6))
+          .otherwise(0.0).as("assortativity"))
+    },
+
     Q("q_pipe_1_curation",
       """WITH base AS (SELECT doc_id, lang, text FROM documents WHERE n_chars >= 100),
         |e AS (SELECT doc_id, lang, text,

@@ -258,6 +258,53 @@ class Round4OpsSpec extends SparkSpec {
     }
   }
 
+  test("q_stat_10_kendall: concordant/discordant counts match a brute-force pair walk") {
+    val days = sources.Tables(spark, sf, "events")
+      .select(expr("unix_micros(ts) div 86400000000").as("d"))
+      .groupBy("d").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val pairs = for { i <- days.indices; j <- (i + 1) until days.length } yield (days(i)._2, days(j)._2)
+    val nc = pairs.count { case (a, b) => b > a }.toLong
+    val nd = pairs.count { case (a, b) => b < a }.toLong
+    val row = Registry.byName("q_stat_10_kendall").fn(spark, sf).collect().head
+    assert(row.getLong(0) == pairs.length && row.getLong(1) == nc && row.getLong(2) == nd)
+    assert(row.getDouble(3) ==
+      math.floor((nc.toDouble - nd.toDouble) / pairs.length * 1000000 + 0.5) / 1000000)
+    assert(math.abs(row.getDouble(3)) <= 1.0)
+  }
+
+  test("q_graph_8_assortativity: degree-pair Pearson matches a brute-force graph walk") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_suppkey")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byOrder = li.groupBy(_._1)
+    val directed = byOrder.values.flatMap { rows =>
+      // (orderkey, linenumber) is NOT unique in the fixtures — replicate
+      // the join's full cross-match per (ln, ln+1), not a last-wins map
+      val byLn = rows.groupBy(_._2).view.mapValues(_.map(_._3).toSeq).toMap
+      byLn.toSeq.flatMap { case (ln, srcs) =>
+        byLn.getOrElse(ln + 1, Seq.empty).flatMap(dst =>
+          srcs.filter(_ != dst).map(src => (src, dst)))
+      }
+    }.toSet
+    val sym = directed ++ directed.map { case (a, b) => (b, a) }
+    val deg = sym.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val xs = sym.toSeq.map { case (a, b) => (deg(a), deg(b)) }
+    val n = xs.length.toLong
+    val sx = xs.map(_._1).sum; val sy = xs.map(_._2).sum
+    val sxy = xs.map(p => p._1 * p._2).sum
+    val sxx = xs.map(p => p._1 * p._1).sum; val syy = xs.map(p => p._2 * p._2).sum
+    val row = Registry.byName("q_graph_8_assortativity").fn(spark, sf).collect().head
+    assert(row.getLong(0) == n)
+    val vx = n.toDouble * sxx - sx.toDouble * sx
+    val vy = n.toDouble * syy - sy.toDouble * sy
+    val r = if (vx * vy > 0)
+      math.floor((n.toDouble * sxy - sx.toDouble * sy) / math.sqrt(vx * vy) * 1000000 + 0.5) / 1000000
+    else 0.0
+    assert(row.getDouble(1) == r, s"assortativity ${row.getDouble(1)} != $r")
+    assert(math.abs(row.getDouble(1)) <= 1.0)
+  }
+
   test("q_pipe_1_curation: the composed chain equals stage-by-stage brute force") {
     val base = docs.filter(_._4 >= 100)
     val afterExact = base.groupBy(d => d._5.trim.toLowerCase)
