@@ -12,6 +12,14 @@ object Verify {
     val only = args.drop(2)
     def selected(name: String): Boolean =
       only.isEmpty || only.exists(name.contains)
+    // --sql-only <outDir>: dump oracle_sql.json without a Spark session
+    // (feeds tools/oracle_typecheck.py's DuckDB output-type lint).
+    if (sfDir == "--sql-only") {
+      new java.io.File(outDir).mkdirs()
+      Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
+        sqlJson(_ => true))
+      return
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -34,9 +42,16 @@ object Verify {
         }
       }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
+      sqlJson(selected))
+    spark.stop()
+  }
+
+  /** oracleSql as a JSON object. Escapes backslash, quote, and ALL
+    * control chars (<0x20) — a tab or CR in builder-authored SQL would
+    * otherwise make the driver's json.load fail and silently zero the
+    * round's correctness. */
+  private def sqlJson(selected: String => Boolean): String = {
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -46,10 +61,8 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    SparkEntry.oracleSql
       .filter { case (k, _) => selected(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
   }
 }

@@ -857,7 +857,7 @@ object Round3cOps {
     Q("q_stat_2_abtest",
       """WITH g AS (SELECT user_id % 2 AS grp,
         |  count(*) AS n,
-        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS k
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS k
         | FROM events GROUP BY user_id % 2),
         |w AS (SELECT
         |  max(CASE WHEN grp = 0 THEN n END) AS n0, max(CASE WHEN grp = 0 THEN k END) AS k0,

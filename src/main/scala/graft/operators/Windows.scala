@@ -165,8 +165,8 @@ object Windows {
         | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |g AS (
         | SELECT user_id, ts,
-        |  sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id
+        |  CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island_id
         | FROM f)
         |SELECT user_id, island_id, count(*) AS n_events,
         | min(ts) AS start_ts, max(ts) AS end_ts
