@@ -50,37 +50,80 @@ object Pipelines {
   }
 
   /** Connected components over an undirected edge list: (id, component)
-    * where component = min id reachable. Pregel-style min-label
-    * propagation; one shuffle join + one O(1-row) driver action per
-    * round, lineage truncated via localCheckpoint.
+    * where component = min id reachable.
+    *
+    * Large-star / small-star alternation (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14): each round rewires
+    * every node's strictly-larger neighbors (large-star) then its
+    * smaller-or-equal neighbors (small-star) to the minimum of its
+    * closed neighborhood. Chains contract exponentially, so rounds are
+    * O(log n) — NOT O(diameter) like one-hop min-label propagation —
+    * and the edge set collapses monotonically toward one star per
+    * component rooted at the component minimum. Per round: two
+    * partitionBy(node) window shuffles + two dedup shuffles over the
+    * CURRENT edge set (which shrinks as stars form), one localCheckpoint
+    * materialization to truncate lineage, and one O(1-row) stats action
+    * (count + order-independent hash-sum) on the just-checkpointed
+    * blocks for the fixpoint test. State is edge-sized, never node²;
+    * at 100 TB the window key is the node id, so skew = max degree —
+    * star-contraction itself is what keeps hub degrees from compounding
+    * across rounds.
     */
   def connectedComponents(nodes: DataFrame, idCol: String,
       edges: DataFrame, srcCol: String, dstCol: String, maxIters: Int = 25): DataFrame = {
-    val bidir = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
-      .union(edges.select(col(dstCol).as("__src"), col(srcCol).as("__dst")))
-      .localCheckpoint()
-    var labels = nodes.select(col(idCol).as("__id"), col(idCol).as("component")).localCheckpoint()
-    var changed = 1L
+    import org.apache.spark.sql.expressions.Window
+    // canonical orientation: u = larger endpoint, v = smaller; drop
+    // self-loops and duplicates so round cost tracks the TRUE edge count
+    var e = edges
+      .select(greatest(col(srcCol), col(dstCol)).as("u"),
+        least(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct().localCheckpoint()
+    // large-star: for every node n, connect each strictly-larger
+    // neighbor to min(Γ(n) ∪ {n}); emitted (v, m) keeps v > m
+    def largeStar(es: DataFrame): DataFrame = {
+      val nbrs = es.union(es.select(col("v").as("u"), col("u").as("v")))
+      nbrs
+        .withColumn("m", least(min("v").over(Window.partitionBy("u")), col("u")))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+    // small-star (input already oriented u > v): connect every smaller
+    // neighbor AND the node itself to min(Γ(n)); orientation preserved
+    def smallStar(es: DataFrame): DataFrame = {
+      val withM = es.withColumn("m", min("v").over(Window.partitionBy("u")))
+      withM.filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(withM.select(col("u"), col("m").as("v")))
+        .distinct()
+    }
+    def stats(es: DataFrame): (Long, Long) = {
+      // bit_xor, not sum: order-independent AND overflow-free (a long
+      // sum of 2⁶³-scale hashes throws under Spark 4's default ANSI)
+      val r = es.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).first()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var prev = stats(e)
+    var converged = prev._1 == 0L // no edges → every node is its own root
     var pass = 0
-    while (changed > 0 && pass < maxIters) {
-      val nbrMin = bidir.join(labels, bidir("__dst") === labels("__id"))
-        .groupBy(col("__src")).agg(min("component").as("__nm"))
-        .withColumnRenamed("__src", "__id")
-      val upd = labels.join(nbrMin, Seq("__id"), "left")
-        .select(col("__id"), col("component"),
-          least(col("component"), coalesce(col("__nm"), col("component"))).as("__next"))
-        .localCheckpoint()
-      changed = upd.filter(col("__next") < col("component")).count()
-      labels = upd.select(col("__id"), col("__next").as("component"))
+    while (!converged && pass < maxIters) {
+      e = smallStar(largeStar(e)).localCheckpoint()
+      val cur = stats(e)
+      // fixpoint ⇔ identical edge SET; count + xor-of-hashes is an
+      // O(1-row) proxy (collision odds ~2⁻⁶⁴)
+      converged = cur == prev
+      prev = cur
       pass += 1
     }
     // silent non-convergence would return plausible-but-wrong components
-    // (propagation moves a label one hop per pass — a chain longer than
-    // maxIters splits into fake components); fail loudly instead
-    if (changed > 0) throw new IllegalStateException(
-      s"connectedComponents did not converge in $maxIters passes " +
-        s"($changed labels still moving) — graph diameter exceeds maxIters; raise it")
-    labels.withColumnRenamed("__id", idCol)
+    // (a half-contracted chain reads as several fake stars); fail loudly
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIters rounds " +
+        s"(${prev._1} edges still rewiring) — raise maxIters")
+    nodes.select(col(idCol))
+      .join(e.select(col("u"), col("v")), col(idCol) === col("u"), "left")
+      .select(col(idCol), coalesce(col("v"), col(idCol)).as("component"))
   }
 
   /** BFS hop distances from `source` over an undirected edge list.

@@ -277,12 +277,11 @@ object Round3Ops {
       // Connected components over the (sampled, hence non-trivially
       // disconnected) supplier-handoff graph — the canonical Pipelines
       // entry point under dedup clustering, declared on a real graph.
-      // Spark side: iterative min-label propagation with localCheckpoint
-      // per round and a loud non-convergence contract; the oracle walks
+      // Spark side: large-star/small-star contraction (O(log n) rounds,
+      // see Pipelines.connectedComponents) with localCheckpoint per
+      // round and a loud non-convergence contract; the oracle walks
       // the same graph with a recursive CTE (reachable-set min label —
-      // engine-appropriate form, identical fixpoint). One shuffle per
-      // round on the frontier; rounds = component diameter, state is
-      // node-sized.
+      // engine-appropriate form, identical fixpoint).
       val li = Tables(s, d, "lineitem").filter(col("l_orderkey") % 200 === 0)
       val a = li.select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
         col("l_suppkey").as("src"))

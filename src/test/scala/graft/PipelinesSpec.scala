@@ -125,15 +125,17 @@ class PipelinesSpec extends SparkSpec {
 
   test("connectedComponents throws instead of returning unconverged components") {
     import spark.implicits._
-    // a 30-node chain has diameter 29 > maxIters 5
-    val nodes = spark.range(0, 30).toDF("id")
-    val edges = spark.range(0, 29).select(col("id").as("s"), (col("id") + 1).as("t"))
+    // star contraction halves chains per round, so a 300-node chain
+    // cannot be a one-round fixpoint — maxIters=1 must throw loudly
+    val nodes = spark.range(0, 300).toDF("id")
+    val edges = spark.range(0, 299).select(col("id").as("s"), (col("id") + 1).as("t"))
     intercept[IllegalStateException] {
-      Pipelines.connectedComponents(nodes, "id", edges, "s", "t", maxIters = 5)
+      Pipelines.connectedComponents(nodes, "id", edges, "s", "t", maxIters = 1)
     }
-    // and converges fine with enough passes
-    val ok = Pipelines.connectedComponents(nodes, "id", edges, "s", "t", maxIters = 35)
+    // and converges in O(log n) rounds — far under the old O(diameter)
+    val ok = Pipelines.connectedComponents(nodes, "id", edges, "s", "t", maxIters = 15)
     assert(ok.select("component").distinct().count() == 1)
+    assert(ok.agg(max("component")).first().getLong(0) == 0L)
   }
 
   test("cosineKnn rejects multi-row probes") {
