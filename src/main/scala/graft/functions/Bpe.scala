@@ -54,23 +54,36 @@ object Bpe {
     * (column `syms: array<string>`). Stops early when no pair occurs at
     * least `minFreq` times. Ties break on (freq desc, left asc, right
     * asc) — fully deterministic. Returns (rank, left, right, freq).
+    *
+    * Trains on weighted DISTINCT sequences (Sennrich et al. 2016's
+    * word-count form): the corpus collapses once to (syms, w=count)
+    * — identical pair totals, identical merges — and every subsequent
+    * round scans only the type table (vocabulary-sized, ~1000× smaller
+    * than the token stream on natural text; on a 100 TB corpus the
+    * type table is the only thing the loop ever re-materializes).
+    * Post-merge re-aggregation folds newly-colliding types (["a","b"]
+    * merging into an existing ["ab"]) so weights stay exact.
     */
   def train(corpus: DataFrame, nMerges: Int, minFreq: Long = 2L): Seq[(Int, String, String, Long)] = {
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    var syms = corpus.select(col("syms")).localCheckpoint()
+    var types = corpus.select(col("syms"))
+      .groupBy("syms").agg(count(lit(1)).as("w"))
+      .localCheckpoint()
     var rank = 1
     var done = false
     while (rank <= nMerges && !done) {
-      val top = syms.select(explode(adjacentPairs(col("syms"))).as("p"))
+      val top = types.select(explode(adjacentPairs(col("syms"))).as("p"), col("w"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(count(lit(1)).as("freq"))
+        .agg(sum("w").as("freq"))
         .orderBy(col("freq").desc, col("l"), col("r"))
         .limit(1).collect()
       if (top.isEmpty || top(0).getLong(2) < minFreq) done = true
       else {
         val (a, b, f) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((rank, a, b, f))
-        syms = syms.select(applyMerge(col("syms"), a, b).as("syms")).localCheckpoint()
+        types = types.select(applyMerge(col("syms"), a, b).as("syms"), col("w"))
+          .groupBy("syms").agg(sum("w").as("w"))
+          .localCheckpoint()
         rank += 1
       }
     }
