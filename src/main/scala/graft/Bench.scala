@@ -58,6 +58,11 @@ object Bench {
       .map { case (f, qs) => f -> qs.map(_._2).sum }
       .toSeq.sortBy(-_._2)
     fam.foreach { case (f, s) => println(f"BENCH_FAMILY $f%-8s ${s}%8.2f sec") }
+    // loud per-query budget flags: >5s = over the per-query budget,
+    // >10s = over the acceptance bound (the round-4 ⚠ class)
+    results.filter(_._2 > 5.0).toSeq.sortBy(-_._2).foreach { case (n, s) =>
+      println(f"BENCH_WARN  $n%-34s ${s}%6.2f sec ${if (s > 10) "OVER ACCEPTANCE BOUND" else "over 5s budget"}")
+    }
     println(s"BENCH_FULL_JSON written to $outPath (${results.size} queries)")
 
     val compact = json(results, v => f"$v%.3f")

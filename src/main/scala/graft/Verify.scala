@@ -12,12 +12,12 @@ object Verify {
     val only = args.drop(2)
     def selected(name: String): Boolean =
       only.isEmpty || only.exists(name.contains)
-    // --sql-only <outDir>: dump oracle_sql.json without a Spark session
-    // (feeds tools/oracle_typecheck.py's DuckDB output-type lint).
+    // --sql-only <outDir> [sfDir]: dump oracle_sql.json without a Spark
+    // session (feeds tools/oracle_typecheck.py's DuckDB output-type lint).
     if (sfDir == "--sql-only") {
       new java.io.File(outDir).mkdirs()
       Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
-        sqlJson(_ => true))
+        sqlJson(_ => true, only.headOption.getOrElse("/root/testdata/sf0.001")))
       return
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -43,15 +43,17 @@ object Verify {
       }
     }
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
-      sqlJson(selected))
+      sqlJson(selected, sfDir))
     spark.stop()
   }
 
-  /** oracleSql as a JSON object. Escapes backslash, quote, and ALL
-    * control chars (<0x20) — a tab or CR in builder-authored SQL would
-    * otherwise make the driver's json.load fail and silently zero the
-    * round's correctness. */
-  private def sqlJson(selected: String => Boolean): String = {
+  /** oracleSql as a JSON object, with the {SF_DIR} placeholder (used by
+    * path-addressed oracles like q_scan_11_binaryfile) substituted with
+    * this run's fixture dir so both engines address the same files.
+    * Escapes backslash, quote, and ALL control chars (<0x20) — a tab or
+    * CR in builder-authored SQL would otherwise make the driver's
+    * json.load fail and silently zero the round's correctness. */
+  private def sqlJson(selected: String => Boolean, sfDir: String): String = {
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -63,6 +65,7 @@ object Verify {
     } + "\""
     SparkEntry.oracleSql
       .filter { case (k, _) => selected(k) }
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{SF_DIR}", sfDir))}" }
+      .mkString("{", ",", "}")
   }
 }

@@ -793,6 +793,13 @@ object Pipelines {
     * tail rows at the boundary (contrast a trimmed mean, which drops
     * them); the percentile pass is the only wide exchange and its
     * per-group boundary table broadcasts back.
+    *
+    * Precision contract (like [[welchTTest]], unlike the declared
+    * query): this generic form averages raw doubles, an IEEE sum whose
+    * low bits depend on partition/merge order — NOT engine-exact.
+    * q_agg_32 itself pre-quantizes to cents and can differ from this
+    * convenience by up to one cent; pre-quantize `valueCol` yourself
+    * if you need deterministic output.
     */
   def winsorizedMean(df: DataFrame, groupCol: String, valueCol: String,
       lo: Double = 0.05, hi: Double = 0.95): DataFrame = {

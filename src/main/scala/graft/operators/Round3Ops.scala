@@ -402,10 +402,11 @@ object Round3Ops {
 
     Q("q_scan_11_binaryfile",
       // DuckDB's glob() lists the same fixture directory the binaryFile
-      // source scans; file NAMES are sf-invariant (same ten tables in
-      // every sf dir) so the gate's canonical sf0.01 path is hardcoded.
+      // source scans: {SF_DIR} is substituted with the verify run's
+      // actual sfDir when graft.Verify dumps oracle_sql.json, so both
+      // engines always list the SAME directory (no hardcoded layout).
       """SELECT regexp_extract(file, '[^/]+$') AS file_name, true AS non_empty
-        |FROM glob('/root/testdata/sf0.01/*.parquet') ORDER BY file_name""".stripMargin) { (s, d) =>
+        |FROM glob('{SF_DIR}/*.parquet') ORDER BY file_name""".stripMargin) { (s, d) =>
       // Binary-blob ingestion: the `binaryFile` source reads opaque
       // payloads (images/audio/video in a real lake) with path + length
       // metadata — the entry point of the multimodal pipeline

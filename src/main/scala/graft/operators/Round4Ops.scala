@@ -524,11 +524,14 @@ object Round4Ops {
 
     Q("q_sim_18_label_cos",
       """WITH e AS (SELECT label, unnest(generate_series(1, len(embedding))) AS pos,
-        |        CAST(unnest(embedding) AS DOUBLE) AS val FROM embeddings),
-        |cl AS (SELECT label, pos, avg(val) AS c FROM e GROUP BY 1, 2),
-        |cg AS (SELECT pos, avg(val) AS g FROM e GROUP BY 1)
+        |        CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS vi FROM embeddings),
+        |cl AS (SELECT label, pos,
+        |        CAST(floor(CAST(sum(vi) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS c FROM e GROUP BY 1, 2),
+        |cg AS (SELECT pos,
+        |        CAST(floor(CAST(sum(vi) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS g FROM e GROUP BY 1)
         |SELECT cl.label,
-        | floor(sum(cl.c * cg.g) / (sqrt(sum(cl.c * cl.c)) * sqrt(sum(cg.g * cg.g))) * 1000000 + 0.5) / 1000000 AS cos_to_global
+        | floor(CAST(sum(cl.c * cg.g) AS DOUBLE)
+        |   / (sqrt(CAST(sum(cl.c * cl.c) AS DOUBLE)) * sqrt(CAST(sum(cg.g * cg.g) AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS cos_to_global
         |FROM cl JOIN cg ON cl.pos = cg.pos
         |GROUP BY 1 ORDER BY label""".stripMargin) { (s, d) =>
       // Cluster-drift diagnostic: cosine of each label's centroid to the
@@ -537,15 +540,25 @@ object Round4Ops {
       // clusters point away. Same exploded-centroid machinery as
       // q_sim_3; both centroid tables are (labels·dim)-sized, the join
       // and final agg are driver-trivial at any corpus scale.
+      // Determinism: components pre-quantize to 1e6-scaled BIGINTs, so
+      // every aggregate is exact integer addition; each centroid is ONE
+      // correctly-rounded IEEE division (sum/count) re-quantized to a
+      // BIGINT, cosine is scale-invariant so the dropped 1e6/n factors
+      // cancel, and the dot/norm sums (≤1e12 per term · 64 dims) stay
+      // inside exact BIGINT range — no order-dependent float sum
+      // anywhere, matching the file's discipline note.
       val e = Tables(s, d, "embeddings")
         .select(col("label"), posexplode(col("embedding")))
-        .select(col("label"), (col("pos") + 1).as("pos"), col("col").cast("double").as("val"))
-      val cl = e.groupBy("label", "pos").agg(avg("val").as("c"))
-      val cg = e.groupBy("pos").agg(avg("val").as("g"))
+        .select(col("label"), (col("pos") + 1).as("pos"),
+          floor(col("col").cast("double") * 1000000 + 0.5).cast("long").as("vi"))
+      def centroid = floor(sum("vi").cast("double") / count(lit(1)) + 0.5).cast("long")
+      val cl = e.groupBy("label", "pos").agg(centroid.as("c"))
+      val cg = e.groupBy("pos").agg(centroid.as("g"))
       cl.join(broadcast(cg), "pos")
         .groupBy("label")
-        .agg(round(sum(col("c") * col("g"))
-          / (sqrt(sum(col("c") * col("c"))) * sqrt(sum(col("g") * col("g")))), 6)
+        .agg(round(sum(col("c") * col("g")).cast("double")
+          / (sqrt(sum(col("c") * col("c")).cast("double"))
+            * sqrt(sum(col("g") * col("g")).cast("double"))), 6)
           .as("cos_to_global"))
         .orderBy("label")
     }

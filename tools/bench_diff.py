@@ -1,10 +1,12 @@
 #!/usr/bin/env python3
 """Compare two graft.Bench JSON records and flag per-query regressions.
 
-Usage: python3 tools/bench_diff.py <old.json> <new.json>
+Usage: python3 tools/bench_diff.py [--gate] <old.json> <new.json>
        python3 tools/bench_diff.py HEAD <new.json>   # old = bench_out.json at HEAD
 
-Informational (always exits 0): prints queries whose steady time
+Exits 2 with usage on bad invocation; exits 1 when --gate is passed
+and any query regressed past the threshold (the round exit gate), else
+0 (informational). Prints queries whose steady time
 changed by >1.5x AND >0.5s absolute (filters JIT/VM noise on the
 sub-second majority), plus added/removed queries and the total delta.
 The per-round discipline: run after any operator rework, BEFORE
@@ -21,10 +23,11 @@ def load(ref: str) -> dict:
         out = subprocess.run(["git", "show", "HEAD:bench_out.json"],
                              capture_output=True, text=True, check=True).stdout
         return json.loads(out)
-    return json.load(open(ref))
+    with open(ref) as f:
+        return json.load(f)
 
 
-def main(old_ref: str, new_ref: str) -> int:
+def main(old_ref: str, new_ref: str, gate: bool = False) -> int:
     old, new = load(old_ref), load(new_ref)
     oq, nq = old["queries"], new["queries"]
     print(f"total: {old['value']:.1f}s ({len(oq)} queries) -> "
@@ -44,8 +47,13 @@ def main(old_ref: str, new_ref: str) -> int:
         print(f"  SLOWER  {name:34s} {a:6.2f}s -> {b:6.2f}s  (+{delta:.2f}s)")
     if not flagged:
         print("no regressions past the 1.5x/0.5s gate")
-    return 0
+        return 0
+    return 1 if gate else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    argv = [a for a in sys.argv[1:] if a != "--gate"]
+    if len(argv) != 2:
+        print(__doc__)
+        sys.exit(2)
+    sys.exit(main(argv[0], argv[1], gate="--gate" in sys.argv))

@@ -1,0 +1,31 @@
+#!/bin/bash
+# Round exit gate: run before the final commit of a round.
+#   1. compile
+#   2. DuckDB output-type lint over the full oracle corpus
+#   3. full sf0.01 oracle gate (the driver's correctness check)
+#   4. full sf0.1 bench + per-query regression diff vs HEAD's committed
+#      bench_out.json (--gate: non-zero exit on any >1.5x & >0.5s
+#      regression — the round-4 lesson: both ⚠ rows would have been
+#      caught a round earlier by exactly this diff)
+# Usage: bash tools/round_gate.sh   (from anywhere; ~6 min total)
+set -e
+cd "$(dirname "$0")/.."
+ADD_OPENS=$(for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio java.util java.util.concurrent java.util.concurrent.atomic sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do echo -n "--add-opens=java.base/$p=ALL-UNNAMED "; done)
+CP="target/scala-2.13/classes:/opt/spark/jars/*"
+
+echo "== 1/4 compile =="
+sbt -batch compile | tail -1
+
+echo "== 2/4 oracle type lint =="
+java $ADD_OPENS -cp "$CP" graft.Verify --sql-only /tmp/gate_sqldump /root/testdata/sf0.001 2>/dev/null
+python3 tools/oracle_typecheck.py /tmp/gate_sqldump/oracle_sql.json
+
+echo "== 3/4 sf0.01 oracle gate =="
+bash tools/run_verify.sh /root/testdata/sf0.01 /tmp/gate_verify | tail -1
+
+echo "== 4/4 sf0.1 bench + regression diff =="
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 java $ADD_OPENS -Xmx16g -cp "$CP" \
+  graft.Bench 2>&1 | grep -E '^BENCH|^\{' | tail -3
+python3 tools/bench_diff.py --gate HEAD bench_out.json
+
+echo "ROUND GATE GREEN"
