@@ -79,6 +79,10 @@ object Pipelines {
         least(col(srcCol), col(dstCol)).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct().localCheckpoint()
+    // checkpoint the node list too: the final label join must read
+    // materialized rows, not re-derive the (possibly join-heavy) node
+    // lineage at action time — the round-2 PageRank lesson
+    val nodeIds = nodes.select(col(idCol)).localCheckpoint()
     // large-star: for every node n, connect each strictly-larger
     // neighbor to min(Γ(n) ∪ {n}); emitted (v, m) keeps v > m
     def largeStar(es: DataFrame): DataFrame = {
@@ -121,7 +125,7 @@ object Pipelines {
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIters rounds " +
         s"(${prev._1} edges still rewiring) — raise maxIters")
-    nodes.select(col(idCol))
+    nodeIds
       .join(e.select(col("u"), col("v")), col(idCol) === col("u"), "left")
       .select(col(idCol), coalesce(col("v"), col(idCol)).as("component"))
   }

@@ -524,7 +524,7 @@ object Round4Ops {
 
     Q("q_sim_18_label_cos",
       """WITH e AS (SELECT label, unnest(generate_series(1, len(embedding))) AS pos,
-        |        CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS vi FROM embeddings),
+        |        CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 100000000 + 0.5) AS BIGINT) AS vi FROM embeddings),
         |cl AS (SELECT label, pos,
         |        CAST(floor(CAST(sum(vi) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS c FROM e GROUP BY 1, 2),
         |cg AS (SELECT pos,
@@ -540,17 +540,20 @@ object Round4Ops {
       // clusters point away. Same exploded-centroid machinery as
       // q_sim_3; both centroid tables are (labels·dim)-sized, the join
       // and final agg are driver-trivial at any corpus scale.
-      // Determinism: components pre-quantize to 1e6-scaled BIGINTs, so
-      // every aggregate is exact integer addition; each centroid is ONE
+      // Determinism: components pre-quantize to 1e8-scaled BIGINTs (1e8,
+      // not 1e6: centroid grid error reaches the cosine ~linearly, and
+      // 1e-8 keeps it inside the 6-decimal output rounding), so every
+      // aggregate is exact integer addition; each centroid is ONE
       // correctly-rounded IEEE division (sum/count) re-quantized to a
-      // BIGINT, cosine is scale-invariant so the dropped 1e6/n factors
-      // cancel, and the dot/norm sums (≤1e12 per term · 64 dims) stay
-      // inside exact BIGINT range — no order-dependent float sum
-      // anywhere, matching the file's discipline note.
+      // BIGINT, cosine is scale-invariant so the dropped 1e8/n factors
+      // cancel, and the dot/norm sums (≤1e16 per term · 64 dims, unit-
+      // scale components) stay inside exact BIGINT range — no order-
+      // dependent float sum anywhere, matching the file's discipline
+      // note.
       val e = Tables(s, d, "embeddings")
         .select(col("label"), posexplode(col("embedding")))
         .select(col("label"), (col("pos") + 1).as("pos"),
-          floor(col("col").cast("double") * 1000000 + 0.5).cast("long").as("vi"))
+          floor(col("col").cast("double") * 100000000 + 0.5).cast("long").as("vi"))
       def centroid = floor(sum("vi").cast("double") / count(lit(1)) + 0.5).cast("long")
       val cl = e.groupBy("label", "pos").agg(centroid.as("c"))
       val cg = e.groupBy("pos").agg(centroid.as("g"))
