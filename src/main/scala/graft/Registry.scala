@@ -30,7 +30,8 @@ object Registry {
       Round3cOps.all ++
       Round3dOps.all ++
       Round3eOps.all ++
-      Round4Ops.all
+      Round4Ops.all ++
+      Round5Ops.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(
