@@ -31,7 +31,8 @@ object Registry {
       Round3dOps.all ++
       Round3eOps.all ++
       Round4Ops.all ++
-      Round5Ops.all
+      Round5Ops.all ++
+      Round5bOps.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(
