@@ -32,7 +32,8 @@ object Registry {
       Round3eOps.all ++
       Round4Ops.all ++
       Round5Ops.all ++
-      Round5bOps.all
+      Round5bOps.all ++
+      Round5cOps.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(
