@@ -33,7 +33,8 @@ object Registry {
       Round4Ops.all ++
       Round5Ops.all ++
       Round5bOps.all ++
-      Round5cOps.all
+      Round5cOps.all ++
+      Round5dOps.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(

@@ -30,6 +30,14 @@ object VectorFunctions {
   /** ‖a‖₂ */
   def l2norm(a: Column): Column = sqrt(norm2(a))
 
+  /** Σ aᵢ⁴ as double (the kurtosis moment behind the participation
+    * ratio (Σa²)²/Σa⁴ — see q_sim_19_eff_dim). Squares in float, casts
+    * to double, squares again — mirrored exactly by Duck.pow4. */
+  def pow4(a: Column): Column =
+    aggregate(transform(a, x => {
+      val s = (x * x).cast("double"); s * s
+    }), lit(0.0), (acc, x) => acc + x)
+
   /** cos(a, b) = a·b / (‖a‖·‖b‖) */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2norm(a) * l2norm(b))
@@ -46,6 +54,8 @@ object VectorFunctions {
       s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_zip($a, $b), p -> CAST(struct_extract(p, 1) * struct_extract(p, 2) AS DOUBLE))), (acc, x) -> acc + x)"
     def norm2(a: String): String =
       s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform($a, x -> CAST(x * x AS DOUBLE))), (acc, x) -> acc + x)"
+    def pow4(a: String): String =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform($a, x -> CAST(x * x AS DOUBLE) * CAST(x * x AS DOUBLE))), (acc, x) -> acc + x)"
     def l2norm(a: String): String = s"sqrt(${norm2(a)})"
     def cosine(a: String, b: String): String =
       s"(${dot(a, b)} / (${l2norm(a)} * ${l2norm(b)}))"
