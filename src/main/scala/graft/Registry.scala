@@ -34,7 +34,8 @@ object Registry {
       Round5Ops.all ++
       Round5bOps.all ++
       Round5cOps.all ++
-      Round5dOps.all
+      Round5dOps.all ++
+      Round5eOps.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(
