@@ -35,7 +35,8 @@ object Registry {
       Round5bOps.all ++
       Round5cOps.all ++
       Round5dOps.all ++
-      Round5eOps.all
+      Round5eOps.all ++
+      Round5fOps.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(
