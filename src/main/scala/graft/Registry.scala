@@ -36,7 +36,8 @@ object Registry {
       Round5cOps.all ++
       Round5dOps.all ++
       Round5eOps.all ++
-      Round5fOps.all
+      Round5fOps.all ++
+      Round5gOps.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(
