@@ -792,6 +792,211 @@ object Pipelines {
       .filter(col("__rn") <= cap).drop("__rn")
   }
 
+  /** Last-touch attribution (generalizes q_stream_17_attribution):
+    * credit each `convType` event to the actor's most recent preceding
+    * event of a different type via one `last(..., ignoreNulls)`
+    * carry-forward window — no predecessor self-join. Returns
+    * (channel, n, share, mean_gap_min) with an explicit 'none' bucket.
+    * Gap sums ride as exact BIGINT microseconds.
+    */
+  def lastTouchAttribution(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, convType: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(userCol).orderBy(tsCol, idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val e = df.select(col(userCol), col(tsCol), col(typeCol), col(idCol),
+      last(when(col(typeCol) =!= convType, col(typeCol)), ignoreNulls = true)
+        .over(w).as("__src_type"),
+      last(when(col(typeCol) =!= convType, unix_micros(col(tsCol))), ignoreNulls = true)
+        .over(w).as("__src_us"))
+    val p = e.filter(col(typeCol) === convType)
+      .select(coalesce(col("__src_type"), lit("none")).as("channel"),
+        when(col("__src_us").isNotNull, unix_micros(col(tsCol)) - col("__src_us")).as("__gap_us"))
+    val g = p.groupBy("channel").agg(count(lit(1)).as("n"),
+      sum("__gap_us").cast("long").as("__gsum"), count("__gap_us").as("__gn"))
+    g.withColumn("__tot", sum("n").over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col("channel"), col("n"),
+        graft.functions.Num.round(col("n").cast("double") / col("__tot"), 6).as("share"),
+        when(col("__gn") > 0,
+          graft.functions.Num.round(col("__gsum").cast("double") / col("__gn") / 60000000L, 2))
+          .otherwise(0.0).as("mean_gap_min"))
+  }
+
+  /** DAU / trailing-7-day WAU / stickiness per day (generalizes
+    * q_stream_20_dau_wau). WAU uses the contribution-explode reshape:
+    * each (user, day) feeds the 7 days it keeps the user weekly-active
+    * — O(7·|user-days|) linear, no windowed COUNT DISTINCT and no
+    * days×users join. Warm-up days (first 6) are excluded.
+    */
+  def dauWau(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val ud = df.select(col(userCol).as("__u"),
+      expr(s"unix_micros($tsCol) div 86400000000").as("day")).distinct()
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = ud.select(col("__u"), explode(sequence(col("day"), col("day") + 6)).as("__wday"))
+      .distinct()
+      .groupBy(col("__wday").as("day")).agg(count(lit(1)).as("wau"))
+    val d0 = ud.agg(min("day").as("__d0"))
+    dau.join(wau, "day").crossJoin(broadcast(d0))
+      .filter(col("day") >= col("__d0") + 6)
+      .select(col("day").cast("long").as("day"), col("dau"), col("wau"),
+        graft.functions.Num.round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
+  }
+
+  /** Bollinger bands over a per-period integer series (generalizes
+    * q_win_12_bollinger): rolling mean ± k·(rolling sample std) with an
+    * outside flag, from exact BIGINT window sums of `valueCol` and its
+    * square. `unitDiv` converts the integer unit to the emitted scale
+    * (100 for cents→dollars). Warm-up rows (fewer than `window`
+    * periods) are excluded.
+    */
+  def bollingerBands(daily: DataFrame, dayCol: String, valueCol: String,
+      window: Int = 7, k: Double = 2.0, unitDiv: Double = 100.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.orderBy(dayCol).rowsBetween(-(window - 1), 0)
+    val w = daily.select(col(dayCol), col(valueCol),
+      count(lit(1)).over(win).as("__k"),
+      sum(valueCol).over(win).as("__s"),
+      sum(col(valueCol) * col(valueCol)).over(win).as("__ss"))
+    val mean = col("__s").cast("double") / col("__k")
+    val band = lit(k) * sqrt((col("__k").cast("double") * col("__ss")
+      - col("__s").cast("double") * col("__s"))
+      / (col("__k").cast("double") * col("__k") * (col("__k") - 1)))
+    w.filter(col("__k") === window)
+      .select(col(dayCol).cast("long").as(dayCol),
+        graft.functions.Num.round(col(valueCol).cast("double") / unitDiv, 2).as("daily_value"),
+        graft.functions.Num.round(mean / unitDiv, 2).as("mid"),
+        graft.functions.Num.round((mean - band) / unitDiv, 2).as("lower_band"),
+        graft.functions.Num.round((mean + band) / unitDiv, 2).as("upper_band"),
+        when(col(valueCol).cast("double") < mean - band
+          || col(valueCol).cast("double") > mean + band, 1L).otherwise(0L).as("outside"))
+  }
+
+  /** Maximum drawdown of a per-period integer net series (generalizes
+    * q_win_13_drawdown): cumulative sum, running peak (two stacked
+    * exact-BIGINT prefix windows), and the deepest peak-minus-current
+    * with earliest-period tiebreak. One-row result.
+    */
+  def maxDrawdown(daily: DataFrame, dayCol: String, netCol: String,
+      unitDiv: Double = 100.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val prefix = Window.orderBy(dayCol).rowsBetween(Window.unboundedPreceding, 0)
+    val r = daily
+      .withColumn("__cum", sum(netCol).over(prefix))
+      .withColumn("__peak", max("__cum").over(prefix))
+    val x = r.withColumn("__dd", col("__peak") - col("__cum"))
+      .withColumn("__rn", row_number().over(Window.orderBy(col("__dd").desc, col(dayCol))))
+      .withColumn("__nd", count(lit(1)).over(Window.partitionBy()))
+    x.filter(col("__rn") === 1)
+      .select(col(dayCol).cast("long").as("trough_day"), col("__nd").as("n_days"),
+        graft.functions.Num.round(col("__cum").cast("double") / unitDiv, 2).as("cum_at_trough"),
+        graft.functions.Num.round(col("__peak").cast("double") / unitDiv, 2).as("peak_before"),
+        graft.functions.Num.round(col("__dd").cast("double") / unitDiv, 2).as("max_drawdown"),
+        graft.functions.Num.round(col("__dd").cast("double") / col("__peak"), 6).as("dd_frac"))
+  }
+
+  /** Herfindahl–Hirschman concentration of `valueCol` over `keyCol`
+    * within each `groupCol` (generalizes q_agg_34_hhi): HHI = Σ(sᵢ/S)²
+    * plus the top-key share. Pure rational off exact integer values;
+    * per-key squares accumulate in DECIMAL(38,0). Returns
+    * (group, n_keys, total, hhi, top_share).
+    */
+  def hhi(df: DataFrame, groupCol: String, keyCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val su = df.groupBy(col(groupCol), col(keyCol)).agg(sum(valueCol).as("__s"))
+    su.groupBy(groupCol).agg(count(lit(1)).as("n_keys"), sum("__s").as("total"),
+        sum(col("__s").cast(DecimalType(38, 0)) * col("__s")).as("__sumsq"),
+        max("__s").as("__mx"))
+      .select(col(groupCol), col("n_keys"), col("total"),
+        graft.functions.Num.round(col("__sumsq").cast("double")
+          / (col("total").cast("double") * col("total").cast("double")), 6).as("hhi"),
+        graft.functions.Num.round(col("__mx").cast("double") / col("total"), 6).as("top_share"))
+  }
+
+  /** Lorenz curve of `valueCol` by `buckets` quantile buckets
+    * (generalizes q_agg_35_lorenz): per-bucket share and cumulative
+    * share, engine-deterministic ntile over the total (value, id)
+    * order. The curve whose area deficit is the Gini coefficient.
+    */
+  def lorenzCurve(df: DataFrame, idCol: String, valueCol: String,
+      buckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = df.select(col(valueCol),
+      ntile(buckets).over(Window.orderBy(valueCol, idCol)).cast("long").as("decile"))
+    val g = b.groupBy("decile").agg(count(lit(1)).as("n"), sum(valueCol).as("__s"))
+    g.withColumn("__cum", sum("__s").over(
+        Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__tot", sum("__s").over(Window.partitionBy()))
+      .select(col("decile"), col("n"),
+        graft.functions.Num.round(col("__s").cast("double") / col("__tot"), 6).as("share"),
+        graft.functions.Num.round(col("__cum").cast("double") / col("__tot"), 6).as("cum_share"))
+  }
+
+  /** Cohen's d + Hedges' g between two groups of an integer value
+    * column (generalizes q_stat_19_cohen_d): pooled-std effect size
+    * from one-scan exact (n, Σ, Σ²) per group; `unitDiv` scales the
+    * emitted means. Returns (n1, n0, mean_1, mean_0, cohen_d, hedges_g).
+    */
+  def effectSize(df: DataFrame, valueCol: String, groupCol: String,
+      g1: String, g0: String, unitDiv: Double = 100.0): DataFrame = {
+    val e = df.filter(col(groupCol).isin(g1, g0))
+      .select(col(groupCol), col(valueCol).as("__x"))
+    val g = e.groupBy(groupCol).agg(count(lit(1)).as("__n"), sum("__x").as("__s"),
+      sum(col("__x") * col("__x")).as("__ss"))
+    val p = g.agg(
+      max(when(col(groupCol) === g1, col("__n"))).as("n1"),
+      max(when(col(groupCol) === g1, col("__s"))).as("s1"),
+      max(when(col(groupCol) === g1, col("__ss"))).as("ss1"),
+      max(when(col(groupCol) === g0, col("__n"))).as("n0"),
+      max(when(col(groupCol) === g0, col("__s"))).as("s0"),
+      max(when(col(groupCol) === g0, col("__ss"))).as("ss0"))
+    val m1 = col("s1").cast("double") / col("n1")
+    val m0 = col("s0").cast("double") / col("n0")
+    val pooled = sqrt(((col("ss1").cast("double") - col("s1").cast("double") * col("s1") / col("n1"))
+      + (col("ss0").cast("double") - col("s0").cast("double") * col("s0") / col("n0")))
+      / (col("n1") + col("n0") - 2))
+    val dEff = (m1 - m0) / pooled
+    p.select(col("n1"), col("n0"),
+      graft.functions.Num.round(m1 / unitDiv, 2).as("mean_1"),
+      graft.functions.Num.round(m0 / unitDiv, 2).as("mean_0"),
+      graft.functions.Num.round(dEff, 6).as("cohen_d"),
+      graft.functions.Num.round(dEff * (lit(1) - lit(3.0)
+        / (lit(4.0) * (col("n1") + col("n0")) - 9)), 6).as("hedges_g"))
+  }
+
+  /** Per-label cosine between the centroids of two deterministic halves
+    * of a vector set (generalizes q_sim_20_centroid_shift) — the
+    * batch-over-batch embedding-drift check. The per-half mean
+    * normalizations cancel in the cosine, so it is computed entirely
+    * from exact integer sums of 1e-6-quantized components (products in
+    * DECIMAL(38,0)). Returns (label, n_a, n_b, centroid_cosine).
+    */
+  def centroidShift(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val h = df.select(col(idCol), col(labelCol).as("label"), col(vecCol).as("__v"),
+      (col(idCol) % 1000000007L * 2654435761L % 1000000007L % 2).as("__half"))
+    val x = h.select(col("label"), col("__half"),
+        posexplode(col("__v")).as(Seq("__dim", "__c")))
+      .select(col("label"), col("__half"), col("__dim"),
+        floor(col("__c").cast("double") * 1000000L + 0.5).cast("long").as("__q"))
+    val c = x.groupBy("label", "__dim").agg(
+      sum(when(col("__half") === 0, col("__q")).otherwise(0L)).as("__sa"),
+      sum(when(col("__half") === 1, col("__q")).otherwise(0L)).as("__sb"))
+    val n = h.groupBy("label").agg(
+      sum(when(col("__half") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("__half") === 1, 1L).otherwise(0L)).as("n_b"))
+    val dd = c.groupBy("label").agg(
+      sum(col("__sa").cast(DecimalType(38, 0)) * col("__sb")).as("__dot"),
+      sum(col("__sa").cast(DecimalType(38, 0)) * col("__sa")).as("__qa"),
+      sum(col("__sb").cast(DecimalType(38, 0)) * col("__sb")).as("__qb"))
+    dd.join(n, "label")
+      .select(col("label").cast("long").as("label"), col("n_a"), col("n_b"),
+        graft.functions.Num.round(col("__dot").cast("double")
+          / (sqrt(col("__qa").cast("double")) * sqrt(col("__qb").cast("double"))), 6)
+          .as("centroid_cosine"))
+  }
+
   /** Winsorized mean per group (generalizes q_agg_32_winsorize): clamp
     * `valueCol` into [p_lo, p_hi] exact percentiles and average. Keeps
     * tail rows at the boundary (contrast a trimmed mean, which drops

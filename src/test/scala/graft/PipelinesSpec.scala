@@ -365,4 +365,84 @@ class PipelinesSpec extends SparkSpec {
     assert(math.abs(api.getDouble(2) - pinned.getDouble(2)) < 1e-4)
     assert(math.abs(api.getDouble(3) - pinned.getDouble(3)) / pinned.getDouble(3) < 1e-6)
   }
+
+  test("lastTouchAttribution == q_stream_17_attribution") {
+    val ev = graft.sources.Tables(spark, sf, "events")
+    val api = Pipelines.lastTouchAttribution(ev, "user_id", "ts", "event_type",
+        "purchase", "event_id")
+      .orderBy("channel").collect().toSeq
+    val pinned = Registry.byName("q_stream_17_attribution").fn(spark, sf).collect().toSeq
+    assert(api == pinned)
+  }
+
+  test("dauWau == q_stream_20_dau_wau") {
+    val ev = graft.sources.Tables(spark, sf, "events")
+    val api = Pipelines.dauWau(ev, "user_id", "ts").orderBy("day").collect().toSeq
+    val pinned = Registry.byName("q_stream_20_dau_wau").fn(spark, sf).collect().toSeq
+    assert(api == pinned)
+  }
+
+  test("bollingerBands == q_win_12_bollinger") {
+    val daily = graft.sources.Tables(spark, sf, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+    val api = Pipelines.bollingerBands(daily, "day", "cents")
+      .orderBy("day").collect().toSeq
+    val pinned = Registry.byName("q_win_12_bollinger").fn(spark, sf).collect().toSeq
+    assert(api.map(_.toSeq.drop(1)) == pinned.map(_.toSeq.drop(1)))
+    assert(api.map(_.getLong(0)) == pinned.map(_.getLong(0)))
+  }
+
+  test("maxDrawdown == q_win_13_drawdown") {
+    val cents = floor(col("value") * 100 + 0.5).cast("long")
+    val daily = graft.sources.Tables(spark, sf, "events")
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg((sum(when(col("event_type") === "purchase", cents).otherwise(0L))
+        - sum(when(col("event_type") === "error", cents).otherwise(0L))).as("net"))
+    val api = Pipelines.maxDrawdown(daily, "day", "net").collect().toSeq
+    val pinned = Registry.byName("q_win_13_drawdown").fn(spark, sf).collect().toSeq
+    assert(api == pinned)
+  }
+
+  test("hhi == q_agg_34_hhi") {
+    val in = graft.sources.Tables(spark, sf, "lineitem")
+      .select(col("l_suppkey"),
+        floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5)
+          .cast("long").as("rev"))
+      .join(broadcast(graft.sources.Tables(spark, sf, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(graft.sources.Tables(spark, sf, "nation")
+        .select(col("n_nationkey"), col("n_name"))), col("s_nationkey") === col("n_nationkey"))
+    val api = Pipelines.hhi(in, "n_name", "l_suppkey", "rev")
+      .orderBy("n_name").collect().toSeq
+    val pinned = Registry.byName("q_agg_34_hhi").fn(spark, sf).collect().toSeq
+    assert(api.map(_.toSeq) == pinned.map(_.toSeq))
+  }
+
+  test("lorenzCurve == q_agg_35_lorenz") {
+    val e = graft.sources.Tables(spark, sf, "orders")
+      .select(col("o_orderkey"), floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    val api = Pipelines.lorenzCurve(e, "o_orderkey", "cents")
+      .orderBy("decile").collect().toSeq
+    val pinned = Registry.byName("q_agg_35_lorenz").fn(spark, sf).collect().toSeq
+    assert(api == pinned)
+  }
+
+  test("effectSize == q_stat_19_cohen_d") {
+    val e = graft.sources.Tables(spark, sf, "events")
+      .select(col("event_type"), floor(col("value") * 100 + 0.5).cast("long").as("x"))
+    val api = Pipelines.effectSize(e, "x", "event_type", "purchase", "click")
+      .collect().toSeq
+    val pinned = Registry.byName("q_stat_19_cohen_d").fn(spark, sf).collect().toSeq
+    assert(api == pinned)
+  }
+
+  test("centroidShift == q_sim_20_centroid_shift") {
+    val em = graft.sources.Tables(spark, sf, "embeddings")
+    val api = Pipelines.centroidShift(em, "vec_id", "embedding", "label")
+      .orderBy("label").collect().toSeq
+    val pinned = Registry.byName("q_sim_20_centroid_shift").fn(spark, sf).collect().toSeq
+    assert(api == pinned)
+  }
 }
