@@ -276,6 +276,70 @@ object Streams {
       }
   }
 
+  final case class Attribution(user_id: Long, channel: String, gap_us: Long)
+
+  /** ONLINE last-touch attribution — the streaming twin of
+    * q_stream_17_attribution / `Pipelines.lastTouchAttribution`. State
+    * per user = the last FINALIZED non-conversion touch (type + ts_us)
+    * plus the buffer of events still above the watermark; each
+    * micro-batch merges and finalizes the below-watermark prefix in
+    * (ts, event_id) order — the same total order as the batch
+    * carry-forward window, so a conversion is credited to exactly the
+    * touch the batch query credits (a future event has ts ≥ watermark
+    * and can never sort between two finalized events). Conversions with
+    * no prior touch emit channel 'none' with gap −1 (µs gaps are
+    * nonnegative, so the sentinel is unambiguous).
+    *
+    * Scale note: one shuffle on user_id; buffered state is O(events
+    * inside the watermark delay per key); the remembered touch is
+    * evicted after `idleTtlMinutes` of event-time inactivity (same TTL
+    * discipline as [[transitionsStream]]) — an attribution window
+    * longer than the TTL should raise it.
+    */
+  def attributionStream(events: DataFrame, convType: String = "purchase",
+      delay: String = "10 minutes",
+      idleTtlMinutes: Long = 60): org.apache.spark.sql.Dataset[Attribution] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    val ds = events.withWatermark("ts", delay)
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+      .as[TransitionEvent]
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Option[(String, Long)], Seq[(Long, Long, String)]), Attribution](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, events: Iterator[TransitionEvent],
+         state: GroupState[(Option[(String, Long)], Seq[(Long, Long, String)])]) =>
+          val (touch0, buf0) = state.getOption.getOrElse((None, Seq.empty))
+          val incoming = events.map(e => (e.ts_us, e.event_id, e.event_type)).toList
+          val buf = (buf0 ++ incoming).sortBy(e => (e._1, e._2))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (done, open) = buf.partition(_._1 < wmUs)
+          val out = scala.collection.mutable.ArrayBuffer.empty[Attribution]
+          var touch = touch0
+          done.foreach { e =>
+            if (e._3 == convType)
+              out += (touch match {
+                case Some((tp, us)) => Attribution(user, tp, e._1 - us)
+                case None           => Attribution(user, "none", -1L)
+              })
+            else touch = Some((e._3, e._1))
+          }
+          val idleExpired = state.hasTimedOut && incoming.isEmpty && open.isEmpty
+          if (open.isEmpty && (touch.isEmpty || idleExpired)) state.remove()
+          else {
+            state.update((touch, open))
+            if (open.nonEmpty)
+              state.setTimeoutTimestamp(
+                math.max(state.getCurrentWatermarkMs() + 1L, open.head._1 / 1000L + 1L))
+            else
+              state.setTimeoutTimestamp(
+                state.getCurrentWatermarkMs() + idleTtlMinutes * 60000L)
+          }
+          out.iterator
+      }
+  }
+
   final case class RateEvent(event_type: String, ts: java.sql.Timestamp, ts_us: Long)
   final case class MinuteRate(event_type: String, minute_id: Long, n: Long,
       m_prior: Long, z: Double)

@@ -146,6 +146,53 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("online last-touch attribution matches the batch carry-forward window") {
+    import spark.implicits._
+    import org.apache.spark.sql.Row
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_attr").toString
+    Streams.prepareStreamInput(spark, sf, dir)
+    val real = spark.read.parquet(dir)
+    val maxTsMs = real.agg(max(unix_millis(col("ts")))).as[Long].head()
+    def appendSentinel(eventId: Long, tsMs: Long): Unit =
+      spark.createDataFrame(
+        java.util.Arrays.asList(Row(eventId, new java.sql.Timestamp(tsMs), -1L, "sentinel", 0.0)),
+        Streams.eventSchema).write.mode("append").parquet(dir)
+
+    val q = Streams.attributionStream(Streams.eventStream(spark, dir)).toDF()
+      .writeStream.format("memory").queryName("stream_attr")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      appendSentinel(-1L, maxTsMs + 3600000L)
+      q.processAllAvailable()
+      appendSentinel(-2L, maxTsMs + 7200000L)
+      q.processAllAvailable()
+      appendSentinel(-3L, maxTsMs + 10800000L)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("stream_attr")
+      .filter(col("user_id") >= 0)
+      .groupBy("channel").agg(count(lit(1)).as("n"),
+        sum(when(col("gap_us") >= 0, col("gap_us")).otherwise(0L)).as("gsum"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    val batchRows = graft.api.Pipelines.lastTouchAttribution(
+        real.filter(col("user_id") >= 0), "user_id", "ts", "event_type", "purchase", "event_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(streamed.nonEmpty)
+    assert(streamed.view.mapValues(_._1).toMap == batchRows)
+    // gap totals agree with the declared query's mean within rounding:
+    // mean_gap_min = round(gsum / gn / 6e7, 2)
+    val pinned = Registry.byName("q_stream_17_attribution").fn(spark, sf)
+      .collect().map(r => (r.getString(0), r.getDouble(3))).toMap
+    streamed.foreach { case (ch, (n, gsum)) =>
+      if (ch != "none") {
+        val mean = math.floor(gsum.toDouble / n / 60000000L * 100 + 0.5) / 100
+        assert(mean == pinned(ch), s"$ch: $mean != ${pinned(ch)}")
+      }
+    }
+  }
+
   test("foreachBatch idempotent sink: a retried batch does not duplicate rows") {
     val out = java.nio.file.Files.createTempDirectory("graft_fb_sink").toString
     val q = Streams.idempotentParquetSink(Streams.eventStream(spark, inputDir), out)
