@@ -37,7 +37,8 @@ object Registry {
       Round5dOps.all ++
       Round5eOps.all ++
       Round5fOps.all ++
-      Round5gOps.all
+      Round5gOps.all ++
+      Round5hOps.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(

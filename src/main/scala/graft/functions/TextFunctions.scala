@@ -35,6 +35,29 @@ object TextFunctions {
   def tokenHashes(text: Column): Column =
     transform(tokenSet(text), charHash _)
 
+  /** Distinct n-token shingles of `text` (space-joined token windows) —
+    * the larger key space token-set MinHash needs when the unigram
+    * vocabulary is small enough to saturate (see q_dedup_14_lsh_sweep).
+    * Documents with fewer than `n` tokens yield an empty list (guarded:
+    * Spark's `sequence` would otherwise run DESCENDING for a negative
+    * stop and fabricate windows).
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val tk = split(text, " ")
+    when(size(tk) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), size(tk) - n),
+        i => concat_ws(" ", (1 to n).map(k => element_at(tk, i + k)): _*))))
+  }
+
+  /** MinHash signature over distinct n-token shingle hashes — same
+    * universal-hash family as [[minhashSignature]]. */
+  def shingleMinhashSignature(text: Column, n: Int, k: Int): Column = {
+    val hs = transform(shingles(text, n), charHash _)
+    transform(sequence(lit(0L), lit(k - 1L)), i =>
+      array_min(transform(hs, h => (h * (i * 2 + 3) + (i * 5 + 7)) % P)))
+  }
+
   /** MinHash signature of `text` with `k` universal-hash functions
     * h_i(x) = ((2i+3)·x + (5i+7)) mod P over the distinct-token hashes.
     *
