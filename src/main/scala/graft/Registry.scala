@@ -38,7 +38,8 @@ object Registry {
       Round5eOps.all ++
       Round5fOps.all ++
       Round5gOps.all ++
-      Round5hOps.all
+      Round5hOps.all ++
+      Round5iOps.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(
