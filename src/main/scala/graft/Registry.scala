@@ -39,7 +39,8 @@ object Registry {
       Round5fOps.all ++
       Round5gOps.all ++
       Round5hOps.all ++
-      Round5iOps.all
+      Round5iOps.all ++
+      Round5jOps.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(
