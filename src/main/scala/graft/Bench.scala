@@ -16,7 +16,40 @@ import org.apache.spark.sql.SparkSession
   *    any capture limit.
   */
 object Bench {
+
+  /** The default 240 MB JIT code cache is exhausted by ~300 distinct
+    * generated queries (measured: late queries deoptimize to the
+    * interpreter and inflate 10–40× — PERF.md round-5 note). If this
+    * JVM was launched without a big-enough cache, re-exec the same
+    * main in a child JVM that has one, forwarding output verbatim, so
+    * the bench numbers are trustworthy regardless of how the harness
+    * invoked us. Returns true if the child ran (caller exits).
+    */
+  private def reExecWithCodeCache(args: Array[String]): Boolean = {
+    val want = 512L * 1024 * 1024
+    val have = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+      .stream().filter(p => p.getName.contains("CodeHeap") || p.getName.contains("CodeCache"))
+      .mapToLong(p => p.getUsage.getMax).sum()
+    if (have >= want || sys.env.contains("SPARK_GRAFT_NO_REEXEC")) return false
+    val javaBin = s"${sys.props("java.home")}/bin/java"
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean.getInputArguments
+    val cmd = new java.util.ArrayList[String]()
+    cmd.add(javaBin)
+    jvmArgs.forEach(a => if (!a.startsWith("-XX:ReservedCodeCacheSize")) cmd.add(a))
+    cmd.add("-XX:ReservedCodeCacheSize=1g")
+    cmd.add("-cp"); cmd.add(sys.props("java.class.path"))
+    cmd.add("graft.Bench"); args.foreach(cmd.add)
+    val pb = new ProcessBuilder(cmd)
+    pb.environment().put("SPARK_GRAFT_NO_REEXEC", "1")
+    pb.redirectOutput(ProcessBuilder.Redirect.INHERIT)
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    val rc = pb.start().waitFor()
+    if (rc != 0) sys.exit(rc)
+    true
+  }
+
   def main(args: Array[String]): Unit = {
+    if (reExecWithCodeCache(args)) return
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

@@ -40,7 +40,8 @@ object Registry {
       Round5gOps.all ++
       Round5hOps.all ++
       Round5iOps.all ++
-      Round5jOps.all
+      Round5jOps.all ++
+      Round5kOps.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(

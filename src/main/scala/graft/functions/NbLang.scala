@@ -28,6 +28,16 @@ object NbLang {
 
   /** One row per document: (doc_id, lang = actual, pred = NB argmax). */
   def predictions(s: SparkSession, d: String): DataFrame = {
+    val p = scores(s, d).withColumn("rn",
+        row_number().over(Window.partitionBy("doc_id").orderBy(col("score9").desc, col("lang"))))
+      .filter(col("rn") === 1).select(col("doc_id"), col("lang").as("pred"))
+    Tables(s, d, "documents").select(col("doc_id"), col("lang")).join(p, "doc_id")
+  }
+
+  /** The full NB score table: one row per (doc_id, candidate lang) with
+    * the exact-BIGINT 1e-9-nat score — the argmax input `predictions`
+    * consumes and the margin input q_text_43_lang_margin ranks. */
+  def scores(s: SparkSession, d: String): DataFrame = {
     val tf0 = Tables(s, d, "documents")
       .select(col("doc_id"), col("lang"), explode(TextFunctions.tokens(col("text"))).as("token"))
       .groupBy("doc_id", "lang", "token").agg(count(lit(1)).as("tf"))
@@ -46,14 +56,10 @@ object NbLang {
     val s1 = tf.join(c.withColumnRenamed("lang", "clang"), "token")
       .groupBy(col("doc_id"), col("clang").as("lang"))
       .agg(sum(col("tf") * q9((col("c") + 1).cast("double"))).cast("long").as("s"))
-    val sc = dw.crossJoin(broadcast(lp))
+    dw.crossJoin(broadcast(lp))
       .join(s1, Seq("doc_id", "lang"), "left")
       .select(col("doc_id"), col("lang"),
         (col("prior9") + coalesce(col("s"), lit(0L)) - col("words") * col("lnl9")).as("score9"))
-    val p = sc.withColumn("rn",
-        row_number().over(Window.partitionBy("doc_id").orderBy(col("score9").desc, col("lang"))))
-      .filter(col("rn") === 1).select(col("doc_id"), col("lang").as("pred"))
-    Tables(s, d, "documents").select(col("doc_id"), col("lang")).join(p, "doc_id")
   }
 
   /** The oracle-SQL CTE chain ending in `p(doc_id, pred)` + the raw

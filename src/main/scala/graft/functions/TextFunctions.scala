@@ -42,13 +42,17 @@ object TextFunctions {
     * Spark's `sequence` would otherwise run DESCENDING for a negative
     * stop and fabricate windows).
     */
-  def shingles(text: Column, n: Int): Column = {
-    val tk = split(text, " ")
+  def shingles(text: Column, n: Int): Column = shinglesOf(split(text, " "), n)
+
+  /** [[shingles]] over an ALREADY-SPLIT token-array column — feed it a
+    * materialized column when the caller scans many rows: the text form
+    * re-evaluates the split per element access inside codegen, which
+    * dominated q_text_41's scan until the array was projected first. */
+  def shinglesOf(tk: Column, n: Int): Column =
     when(size(tk) < n, array().cast("array<string>"))
       .otherwise(array_distinct(transform(
         sequence(lit(0), size(tk) - n),
         i => concat_ws(" ", (1 to n).map(k => element_at(tk, i + k)): _*))))
-  }
 
   /** MinHash signature over distinct n-token shingle hashes — same
     * universal-hash family as [[minhashSignature]]. */

@@ -163,7 +163,8 @@ object Round5jOps {
       // shingle-keyed agg (shingle vocab is corpus-bounded); top-10
       // ranks on the vocab table.
       val sh = Tables(s, d, "documents")
-        .select(col("doc_id"), explode(TextFunctions.shingles(col("text"), 3)).as("g"))
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"), explode(TextFunctions.shinglesOf(col("tk"), 3)).as("g"))
         .distinct()
       val df = sh.groupBy("g").agg(count(lit(1)).as("df"))
       val nd = Tables(s, d, "documents").agg(count(lit(1)).as("nd"))

@@ -24,7 +24,7 @@ echo "== 3/4 sf0.01 oracle gate =="
 bash tools/run_verify.sh /root/testdata/sf0.01 /tmp/gate_verify | tail -1
 
 echo "== 4/4 sf0.1 bench + regression diff =="
-SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 java $ADD_OPENS -Xmx16g -cp "$CP" \
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 java $ADD_OPENS -XX:ReservedCodeCacheSize=1g -Xmx16g -cp "$CP" \
   graft.Bench 2>&1 | grep -E '^BENCH|^\{' | tail -3
 python3 tools/bench_diff.py --gate HEAD bench_out.json
 
