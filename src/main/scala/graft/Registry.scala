@@ -41,7 +41,8 @@ object Registry {
       Round5hOps.all ++
       Round5iOps.all ++
       Round5jOps.all ++
-      Round5kOps.all
+      Round5kOps.all ++
+      Round5lOps.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(
