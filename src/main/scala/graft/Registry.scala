@@ -42,7 +42,8 @@ object Registry {
       Round5iOps.all ++
       Round5jOps.all ++
       Round5kOps.all ++
-      Round5lOps.all
+      Round5lOps.all ++
+      Round5mOps.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(
