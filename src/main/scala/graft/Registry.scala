@@ -43,7 +43,8 @@ object Registry {
       Round5jOps.all ++
       Round5kOps.all ++
       Round5lOps.all ++
-      Round5mOps.all
+      Round5mOps.all ++
+      Round5nOps.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(
