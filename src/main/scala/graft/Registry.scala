@@ -44,7 +44,9 @@ object Registry {
       Round5kOps.all ++
       Round5lOps.all ++
       Round5mOps.all ++
-      Round5nOps.all
+      Round5nOps.all ++
+      Round5oOps.all ++
+      Round5pOps.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(
