@@ -46,7 +46,8 @@ object Registry {
       Round5mOps.all ++
       Round5nOps.all ++
       Round5oOps.all ++
-      Round5pOps.all
+      Round5pOps.all ++
+      Round5qOps.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(
