@@ -47,7 +47,8 @@ object Registry {
       Round5nOps.all ++
       Round5oOps.all ++
       Round5pOps.all ++
-      Round5qOps.all
+      Round5qOps.all ++
+      Round5rOps.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(
