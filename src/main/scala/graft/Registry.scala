@@ -48,7 +48,8 @@ object Registry {
       Round5oOps.all ++
       Round5pOps.all ++
       Round5qOps.all ++
-      Round5rOps.all
+      Round5rOps.all ++
+      Round5sOps.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(
