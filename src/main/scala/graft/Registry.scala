@@ -49,7 +49,8 @@ object Registry {
       Round5pOps.all ++
       Round5qOps.all ++
       Round5rOps.all ++
-      Round5sOps.all
+      Round5sOps.all ++
+      Round5tOps.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(
