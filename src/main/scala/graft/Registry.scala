@@ -50,7 +50,8 @@ object Registry {
       Round5qOps.all ++
       Round5rOps.all ++
       Round5sOps.all ++
-      Round5tOps.all
+      Round5tOps.all ++
+      Round5uOps.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(
