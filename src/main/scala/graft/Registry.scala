@@ -51,7 +51,8 @@ object Registry {
       Round5rOps.all ++
       Round5sOps.all ++
       Round5tOps.all ++
-      Round5uOps.all
+      Round5uOps.all ++
+      Round5vOps.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(
