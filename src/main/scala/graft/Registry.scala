@@ -52,7 +52,8 @@ object Registry {
       Round5sOps.all ++
       Round5tOps.all ++
       Round5uOps.all ++
-      Round5vOps.all
+      Round5vOps.all ++
+      Round5wOps.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(

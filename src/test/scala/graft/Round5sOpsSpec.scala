@@ -14,8 +14,14 @@ class Round5sOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
     val byOrder = li.groupBy(_._1)
     val edges = byOrder.values.flatMap { ls =>
-      val m = ls.map(l => l._2 -> l._3).toMap
-      m.flatMap { case (ln, s1) => m.get(ln + 1).filter(_ != s1).map(s2 => (s1, s2)) }
+      // l_linenumber is NOT unique per order in the fixtures: join ALL
+      // (ln, ln+1) supplier combinations like the equi-join does
+      val m: Map[Int, Seq[Long]] =
+        ls.groupBy(_._2).view.mapValues(_.map(_._3).toSeq).toMap
+      m.toSeq.flatMap { case (ln, s1s) =>
+        m.getOrElse(ln + 1, Seq.empty[Long])
+          .flatMap(s2 => s1s.filter(_ != s2).map(s1 => (s1, s2)))
+      }
     }.toSet
     val bidir = edges ++ edges.map(e => (e._2, e._1))
     bidir.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
@@ -66,11 +72,26 @@ class Round5sOpsSpec extends SparkSpec {
     assert(got.toSeq == expected)
   }
 
-  test("q_graph_15_closeness: layer counts replicate BFS ball sizes") {
-    val expected = adj.keys.map { v =>
-      val l1 = adj(v)
-      val l2 = l1.flatMap(adj.getOrElse(_, Set.empty)) -- l1 - v
-      val l3 = l2.flatMap(adj.getOrElse(_, Set.empty)) -- l1 -- l2 - v
+  test("q_graph_15_closeness: layer counts replicate BFS ball sizes on the sampled graph") {
+    // the query runs on the l_orderkey % 100 = 0 sampled handoff graph
+    val li = graft.sources.Tables(spark, sf, "lineitem")
+      .filter(col("l_orderkey") % 100 === 0)
+      .select("l_orderkey", "l_linenumber", "l_suppkey").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val edges = li.groupBy(_._1).values.flatMap { ls =>
+      val m: Map[Int, Seq[Long]] =
+        ls.groupBy(_._2).view.mapValues(_.map(_._3).toSeq).toMap
+      m.toSeq.flatMap { case (ln, s1s) =>
+        m.getOrElse(ln + 1, Seq.empty[Long])
+          .flatMap(s2 => s1s.filter(_ != s2).map(s1 => (s1, s2)))
+      }
+    }.toSet
+    val sadj = (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expected = sadj.keys.map { v =>
+      val l1 = sadj(v)
+      val l2 = l1.flatMap(sadj.getOrElse(_, Set.empty)) -- l1 - v
+      val l3 = l2.flatMap(sadj.getOrElse(_, Set.empty)) -- l1 -- l2 - v
       v -> ((l1.size.toLong, l2.size.toLong, l3.size.toLong))
     }.toMap
     val got = Registry.byName("q_graph_15_closeness").fn(spark, sf)
