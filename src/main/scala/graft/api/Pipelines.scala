@@ -1022,4 +1022,220 @@ object Pipelines {
           .when(col(valueCol) > col("__phi"), col("__phi"))
           .otherwise(col(valueCol))).as("winsor_mean"))
   }
+
+  /** RFM quintile segmentation (generalizes q_stream_27_rfm): per-id
+    * recency/frequency/monetary scores by ntile over exact integers
+    * (`tsCol` in micros, `valueCol` pre-quantized) with the id as
+    * tie-break, then segment populations. Score 1 = best.
+    */
+  def rfmSegments(df: DataFrame, idCol: String, tsCol: String, valueCol: String,
+      quantiles: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = df.groupBy(idCol).agg(max(tsCol).as("__last"),
+      count(lit(1)).as("__freq"), sum(valueCol).as("__mon"))
+    val sc = u.select(col(idCol),
+      ntile(quantiles).over(Window.orderBy(col("__last").desc, col(idCol))).as("r"),
+      ntile(quantiles).over(Window.orderBy(col("__freq").desc, col(idCol))).as("f"),
+      ntile(quantiles).over(Window.orderBy(col("__mon").desc, col(idCol))).as("m"))
+    sc.groupBy(col("r").cast("long").as("r"), col("f").cast("long").as("f"),
+        col("m").cast("long").as("m"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("r", "f", "m")
+  }
+
+  /** HITS hubs/authorities (generalizes q_graph_13_hits) with a
+    * CONFIGURABLE iteration count — the declared query unrolls 2. Each
+    * half-step L1-normalizes through an exact integer-sum ratio
+    * quantized to 1e-6 (so every iteration consumes exact integers);
+    * iteration-invariant edges localCheckpoint once. Returns
+    * (node, authority, hub) for every node with an authority score.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String, iters: Int = 2): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .distinct().localCheckpoint()
+    def l1(df: DataFrame): DataFrame = {
+      val tot = df.agg(sum("__v").as("__tot"))
+      df.crossJoin(broadcast(tot))
+        .select(col("__n"),
+          floor(col("__v").cast("double") / col("__tot") * 1000000 + 0.5).cast("long").as("__v"))
+    }
+    var hub = l1(e.groupBy(col("__src").as("__n")).agg(count(lit(1)).as("__v")))
+    var auth = l1(e.join(broadcast(hub), col("__src") === col("__n"))
+      .groupBy(col("__dst").as("__n2")).agg(sum("__v").as("__v"))
+      .withColumnRenamed("__n2", "__n"))
+    for (_ <- 2 to iters) {
+      hub = l1(e.join(broadcast(auth), col("__dst") === col("__n"))
+        .groupBy(col("__src").as("__n2")).agg(sum("__v").as("__v"))
+        .withColumnRenamed("__n2", "__n")).localCheckpoint()
+      auth = l1(e.join(broadcast(hub), col("__src") === col("__n"))
+        .groupBy(col("__dst").as("__n2")).agg(sum("__v").as("__v"))
+        .withColumnRenamed("__n2", "__n")).localCheckpoint()
+    }
+    auth.select(col("__n").as("node"), (col("__v") / 1000000.0).as("authority"))
+      .join(hub.select(col("__n").as("__hn"), (col("__v") / 1000000.0).as("hub")),
+        col("node") === col("__hn"), "left_outer")
+      .select(col("node"), col("authority"), coalesce(col("hub"), lit(0.0)).as("hub"))
+  }
+
+  /** k-core: the maximal subgraph where every node has degree >= k
+    * (generalizes q_graph_12_kcore, which reports a fixed 3-round peel
+    * trajectory — this peels to the FIXPOINT). Pure integer set
+    * algebra: degree-filter -> semi-join both endpoints per round, the
+    * surviving edge list localCheckpointed between rounds. Throws if
+    * the peel hasn't converged within `maxIters` (degeneracy peels
+    * remove >= 1 node per round, so |V| rounds always suffice).
+    * Returns the surviving undirected edge list (both directions).
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxIters: Int = 100): DataFrame = {
+    val e0 = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst")).distinct()
+    var cur = e0.union(e0.select(col("__dst").as("__src"), col("__src").as("__dst")))
+      .distinct().localCheckpoint()
+    var n = cur.count()
+    var it = 0
+    var converged = false
+    while (!converged) {
+      it += 1
+      if (it > maxIters)
+        throw new IllegalStateException(s"kCore($k) did not converge in $maxIters peels")
+      val keep = cur.groupBy(col("__src").as("__node")).agg(count(lit(1)).as("__dg"))
+        .filter(col("__dg") >= k).select("__node")
+      val next = cur
+        .join(broadcast(keep), col("__src") === col("__node"), "left_semi")
+        .join(broadcast(keep.withColumnRenamed("__node", "__node2")),
+          col("__dst") === col("__node2"), "left_semi")
+        .localCheckpoint()
+      val n2 = next.count()
+      if (n2 == n) converged = true
+      cur = next
+      n = n2
+    }
+    cur.select(col("__src").as(srcCol), col("__dst").as(dstCol))
+  }
+
+  /** Deterministic half-sample bootstrap CI for the mean of an exact
+    * integer column (generalizes q_stat_28_bootstrap_ci): `replicates`
+    * resample means, membership by the overflow-safe multiplicative
+    * hash salted with the replicate id (no RNG — reproducible on any
+    * partitioning), CI = the (lo, hi) order statistics of the replicate
+    * means. Returns one row (mean, ci_lo, ci_hi) in integer units.
+    */
+  def bootstrapMeanCI(df: DataFrame, idCol: String, valueCol: String,
+      replicates: Int = 32, loRank: Int = 2, hiRank: Int = 31): DataFrame = {
+    require(loRank >= 1 && hiRank <= replicates && loRank < hiRank,
+      s"ranks ($loRank, $hiRank) must sit inside 1..$replicates")
+    val P = 1000000007L
+    val o = df.select(col(idCol).as("__id"), col(valueCol).as("__v")).localCheckpoint()
+    val reps = o.withColumn("__b", explode(expr(s"sequence(1, $replicates)")))
+      .filter(((col("__id") + col("__b") * 131) % P) * 2654435761L % P < P / 2 + 1)
+      .groupBy("__b").agg(count(lit(1)).as("__n"), sum("__v").as("__s"))
+    val means = reps.select(floor(col("__s").cast("double") / col("__n") + 0.5)
+      .cast("long").as("__m"))
+    val srt = means.agg(sort_array(collect_list("__m")).as("__ms"))
+    val pt = o.agg((sum("__v").cast("double") / count(lit(1))).as("mean"))
+    pt.crossJoin(broadcast(srt))
+      .select(col("mean"),
+        element_at(col("__ms"), loRank).cast("double").as("ci_lo"),
+        element_at(col("__ms"), hiRank).cast("double").as("ci_hi"))
+  }
+
+  /** MACD over a per-period integer series (generalizes q_win_19_macd):
+    * fast/slow EMAs fold the same materialized prefix list in frame
+    * order; the MACD series re-quantizes to 1e-6 of the emitted unit
+    * BEFORE the signal fold so the second recursion is deterministic.
+    * Returns (period, macd, signal, histogram) for ALL periods.
+    */
+  def macd(daily: DataFrame, dayCol: String, valueCol: String,
+      fast: Int = 12, slow: Int = 26, signalSpan: Int = 9,
+      unitDiv: Double = 100.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(dayCol).rowsBetween(Window.unboundedPreceding, 0)
+    def ema(vals: org.apache.spark.sql.Column, alpha: org.apache.spark.sql.Column) =
+      aggregate(slice(vals, lit(2), size(vals) - 1), element_at(vals, 1),
+        (a, x) => (lit(1) - alpha) * a + alpha * x)
+    val m = daily
+      .select(col(dayCol), collect_list(col(valueCol).cast("double")).over(w).as("__vals"))
+      .select(col(dayCol),
+        floor((ema(col("__vals"), lit(2.0) / (fast + 1)) - ema(col("__vals"), lit(2.0) / (slow + 1)))
+          / unitDiv * 1000000 + 0.5).cast("long").as("__macd6"))
+    val sig = m.select(col(dayCol), col("__macd6"),
+      collect_list(col("__macd6").cast("double") / 1000000).over(w).as("__ms"))
+    sig.select(col(dayCol).cast("long").as(dayCol),
+      (col("__macd6") / 1000000.0).as("macd"),
+      (floor(aggregate(slice(col("__ms"), lit(2), size(col("__ms")) - 1),
+        element_at(col("__ms"), 1),
+        (a, x) => (lit(1) - lit(2.0) / (signalSpan + 1)) * a + lit(2.0) / (signalSpan + 1) * x)
+        * 10000 + 0.5).cast("long") / 10000.0).as("signal"))
+      .withColumn("histogram",
+        graft.functions.Num.round(col("macd") - col("signal"), 4))
+  }
+
+  /** Benjamini–Hochberg step-up over ANY p-value table (generalizes
+    * q_stat_25_bh_fdr): ranks ascending p (id tie-break), rejects the
+    * prefix up to the largest k with p_(k) <= k·alpha/m — evaluated as
+    * the exact integer comparison p6·denom <= k·1e6·num where
+    * alpha = num/denom. Returns (id, p, k, rejected).
+    */
+  def benjaminiHochberg(df: DataFrame, idCol: String, pCol: String,
+      alphaNum: Int = 1, alphaDenom: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = df.count()
+    val rk = df.select(col(idCol), col(pCol),
+        floor(col(pCol) * 1000000 + 0.5).cast("long").as("__p6"))
+      .withColumn("__k", row_number().over(Window.orderBy(col("__p6"), col(idCol))))
+    val km = rk.agg(max(when(
+      col("__p6") * m * alphaDenom <= col("__k").cast("long") * 1000000L * alphaNum,
+      col("__k")).otherwise(0)).as("__kmax"))
+    rk.crossJoin(broadcast(km))
+      .select(col(idCol), col(pCol), col("__k").cast("long").as("k"),
+        when(col("__k") <= col("__kmax"), 1L).otherwise(0L).as("rejected"))
+      .orderBy("k")
+  }
+
+  /** Frequency-weighted mean/variance of `valueCol` with integer
+    * weights (generalizes q_agg_38_weighted_var): three exact BIGINT
+    * weighted power sums, single IEEE expressions out.
+    */
+  def weightedVariance(df: DataFrame, groupCol: String, valueCol: String,
+      weightCol: String): DataFrame = {
+    val m = df.groupBy(groupCol)
+      .agg(sum(weightCol).as("__ws"),
+        sum(col(weightCol) * col(valueCol)).as("__swx"),
+        sum(col(weightCol) * col(valueCol) * col(valueCol)).as("__swxx"))
+    val mean = col("__swx").cast("double") / col("__ws")
+    m.select(col(groupCol),
+      graft.functions.Num.round(mean, 4).as("w_mean"),
+      graft.functions.Num.round(col("__swxx").cast("double") / col("__ws") - mean * mean, 4)
+        .as("w_var"))
+  }
+
+  /** Duplicate-downweighting (generalizes q_dedup_20_soft_weight):
+    * every row keeps weight floor(1e6/k) where k = its exact-dup
+    * cluster size on `textCol`'s digest — the training-mix alternative
+    * to dropping duplicates. Returns the input plus (w6, cluster_size);
+    * Σ w6/1e6 is the effective corpus size.
+    */
+  def softDedupWeights(df: DataFrame, textCol: String): DataFrame = {
+    val withDigest = df.withColumn("__dg", md5(col(textCol)))
+    val k = withDigest.groupBy("__dg").agg(count(lit(1)).as("cluster_size"))
+    withDigest.join(k, Seq("__dg"))
+      .withColumn("w6", (lit(1000000L) / col("cluster_size")).cast("long"))
+      .drop("__dg")
+  }
+
+  /** FK containment (generalizes one row of q_dq_28_inclusion): the
+    * share of `fact`'s distinct `fkCol` values present in `dim`'s
+    * `keyCol`. Distinct-count + left_semi against the broadcast
+    * dimension key; one row (n_distinct, n_contained, containment).
+    */
+  def containment(fact: DataFrame, fkCol: String, dim: DataFrame, keyCol: String): DataFrame = {
+    val f = fact.select(col(fkCol)).distinct().localCheckpoint()
+    val c = f.join(broadcast(dim.select(col(keyCol))), col(fkCol) === col(keyCol), "left_semi")
+    f.agg(count(lit(1)).as("n_distinct"))
+      .crossJoin(c.agg(count(lit(1)).as("n_contained")))
+      .select(col("n_distinct"), col("n_contained"),
+        graft.functions.Num.round(
+          col("n_contained").cast("double") / col("n_distinct"), 6).as("containment"))
+  }
 }
