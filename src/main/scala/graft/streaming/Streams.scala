@@ -480,4 +480,40 @@ object Streams {
       .queryName(name)
       .outputMode(if (complete) "complete" else "append")
       .trigger(Trigger.AvailableNow())
+
+  final case class EntropyEvent(user_id: Long, event_type: String)
+  final case class UserEntropy(user_id: Long, n_events: Long, h6: Long)
+
+  /** ONLINE per-user behavioral entropy — the streaming twin of
+    * q_stream_29_user_entropy. State per user = the event-type count
+    * map (bounded: one entry per distinct type, 5 here); each
+    * micro-batch merges its counts and emits the user's CURRENT
+    * entropy, quantizing each −p·log2(p) term to a 1e-6 integer exactly
+    * like the batch query, so once the stream drains, the last emitted
+    * h6 per user equals the batch value bit-for-bit.
+    *
+    * Scale note: one shuffle on user_id; state is O(distinct types) per
+    * key and count merging is associative, so the operator never
+    * buffers events. No watermark needed — counts are monotone and the
+    * emitted rows are progressive refinements (Update mode).
+    */
+  def entropyStream(events: DataFrame): org.apache.spark.sql.Dataset[UserEntropy] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events.select(col("user_id"), col("event_type")).as[EntropyEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[Map[String, Long], UserEntropy](GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[EntropyEvent], state: GroupState[Map[String, Long]]) =>
+          val merged = batch.foldLeft(state.getOption.getOrElse(Map.empty[String, Long])) {
+            (m, e) => m.updated(e.event_type, m.getOrElse(e.event_type, 0L) + 1L)
+          }
+          state.update(merged)
+          val n = merged.values.sum
+          val h6 = merged.values.map { c =>
+            val p = c.toDouble / n
+            math.floor(-p * math.log(p) / math.log(2.0) * 1e6 + 0.5).toLong
+          }.sum
+          UserEntropy(user, n, h6)
+      }
+  }
 }

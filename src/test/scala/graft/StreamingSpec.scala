@@ -352,4 +352,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
     assert(streamed == batch)
   }
+
+  test("online user entropy converges to the batch q_stream_29 values") {
+    import org.apache.spark.sql.expressions.Window
+    val q = Streams.entropyStream(Streams.eventStream(spark, inputDir)).toDF()
+      .writeStream.format("memory").queryName("stream_entropy")
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    // last emitted refinement per user = the full-count entropy
+    val streamed = spark.table("stream_entropy")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id").orderBy(col("n_events").desc)))
+      .filter(col("rn") === 1)
+      .select("user_id", "h6")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // batch replication with the identical quantized-term formula
+    val batch = graft.sources.Tables(spark, sf, "events")
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues { cs =>
+        val n = cs.map(_._3).sum
+        cs.map { c =>
+          val p = c._3.toDouble / n
+          math.floor(-p * math.log(p) / math.log(2.0) * 1e6 + 0.5).toLong
+        }.sum
+      }.toMap
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+    // and the top-10 ranking agrees with the declared query
+    val pinned = Registry.byName("q_stream_29_user_entropy").fn(spark, sf)
+      .collect().map(r => (r.getLong(0), math.floor(r.getDouble(1) * 1e6 + 0.5).toLong))
+    pinned.foreach { case (u, h6) => assert(streamed(u) == h6, s"user $u") }
+  }
 }
