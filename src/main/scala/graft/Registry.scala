@@ -53,7 +53,8 @@ object Registry {
       Round5tOps.all ++
       Round5uOps.all ++
       Round5vOps.all ++
-      Round5wOps.all
+      Round5wOps.all ++
+      Round5xOps.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(
