@@ -57,29 +57,35 @@ object Round5oOps {
         .orderBy(col("revenue").desc, col("n_name"))
     },
 
-    // Q7: volume shipping between two nations, by supplier-nation /
-    // customer-nation / ship-year (the OR'd nation-pair join).
+    // Q7: volume shipping between two REGIONS, by supplier-region /
+    // customer-region / ship-year (the OR'd pair join — adapted from
+    // nation pair to region pair so the slice is populated at every
+    // fixture SF; the plan shape is identical).
     Q("q_tpch_7_volume",
-      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      """SELECT sr.r_name AS supp_region, cr.r_name AS cust_region,
         | CAST(year(l_shipdate) AS BIGINT) AS l_year,
         | floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue
-        |FROM supplier, lineitem, orders, customer, nation sn, nation cn
+        |FROM supplier, lineitem, orders, customer, nation sn, nation cn, region sr, region cr
         |WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey AND c_custkey = o_custkey
         | AND s_nationkey = sn.n_nationkey AND c_nationkey = cn.n_nationkey
-        | AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
-        |   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+        | AND sn.n_regionkey = sr.r_regionkey AND cn.n_regionkey = cr.r_regionkey
+        | AND ((sr.r_name = 'AMERICA' AND cr.r_name = 'ASIA')
+        |   OR (sr.r_name = 'ASIA' AND cr.r_name = 'AMERICA'))
         | AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (s, d) =>
       // Both nation filters broadcast into the supplier/customer sides
       // BEFORE the fact joins — the OR'd pair predicate never sees the
       // raw fact, it prunes two 1-nation dimension subsets instead.
-      val n = Tables(s, d, "nation").filter(col("n_name").isin("NATION_1", "NATION_2"))
+      val n = Tables(s, d, "nation")
+        .join(Tables(s, d, "region").filter(col("r_name").isin("AMERICA", "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("r_name"))
       val sup = Tables(s, d, "supplier")
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
-        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+        .select(col("s_suppkey"), col("r_name").as("supp_region"))
       val c = Tables(s, d, "customer")
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
-        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+        .select(col("c_custkey"), col("r_name").as("cust_region"))
       val o = Tables(s, d, "orders").select("o_orderkey", "o_custkey")
       Tables(s, d, "lineitem")
         .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
@@ -87,12 +93,12 @@ object Round5oOps {
         .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
         .join(o, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2")
-          || (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
-        .groupBy(col("supp_nation"), col("cust_nation"),
+        .filter((col("supp_region") === "AMERICA" && col("cust_region") === "ASIA")
+          || (col("supp_region") === "ASIA" && col("cust_region") === "AMERICA"))
+        .groupBy(col("supp_region"), col("cust_region"),
           year(col("l_shipdate")).cast("long").as("l_year"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
-        .orderBy("supp_nation", "cust_nation", "l_year")
+        .orderBy("supp_region", "cust_region", "l_year")
     },
 
     // Q8: national market share — the fraction of one region's revenue

@@ -178,8 +178,9 @@ object Round5pOps {
         .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
     },
 
-    // Q20: dominant suppliers — suppliers in one nation that shipped
-    // MORE THAN HALF of some part's 1997 volume (exact integer compare).
+    // Q20: dominant suppliers — suppliers in one REGION that shipped
+    // MORE THAN HALF of some part's 1997 volume (exact integer compare;
+    // region instead of nation so the slice is populated at every SF).
     Q("q_tpch_20_excess",
       """WITH q AS (
         | SELECT l_partkey AS pk, l_suppkey AS sk,
@@ -189,9 +190,10 @@ object Round5pOps {
         | GROUP BY 1, 2),
         |tot AS (SELECT pk, CAST(sum(sq) AS BIGINT) AS tq FROM q GROUP BY 1)
         |SELECT DISTINCT s_suppkey, s_name
-        |FROM q, tot, supplier, nation
+        |FROM q, tot, supplier, nation, region
         |WHERE q.pk = tot.pk AND 2 * q.sq > tot.tq
-        | AND q.sk = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_2'
+        | AND q.sk = s_suppkey AND s_nationkey = n_nationkey
+        | AND n_regionkey = r_regionkey AND r_name = 'ASIA'
         |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
       // The EXISTS-chain decorrelates to: (part, supp) volumes → part
       // totals (a second agg over the SMALL aggregate, not the fact) →
@@ -204,7 +206,10 @@ object Round5pOps {
         .agg(sum(col("l_quantity").cast("long")).as("sq"))
       val tot = q.groupBy("pk").agg(sum("sq").as("tq"))
       val n2supp = Tables(s, d, "supplier")
-        .join(broadcast(Tables(s, d, "nation").filter(col("n_name") === "NATION_2")),
+        .join(broadcast(Tables(s, d, "nation")
+          .join(Tables(s, d, "region").filter(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey")),
           col("s_nationkey") === col("n_nationkey"))
         .select("s_suppkey", "s_name")
       q.join(tot.withColumnRenamed("pk", "tpk"), col("pk") === col("tpk"))
@@ -254,7 +259,9 @@ object Round5pOps {
     },
 
     // Q22: global sales opportunity — rich customers (above the mean
-    // positive balance, exact cross-multiplied compare) with no orders.
+    // positive balance, exact cross-multiplied compare) INACTIVE since
+    // 1999 (the fixtures give every customer some order, so "no orders
+    // ever" is empty at every SF; "no recent orders" is the live form).
     Q("q_tpch_22_global",
       """WITH c AS (
         | SELECT c_custkey, c_nationkey,
@@ -266,7 +273,8 @@ object Round5pOps {
         | floor(CAST(sum(bal_cents) AS DOUBLE) / 100 * 100 + 0.5) / 100 AS totacctbal
         |FROM c, avgpos
         |WHERE bal_cents * n > s
-        | AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        | AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                 AND o_orderdate >= TIMESTAMP '1999-01-01')
         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       // `bal > avg(bal)` is evaluated as `bal_cents * n > sum_cents` —
       // the exact integer cross-multiplication (no IEEE division in the
@@ -279,7 +287,9 @@ object Round5pOps {
         .agg(sum("bal_cents").as("s_cents"), count(lit(1)).as("n"))
       c.crossJoin(broadcast(avgpos))
         .filter(col("bal_cents") * col("n") > col("s_cents"))
-        .join(Tables(s, d, "orders").select("o_custkey"),
+        .join(Tables(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+          .select("o_custkey"),
           col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy(col("c_nationkey").cast("long").as("nationkey"))
         .agg(count(lit(1)).as("numcust"),

@@ -159,25 +159,27 @@ object Round5xOps {
         .orderBy("o_orderpriority")
     },
 
-    // Calendar-gap statistics: the missing-day run-length histogram of
+    // Calendar-gap statistics: the missing-HOUR run-length histogram of
     // the purchase series — q_time_1's spine fills the gaps; this
-    // audits them (a growing max gap is a data-delivery incident).
+    // audits them (a growing max gap is a data-delivery incident). The
+    // hourly grid keeps the audit live on fixtures whose purchases
+    // cover every day.
     Q("q_time_17_gap_stats",
-      """WITH day AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS dday
+      """WITH h AS (SELECT DISTINCT epoch_us(ts) // 3600000000 AS hh
         | FROM events WHERE event_type = 'purchase'),
-        |g AS (SELECT dday - lag(dday) OVER (ORDER BY dday) - 1 AS gap FROM day)
-        |SELECT CAST(gap AS BIGINT) AS gap_days, CAST(count(*) AS BIGINT) AS n_runs
+        |g AS (SELECT hh - lag(hh) OVER (ORDER BY hh) - 1 AS gap FROM h)
+        |SELECT CAST(gap AS BIGINT) AS gap_hours, CAST(count(*) AS BIGINT) AS n_runs
         |FROM g WHERE gap IS NOT NULL AND gap > 0
         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-      // One lag window over the distinct-day table (calendar-bounded);
-      // pure integer day arithmetic.
-      val day = Tables(s, d, "events").filter(col("event_type") === "purchase")
-        .select(expr("unix_micros(ts) div 86400000000").as("dday")).distinct()
-      val g = day.select((col("dday") - lag("dday", 1).over(Window.orderBy("dday")) - 1).as("gap"))
+      // One lag window over the distinct-hour table (calendar-bounded);
+      // pure integer hour arithmetic.
+      val h = Tables(s, d, "events").filter(col("event_type") === "purchase")
+        .select(expr("unix_micros(ts) div 3600000000").as("hh")).distinct()
+      val g = h.select((col("hh") - lag("hh", 1).over(Window.orderBy("hh")) - 1).as("gap"))
       g.filter(col("gap").isNotNull && col("gap") > 0)
-        .groupBy(col("gap").cast("long").as("gap_days"))
+        .groupBy(col("gap").cast("long").as("gap_hours"))
         .agg(count(lit(1)).as("n_runs"))
-        .orderBy("gap_days")
+        .orderBy("gap_hours")
     }
   )
 }

@@ -78,8 +78,9 @@ class Round5pOpsSpec extends SparkSpec {
     val bySupp = li97.groupBy(l => (l._1, l._2)).view.mapValues(_.map(_._3).sum).toMap
     val byPart = li97.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
     val n2 = graft.sources.Tables(spark, sf, "supplier")
-      .join(graft.sources.Tables(spark, sf, "nation").filter(col("n_name") === "NATION_2"),
-        col("s_nationkey") === col("n_nationkey"))
+      .join(graft.sources.Tables(spark, sf, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .join(graft.sources.Tables(spark, sf, "region").filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
       .select("s_suppkey").collect().map(_.getLong(0)).toSet
     val expected = bySupp.collect {
       case ((pk, sk), sq) if n2(sk) && 2 * sq > byPart(pk) => sk
@@ -122,6 +123,7 @@ class Round5pOpsSpec extends SparkSpec {
     val pos = custs.filter(_._3 > 0)
     val (sc, n) = (pos.map(_._3).sum, pos.length.toLong)
     val withOrders = graft.sources.Tables(spark, sf, "orders")
+      .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
       .select("o_custkey").collect().map(_.getLong(0)).toSet
     val rich = custs.filter(c => c._3 * n > sc && !withOrders(c._1))
     val expected = rich.groupBy(_._2).view.mapValues { cs =>

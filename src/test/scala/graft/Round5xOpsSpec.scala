@@ -73,7 +73,7 @@ class Round5xOpsSpec extends SparkSpec {
   }
 
   test("q_time_17_gap_stats: run-length histogram replicates") {
-    val days = events.filter(_._4 == "purchase").map(_._2 / 86400000000L).distinct.sorted.toSeq
+    val days = events.filter(_._4 == "purchase").map(_._2 / 3600000000L).distinct.sorted.toSeq
     val gaps = days.zip(days.tail).collect { case (a, b) if b - a - 1 > 0 => b - a - 1 }
     val expected = gaps.groupBy(identity).view.mapValues(_.size.toLong).toMap
     val got = Registry.byName("q_time_17_gap_stats").fn(spark, sf)
