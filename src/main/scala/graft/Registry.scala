@@ -54,7 +54,8 @@ object Registry {
       Round5uOps.all ++
       Round5vOps.all ++
       Round5wOps.all ++
-      Round5xOps.all
+      Round5xOps.all ++
+      Round5yOps.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(
