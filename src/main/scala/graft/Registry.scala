@@ -55,7 +55,8 @@ object Registry {
       Round5vOps.all ++
       Round5wOps.all ++
       Round5xOps.all ++
-      Round5yOps.all
+      Round5yOps.all ++
+      Round5zOps.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(
