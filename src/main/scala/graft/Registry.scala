@@ -56,7 +56,8 @@ object Registry {
       Round5wOps.all ++
       Round5xOps.all ++
       Round5yOps.all ++
-      Round5zOps.all
+      Round5zOps.all ++
+      Round5aaOps.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(
