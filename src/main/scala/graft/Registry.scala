@@ -57,7 +57,8 @@ object Registry {
       Round5xOps.all ++
       Round5yOps.all ++
       Round5zOps.all ++
-      Round5aaOps.all
+      Round5aaOps.all ++
+      Round5abOps.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(
