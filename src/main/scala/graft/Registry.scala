@@ -58,7 +58,8 @@ object Registry {
       Round5yOps.all ++
       Round5zOps.all ++
       Round5aaOps.all ++
-      Round5abOps.all
+      Round5abOps.all ++
+      Round5acOps.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(
