@@ -59,7 +59,8 @@ object Registry {
       Round5zOps.all ++
       Round5aaOps.all ++
       Round5abOps.all ++
-      Round5acOps.all
+      Round5acOps.all ++
+      Round5adOps.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(
