@@ -60,7 +60,8 @@ object Registry {
       Round5aaOps.all ++
       Round5abOps.all ++
       Round5acOps.all ++
-      Round5adOps.all
+      Round5adOps.all ++
+      Round5aeOps.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(
