@@ -61,7 +61,8 @@ object Registry {
       Round5abOps.all ++
       Round5acOps.all ++
       Round5adOps.all ++
-      Round5aeOps.all
+      Round5aeOps.all ++
+      Round5afOps.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(
