@@ -62,7 +62,8 @@ object Registry {
       Round5acOps.all ++
       Round5adOps.all ++
       Round5aeOps.all ++
-      Round5afOps.all
+      Round5afOps.all ++
+      Round5agOps.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(
