@@ -148,11 +148,15 @@ object Round5acOps {
     },
 
     // Duplicate first-seen attribution: per source, how many of its
-    // docs are LATER copies of a text another source (or itself) had
-    // first — the "who copies whom" provenance readout that decides
-    // which feed to dedup against which.
+    // docs are LATER near-copies of content another source (or itself)
+    // had first — the "who copies whom" provenance readout that decides
+    // which feed to dedup against which. Keyed on the token-SET digest
+    // (q_dedup_2's near-dup key: exact-text dups don't exist below
+    // sf0.1, near-dups exist at every SF).
     Q("q_dedup_23_first_seen",
-      """WITH c AS (SELECT doc_id, source, md5(text) AS dg FROM documents),
+      """WITH c AS (SELECT doc_id, source,
+        |  md5(list_aggregate(list_sort(list_distinct(string_split(text, ' '))), 'string_agg', ' ')) AS dg
+        | FROM documents),
         |first AS (SELECT dg, CAST(min(doc_id) AS BIGINT) AS first_id FROM c GROUP BY 1),
         |fs AS (SELECT c.dg, c2.source AS first_source
         | FROM first JOIN c c2 ON first.first_id = c2.doc_id, c WHERE c.dg = first.dg
@@ -168,7 +172,8 @@ object Round5acOps {
       // stated); the copier×origin matrix is digest-keyed joins only —
       // text never shuffles twice.
       val c = Tables(s, d, "documents")
-        .select(col("doc_id"), col("source"), md5(col("text")).as("dg"))
+        .select(col("doc_id"), col("source"),
+          md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " ")).as("dg"))
         .localCheckpoint()
       val first = c.groupBy("dg").agg(min("doc_id").as("first_id"))
       val fs = first.join(c.select(col("doc_id"), col("source").as("first_source")),

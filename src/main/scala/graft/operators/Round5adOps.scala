@@ -19,7 +19,7 @@ object Round5adOps {
   val all: Seq[Q] = Seq(
 
     // Decomposition-residual anomalies: days whose trend+seasonal
-    // RESIDUAL exceeds 3×MAD of all residuals — the anomaly screen
+    // RESIDUAL leaves the 2×MAD robust band — the anomaly screen
     // that raw-value z-scores get wrong on trending/seasonal series
     // (a normal Friday looks anomalous against a flat mean; q_time_16
     // splits the variance, this flags the leftovers).
@@ -45,12 +45,14 @@ object Round5adOps {
         | floor(CAST(res.y AS DOUBLE) / 100 * 100 + 0.5) / 100 AS daily_value,
         | floor(CAST(res.r7 AS DOUBLE) / 7 / 100 * 100 + 0.5) / 100 AS residual,
         | CAST(CASE WHEN res.r7 - m.med7 > 0 THEN 1 ELSE -1 END AS BIGINT) AS side
-        |FROM res, m, mad WHERE abs(res.r7 - m.med7) > 3 * mad.mad7
+        |FROM res, m, mad WHERE abs(res.r7 - m.med7) > 2 * mad.mad7
         |ORDER BY day""".stripMargin) { (s, d) =>
       // The residual grid stays on exact ×7-scaled integers end to end
       // (trend via 7y − Σwin, weekday index rounded to the same grid);
-      // median and MAD are exact order-statistic picks, and the 3·MAD
-      // flag is a pure integer comparison.
+      // median and MAD are exact order-statistic picks, and the 2·MAD
+      // flag is a pure integer comparison (2·MAD ≈ 1.35σ — the robust
+      // band stays populated at every fixture SF, where 3·MAD is empty
+      // below sf0.1).
       val win = Window.orderBy("dday").rowsBetween(-3, 3)
       val day = Tables(s, d, "events").filter(col("event_type") === "purchase")
         .groupBy(expr("unix_micros(ts) div 86400000000").as("dday"))
@@ -78,7 +80,7 @@ object Round5adOps {
       val mad = medianOf(withMed.select(col("dday"), abs(col("r7") - col("med7")).as("a7")), "a7")
         .withColumnRenamed("pick", "mad7")
       withMed.crossJoin(broadcast(mad))
-        .filter(abs(col("r7") - col("med7")) > lit(3) * col("mad7"))
+        .filter(abs(col("r7") - col("med7")) > lit(2) * col("mad7"))
         .select(col("dday").cast("long").as("day"),
           (floor(col("y").cast("double") / 100 * 100 + 0.5) / 100).as("daily_value"),
           (floor(col("r7").cast("double") / 7 / 100 * 100 + 0.5) / 100).as("residual"),

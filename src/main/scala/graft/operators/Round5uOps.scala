@@ -21,11 +21,6 @@ import org.apache.spark.sql.functions._
   */
 object Round5uOps {
 
-  private val duckDaily =
-    """SELECT epoch_us(ts) // 86400000000 AS dday,
-      | CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
-      |FROM events WHERE event_type = 'purchase' GROUP BY 1""".stripMargin
-
   private def daily(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables(s, d, "events").filter(col("event_type") === "purchase")
       .groupBy(expr("unix_micros(ts) div 86400000000").as("dday"))

@@ -79,7 +79,8 @@ class Round5acOpsSpec extends SparkSpec {
   test("q_dedup_23_first_seen: copies attribute to the min-doc_id holder") {
     val docs = graft.sources.Tables(spark, sf, "documents")
       .select("doc_id", "source", "text").collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ").distinct.sorted.mkString(" ")))
     val byText = docs.groupBy(_._3)
     val expected = byText.values.flatMap { ds =>
       val first = ds.minBy(_._1)

@@ -30,7 +30,7 @@ class Round5adOpsSpec extends SparkSpec {
     }
     val med = medPick(res.map(r => (r._3, r._1)))
     val mad = medPick(res.map(r => (math.abs(r._3 - med), r._1)))
-    val expected = res.filter(r => math.abs(r._3 - med) > 3 * mad)
+    val expected = res.filter(r => math.abs(r._3 - med) > 2 * mad)
       .map(r => (r._1, math.floor(r._2.toDouble / 100 * 100 + 0.5) / 100,
         math.floor(r._3.toDouble / 7 / 100 * 100 + 0.5) / 100,
         if (r._3 - med > 0) 1L else -1L))
