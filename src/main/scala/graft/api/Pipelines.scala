@@ -1238,4 +1238,96 @@ object Pipelines {
         graft.functions.Num.round(
           col("n_contained").cast("double") / col("n_distinct"), 6).as("containment"))
   }
+
+  /** Pareto concentration (generalizes q_win_25_pareto): per group, the
+    * smallest number of ids covering `num/denom` of the total integer
+    * `valueCol` — the crossing decided by the exact integer comparison
+    * denom·cum >= num·tot. Returns (group, n_ids, top_n, id_share).
+    */
+  def pareto(df: DataFrame, groupCol: String, idCol: String, valueCol: String,
+      num: Int = 4, denom: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(num > 0 && denom > 0 && num < denom, s"fraction $num/$denom must sit in (0, 1)")
+    val per = df.groupBy(col(groupCol), col(idCol)).agg(sum(valueCol).as("__v"))
+    val wOrd = Window.partitionBy(groupCol).orderBy(col("__v").desc, col(idCol))
+    val wAll = Window.partitionBy(groupCol)
+    val rk = per.select(col(groupCol),
+      sum("__v").over(wOrd.rowsBetween(Window.unboundedPreceding, 0)).as("__cum"),
+      sum("__v").over(wAll).as("__tot"),
+      row_number().over(wOrd).as("__rn"),
+      count(lit(1)).over(wAll).as("__n"))
+    rk.groupBy(groupCol)
+      .agg(min("__n").as("n_ids"),
+        min(when(lit(denom) * col("__cum") >= lit(num) * col("__tot"), col("__rn")))
+          .cast("long").as("top_n"),
+        graft.functions.Num.round(
+          min(when(lit(denom) * col("__cum") >= lit(num) * col("__tot"), col("__rn")))
+            .cast("double") / min("__n"), 6).as("id_share"))
+  }
+
+  /** Ratio-to-parent (generalizes q_agg_40_share_of_parent): per
+    * (parent, child), the integer `valueCol` total plus its share of
+    * the parent and of the grand total — both derived from the
+    * aggregate via window sums, never re-scanning the input.
+    */
+  def shareOfParent(df: DataFrame, parentCol: String, childCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val agg = df.groupBy(col(parentCol), col(childCol)).agg(sum(valueCol).as("__v"))
+    agg.select(col(parentCol), col(childCol), col("__v").as("total"),
+      graft.functions.Num.round(col("__v").cast("double")
+        / sum("__v").over(Window.partitionBy(parentCol)), 6).as("share_of_parent"),
+      graft.functions.Num.round(col("__v").cast("double")
+        / sum("__v").over(Window.partitionBy()), 6).as("share_of_total"))
+  }
+
+  /** Moving-average crossovers (generalizes q_time_18_sma_cross): days
+    * where SMA(fast) crosses SMA(slow) on an integer series, the sign
+    * decided by the exact integer slow·sFast − fast·sSlow (the LCM
+    * form). direction +1 = golden cross (fast moves above slow).
+    */
+  def smaCrossovers(daily: DataFrame, dayCol: String, valueCol: String,
+      fast: Int = 5, slow: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(fast < slow, s"fast ($fast) must be shorter than slow ($slow)")
+    val wf = Window.orderBy(dayCol).rowsBetween(-(fast - 1), 0)
+    val ws = Window.orderBy(dayCol).rowsBetween(-(slow - 1), 0)
+    val w = daily.select(col(dayCol),
+      sum(valueCol).over(wf).as("__sf"), count(lit(1)).over(wf).as("__kf"),
+      sum(valueCol).over(ws).as("__ss"), count(lit(1)).over(ws).as("__ks"))
+    val sig = w.filter(col("__kf") === fast && col("__ks") === slow)
+      .select(col(dayCol),
+        (lit(slow) * col("__sf") - lit(fast) * col("__ss")).as("__diff"))
+      .withColumn("__prev", lag("__diff", 1).over(Window.orderBy(dayCol)))
+    sig.filter((col("__prev") <= 0 && col("__diff") > 0)
+        || (col("__prev") > 0 && col("__diff") <= 0))
+      .select(col(dayCol).cast("long").as(dayCol),
+        when(col("__prev") <= 0 && col("__diff") > 0, 1L).otherwise(-1L).as("direction"))
+  }
+
+  /** Day-offset retention (generalizes q_stream_32_retention_curve):
+    * for each offset k, the count of ids active exactly k days after
+    * their first day. Activity dedups once; each probe is one semi
+    * join. Returns (offset, n_ids, n_retained, rate).
+    */
+  def retentionCurve(df: DataFrame, idCol: String, tsCol: String,
+      offsets: Seq[Int] = Seq(1, 7, 30)): DataFrame = {
+    require(offsets.nonEmpty && offsets.forall(_ > 0), "offsets must be positive")
+    val ud = df.select(col(idCol), (col(tsCol) / 86400000000L).cast("long").as("__day"))
+      .distinct().localCheckpoint()
+    val f = ud.groupBy(idCol).agg(min("__day").as("__d0")).localCheckpoint()
+    val base = f.count()
+    offsets.map { k =>
+      val probe = ud.select(col(idCol).as("__pid"), col("__day").as("__pday"))
+      val retained = f.join(probe, col(idCol) === col("__pid")
+          && col("__pday") === col("__d0") + k, "left_semi")
+        .count()
+      (k.toLong, base, retained,
+        math.floor(retained.toDouble / base * 1e6 + 0.5) / 1e6)
+    }.foldLeft(Option.empty[DataFrame]) { (acc, row) =>
+      val one = df.sparkSession.createDataFrame(Seq(row))
+        .toDF("offset", "n_ids", "n_retained", "rate")
+      Some(acc.map(_.union(one)).getOrElse(one))
+    }.get
+  }
 }
