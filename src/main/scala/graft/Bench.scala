@@ -5,7 +5,11 @@ import org.apache.spark.sql.SparkSession
   * one full untimed warm pass (absorbs codegen + JIT churn — with ~130
   * distinct queries the generated whole-stage-codegen classes swamp the
   * JIT compile queue and random mid-suite queries would run interpreted,
-  * observed 10-40x outliers), then one timed steady-state pass.
+  * observed 10-40x outliers), then TWO timed steady-state passes
+  * min-merged per query (run-position noise of several seconds was
+  * observed on identical code round-over-round; the min is the
+  * steady-state signal, and both raw runs are kept in
+  * bench_out.json.runs.json).
   *
   * Output durability (round-1 lesson: a single >16 KB stdout line got
   * truncated by the log capture and 77/136 timings were lost):
@@ -70,15 +74,27 @@ object Bench {
     selected.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    val results = selected.map { case (name, fn) =>
+    // Two timed passes, min-merged per query (round-5 lesson: single-run
+    // position noise — q_graph_13_hits 5.7 vs 2.4 s on identical code —
+    // contaminated round-over-round comparisons; the min of two runs is
+    // the steady-state signal). Both raw runs land beside the merged
+    // record for the audit trail.
+    def timedPass(): Map[String, Double] = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    val run1 = timedPass()
+    val run2 = timedPass()
+    val results = run1.map { case (name, s1) => name -> math.min(s1, run2(name)) }
     val total = if (results.nonEmpty) results.values.sum else 0.0
 
     def json(qs: Iterable[(String, Double)], fmt: Double => String): String =
       qs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    println(f"BENCH_RUN1 total ${run1.values.sum}%.1f sec; BENCH_RUN2 total ${run2.values.sum}%.1f sec (min-merged below)")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath + ".runs.json"),
+      s"""{"run1":${json(run1, _.toString)},"run2":${json(run2, _.toString)}}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results, _.toString)},"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

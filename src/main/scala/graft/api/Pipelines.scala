@@ -737,6 +737,65 @@ object Pipelines {
           / (col("__e1") * col("__e1") / (n1 - 1) + col("__e2") * col("__e2") / (n2 - 1))).as("df"))
   }
 
+  /** Engine-exact Welch t-test: pre-quantizes `valueCol` to integer
+    * units (`floor(v * scale + 0.5)`, scale=100 = cents) so the six
+    * sufficient statistics are exact BIGINT sums on ANY engine or
+    * partitioning, and t/df are emitted quantized to 1e-6 — the
+    * deterministic path of the declared q_stat_8_welch, exposed as the
+    * API default discipline. Use [[welchTTest]] only when no
+    * quantization of the value domain is acceptable.
+    * Σv² must stay within int64: |v·scale| up to ~3e9 rows at cents
+    * scale (the declared query's bound analysis).
+    */
+  def welchTTestQuantized(df: DataFrame, valueCol: String, groupCol: String,
+      groupA: String, groupB: String, scale: Long = 100L): DataFrame = {
+    val st = df.filter(col(groupCol).isin(groupA, groupB))
+      .select(col(groupCol).as("__g"),
+        floor(col(valueCol) * scale + 0.5).cast("long").as("__v"))
+      .groupBy("__g")
+      .agg(count(lit(1)).as("n"), sum("__v").as("sv"), sum(col("__v") * col("__v")).as("sv2"))
+    val p = st.agg(
+      max(when(col("__g") === groupA, col("n"))).as("n1"),
+      max(when(col("__g") === groupA, col("sv"))).as("sv1"),
+      max(when(col("__g") === groupA, col("sv2"))).as("sq1"),
+      max(when(col("__g") === groupB, col("n"))).as("n2"),
+      max(when(col("__g") === groupB, col("sv"))).as("svb"),
+      max(when(col("__g") === groupB, col("sv2"))).as("sq2"))
+    val n1 = col("n1").cast("double"); val n2 = col("n2").cast("double")
+    val e1 = (n1 * col("sq1").cast("double") - col("sv1").cast("double") * col("sv1").cast("double")) / (n1 * (n1 - 1) * n1)
+    val e2 = (n2 * col("sq2").cast("double") - col("svb").cast("double") * col("svb").cast("double")) / (n2 * (n2 - 1) * n2)
+    p.withColumn("__e1", e1).withColumn("__e2", e2)
+      .select(col("n1"), col("n2"),
+        (floor((col("sv1").cast("double") / n1 - col("svb").cast("double") / n2)
+          / sqrt(col("__e1") + col("__e2")) * 1000000 + 0.5) / 1000000).as("t"),
+        (floor((col("__e1") + col("__e2")) * (col("__e1") + col("__e2"))
+          / (col("__e1") * col("__e1") / (n1 - 1) + col("__e2") * col("__e2") / (n2 - 1)) * 1000000 + 0.5) / 1000000).as("df"))
+  }
+
+  /** Engine-exact winsorized mean: clamp values are pre-quantized to
+    * integer units (`scale`=100 = cents) BEFORE summation, so the group
+    * sum is an exact BIGINT and the emitted mean (rounded to 2 dp of
+    * the original unit) is deterministic under any partitioning — the
+    * declared q_agg_32_winsorize discipline as the API default. The
+    * exact-percentile pass is the only wide exchange; its per-group
+    * boundary table broadcasts back. Use [[winsorizedMean]] only when
+    * the value domain has no natural quantization.
+    */
+  def winsorizedMeanQuantized(df: DataFrame, groupCol: String, valueCol: String,
+      lo: Double = 0.05, hi: Double = 0.95, scale: Long = 100L): DataFrame = {
+    val p = df.groupBy(groupCol).agg(
+      expr(s"percentile($valueCol, $lo)").as("__plo"),
+      expr(s"percentile($valueCol, $hi)").as("__phi"))
+    val q = when(col(valueCol) < col("__plo"), floor(col("__plo") * scale + 0.5).cast("long"))
+      .when(col(valueCol) > col("__phi"), floor(col("__phi") * scale + 0.5).cast("long"))
+      .otherwise(floor(col(valueCol) * scale + 0.5).cast("long"))
+    df.join(broadcast(p), groupCol)
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"),
+        round(sum(q).cast("double") / (count(lit(1)).cast("double") * scale), 2)
+          .as("winsor_mean"))
+  }
+
   /** nDCG@k per query group (generalizes q_ret_1_ndcg): rank by
     * `scoreCol` DESC with `idCol` tiebreak, binary relevance from
     * `relCol` (boolean). Discount weights 1/log₂(r+1) are quantized at
@@ -1024,20 +1083,51 @@ object Pipelines {
   }
 
   /** RFM quintile segmentation (generalizes q_stream_27_rfm): per-id
-    * recency/frequency/monetary scores by ntile over exact integers
-    * (`tsCol` in micros, `valueCol` pre-quantized) with the id as
-    * tie-break, then segment populations. Score 1 = best.
+    * recency/frequency/monetary scores by exact ntile over exact
+    * integers (`tsCol` in micros, `valueCol` pre-quantized) with the id
+    * as tie-break, then segment populations. Score 1 = best.
+    *
+    * Stays distributed at any id cardinality: each score is a
+    * range-partitioned sort + per-partition zipWithIndex (global rank =
+    * partition offset + local index — the partition-count prefix sum is
+    * the only driver-side state), then the ntile bucket is computed
+    * arithmetically from the 0-based rank. Identical output to
+    * `ntile(q) OVER (ORDER BY key DESC, id)` without funnelling every
+    * distinct id through one window partition.
     */
   def rfmSegments(df: DataFrame, idCol: String, tsCol: String, valueCol: String,
       quantiles: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = df.sparkSession
     val u = df.groupBy(idCol).agg(max(tsCol).as("__last"),
       count(lit(1)).as("__freq"), sum(valueCol).as("__mon"))
-    val sc = u.select(col(idCol),
-      ntile(quantiles).over(Window.orderBy(col("__last").desc, col(idCol))).as("r"),
-      ntile(quantiles).over(Window.orderBy(col("__freq").desc, col(idCol))).as("f"),
-      ntile(quantiles).over(Window.orderBy(col("__mon").desc, col(idCol))).as("m"))
-    sc.groupBy(col("r").cast("long").as("r"), col("f").cast("long").as("f"),
+      .localCheckpoint()
+    val n = u.count()
+    // ntile(q) over n rows from a 0-based global rank: the first n%q
+    // buckets take ceil(n/q) rows, the rest floor(n/q) (Spark/SQL NTile
+    // semantics). safeBase guards the (never-selected) otherwise branch
+    // when n < q so ANSI mode can't divide by zero.
+    val base = n / quantiles
+    val rem = n % quantiles
+    val cut = rem * (base + 1)
+    val safeBase = math.max(base, 1L)
+    def bucket(idx: org.apache.spark.sql.Column) =
+      when(idx < cut, idx / (base + 1) + 1)
+        .otherwise(lit(rem) + (idx - cut) / safeBase + 1)
+    def score(keyCol: String, out: String): DataFrame = {
+      val sorted = u.select(col(idCol), col(keyCol))
+        .repartitionByRange(col(keyCol).desc, col(idCol))
+        .sortWithinPartitions(col(keyCol).desc, col(idCol))
+      val ranked = spark.createDataFrame(
+        sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
+        StructType(sorted.schema.fields :+ StructField("__idx", LongType)))
+      ranked.select(col(idCol), bucket(col("__idx")).as(out))
+    }
+    score("__last", "r")
+      .join(score("__freq", "f"), idCol)
+      .join(score("__mon", "m"), idCol)
+      .groupBy(col("r").cast("long").as("r"), col("f").cast("long").as("f"),
         col("m").cast("long").as("m"))
       .agg(count(lit(1)).as("n"))
       .orderBy("r", "f", "m")
@@ -1128,13 +1218,21 @@ object Pipelines {
     val P = 1000000007L
     val o = df.select(col(idCol).as("__id"), col(valueCol).as("__v")).localCheckpoint()
     val reps = o.withColumn("__b", explode(expr(s"sequence(1, $replicates)")))
-      .filter(((col("__id") + col("__b") * 131) % P) * 2654435761L % P < P / 2 + 1)
+      .filter(((col("__id") + col("__b") * 131) % P) * 2654435761L % P < P / 2)
       .groupBy("__b").agg(count(lit(1)).as("__n"), sum("__v").as("__s"))
     val means = reps.select(floor(col("__s").cast("double") / col("__n") + 0.5)
       .cast("long").as("__m"))
     val srt = means.agg(sort_array(collect_list("__m")).as("__ms"))
     val pt = o.agg((sum("__v").cast("double") / count(lit(1))).as("mean"))
     pt.crossJoin(broadcast(srt))
+      // loud-failure contract: a replicate that selects zero rows
+      // produces no group, so the means array shrinks and element_at
+      // would yield a silent null ci bound (or throw under ANSI).
+      // assert_true inside the filter can't be pruned by the optimizer.
+      .filter(assert_true(size(col("__ms")) === replicates,
+        concat(lit(s"bootstrapMeanCI: expected $replicates replicate means, got "),
+          size(col("__ms")),
+          lit(" — at least one replicate selected zero rows"))).isNull)
       .select(col("mean"),
         element_at(col("__ms"), loRank).cast("double").as("ci_lo"),
         element_at(col("__ms"), hiRank).cast("double").as("ci_hi"))

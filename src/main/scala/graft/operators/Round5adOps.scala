@@ -106,17 +106,32 @@ object Round5adOps {
       val rows = Tables(s, d, "region")
         .select(col("r_regionkey"), col("r_name"))
         .orderBy("r_regionkey").collect()
+      // JSON-escape the name: quotes/backslashes/control chars would
+      // otherwise corrupt the rendered file (fixture-safe today, but
+      // the render must not depend on the dimension staying clean)
+      def esc(v: String): String = v.flatMap {
+        case '"'  => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
       val pretty = rows.map(r =>
-        s"""  {\n    "r_regionkey": ${r.get(0)},\n    "r_name": "${r.getString(1)}"\n  }""")
+        s"""  {\n    "r_regionkey": ${r.get(0)},\n    "r_name": "${esc(r.getString(1))}"\n  }""")
         .mkString("[\n", ",\n", "\n]")
       val dir = new java.io.File(tmp + "_pretty")
       dir.mkdirs()
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(dir.getPath, "data.json"), pretty)
-      s.read.option("multiLine", "true").json(dir.getPath)
+      val out = s.read.option("multiLine", "true").json(dir.getPath)
         .agg(count(lit(1)).as("n_rows"),
           sum("r_regionkey").as("key_sum"),
           sum(length(col("r_name"))).as("name_chars"))
+      // the read is fully materialized by agg-time; eagerly compute so
+      // the temp dir can be deleted before returning
+      val collected = out.localCheckpoint()
+      new java.io.File(dir, "data.json").delete()
+      dir.delete()
+      collected
     },
 
     // One-pass multi-column distinct aggregation: four distinct counts

@@ -248,7 +248,7 @@ object Round5qOps {
         .select(col("o_orderkey"), floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
         .localCheckpoint()
       val reps = o.withColumn("b", explode(expr("sequence(1, 32)")))
-        .filter(((col("o_orderkey") + col("b") * 131) % P) * 2654435761L % P < P / 2 + 1)
+        .filter(((col("o_orderkey") + col("b") * 131) % P) * 2654435761L % P < P / 2)
         .groupBy("b").agg(count(lit(1)).as("n"), sum("cents").as("s"))
       val means = reps.select(
         floor(col("s").cast("double") / col("n") + 0.5).cast("long").as("mean_c"))

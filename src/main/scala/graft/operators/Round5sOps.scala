@@ -28,18 +28,26 @@ object Round5sOps {
     e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
   }
 
-  private val duckBidir =
-    s"""SELECT src, dst FROM (SELECT DISTINCT src, dst FROM ($duckEdges))
-       |UNION SELECT dst, src FROM (SELECT DISTINCT src, dst FROM ($duckEdges))""".stripMargin
-
   val all: Seq[Q] = Seq(
 
     // 3-core peeling trajectory: how many nodes/edges survive each of
     // three peel rounds (degree < 3 removed, degrees recomputed) — the
     // density audit that PageRank/components don't give: a graph can be
-    // connected yet have a hollow core.
+    // connected yet have a hollow core. Runs on the SAMPLED handoff
+    // graph (l_orderkey % 100 = 0 — the q_graph_15 family pattern): the
+    // full sf0.1 graph is so dense (avg degree ~440) that a 3-core peel
+    // removes nothing and the trajectory degenerates to three identical
+    // rows; the sampled graph peels 851 → 843 → 842 at sf0.1, so the
+    // query actually distinguishes a correct peel from a no-op.
+    // count(*)/2 is CAST AS BIGINT in EVERY union branch (DuckDB `/` is
+    // float division; an uncast branch widens n_edges to DOUBLE — the
+    // r5 oracle-type failure).
     Q("q_graph_12_kcore",
-      s"""WITH b AS ($duckBidir),
+      s"""WITH e0 AS (SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+         |  FROM lineitem a JOIN lineitem b
+         |   ON a.l_orderkey = b.l_orderkey AND a.l_linenumber + 1 = b.l_linenumber
+         |  WHERE a.l_suppkey <> b.l_suppkey AND a.l_orderkey % 100 = 0),
+         |b AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
          |d0 AS (SELECT src AS node, count(*) AS dg FROM b GROUP BY 1),
          |k1 AS (SELECT node FROM d0 WHERE dg >= 3),
          |e1 AS (SELECT b.src, b.dst FROM b WHERE b.src IN (SELECT node FROM k1) AND b.dst IN (SELECT node FROM k1)),
@@ -52,14 +60,15 @@ object Round5sOps {
          |SELECT * FROM (
          | SELECT CAST(1 AS BIGINT) AS round, (SELECT CAST(count(*) AS BIGINT) FROM k1) AS n_nodes,
          |  (SELECT CAST(count(*) / 2 AS BIGINT) FROM e1) AS n_edges
-         | UNION ALL SELECT 2, (SELECT count(*) FROM k2), (SELECT count(*) / 2 FROM e2)
-         | UNION ALL SELECT 3, (SELECT count(*) FROM k3), (SELECT count(*) / 2 FROM e3))
+         | UNION ALL SELECT 2, (SELECT CAST(count(*) AS BIGINT) FROM k2), (SELECT CAST(count(*) / 2 AS BIGINT) FROM e2)
+         | UNION ALL SELECT 3, (SELECT CAST(count(*) AS BIGINT) FROM k3), (SELECT CAST(count(*) / 2 AS BIGINT) FROM e3))
          |ORDER BY round""".stripMargin) { (s, d) =>
       // Each peel is degree-filter → left_semi both endpoints — pure
       // integer set algebra, no floats anywhere. The bidir edge list
       // checkpoints once; each round's survivor set is aggregate-sized
       // (≤ |V|), so the three semi-joins broadcast at any scale.
-      val b = bidir(Tables(s, d, "lineitem")).localCheckpoint()
+      val b = bidir(Tables(s, d, "lineitem").filter(col("l_orderkey") % 100 === 0))
+        .localCheckpoint()
       def peel(edges: DataFrame): (DataFrame, DataFrame) = {
         val keep = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("dg"))
           .filter(col("dg") >= 3).select("node")

@@ -40,7 +40,11 @@ class Pipelines5Spec extends SparkSpec {
   }
 
   test("kCore peels to a fixpoint where every node has degree >= k") {
+    // same l_orderkey % 100 = 0 sampled graph as q_graph_12_kcore (the
+    // full fixture graph is too dense for a 3-core peel to remove
+    // anything, so the subgraph relation below would be vacuous)
     val li = graft.sources.Tables(spark, sf, "lineitem")
+      .filter(col("l_orderkey") % 100 === 0)
     val e = li.as("a").join(li.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_linenumber") + 1 === col("b.l_linenumber") &&

@@ -339,6 +339,24 @@ class PipelinesSpec extends SparkSpec {
     assert(api == pinned)
   }
 
+  test("winsorizedMeanQuantized == q_agg_32_winsorize EXACTLY (cents scale)") {
+    // the quantized overload is the declared query's own discipline:
+    // bit-for-bit equality, no tolerance
+    val li = graft.sources.Tables(spark, sf, "lineitem")
+    val api = Pipelines.winsorizedMeanQuantized(li, "l_returnflag", "l_extendedprice")
+      .orderBy("l_returnflag").collect().toSeq
+    val pinned = Registry.byName("q_agg_32_winsorize").fn(spark, sf).collect().toSeq
+    assert(api == pinned)
+  }
+
+  test("welchTTestQuantized == q_stat_8_welch EXACTLY (cents scale)") {
+    val ev = graft.sources.Tables(spark, sf, "events")
+    val api = Pipelines.welchTTestQuantized(ev, "value", "event_type", "purchase", "view")
+      .collect().toSeq
+    val pinned = Registry.byName("q_stat_8_welch").fn(spark, sf).collect().toSeq
+    assert(api == pinned)
+  }
+
   test("winsorizedMean == q_agg_32_winsorize (mean within float-avg tolerance)") {
     // the generic form averages raw doubles (no cents assumption); the
     // declared query is integer-exact — 2dp agreement required

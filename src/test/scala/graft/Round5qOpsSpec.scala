@@ -106,7 +106,7 @@ class Round5qOpsSpec extends SparkSpec {
     val orders = graft.sources.Tables(spark, sf, "orders")
       .select("o_orderkey", "o_totalprice").collect()
       .map(r => (r.getLong(0), math.floor(r.getDouble(1) * 100 + 0.5).toLong))
-    val inRep1 = orders.filter { case (k, _) => ((k + 131) % P) * 2654435761L % P < P / 2 + 1 }
+    val inRep1 = orders.filter { case (k, _) => ((k + 131) % P) * 2654435761L % P < P / 2 }
     assert(inRep1.nonEmpty && inRep1.length < orders.length)
   }
 

@@ -27,8 +27,28 @@ class Round5sOpsSpec extends SparkSpec {
     bidir.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
   }
 
+  /** Same adjacency on the l_orderkey % 100 = 0 sampled graph (the
+    * kcore/closeness fixture slice — the full graph is too dense for a
+    * 3-core peel to discriminate). */
+  private lazy val sampledAdj: Map[Long, Set[Long]] = {
+    val li = graft.sources.Tables(spark, sf, "lineitem")
+      .filter(col("l_orderkey") % 100 === 0)
+      .select("l_orderkey", "l_linenumber", "l_suppkey").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val edges = li.groupBy(_._1).values.flatMap { ls =>
+      val m: Map[Int, Seq[Long]] =
+        ls.groupBy(_._2).view.mapValues(_.map(_._3).toSeq).toMap
+      m.toSeq.flatMap { case (ln, s1s) =>
+        m.getOrElse(ln + 1, Seq.empty[Long])
+          .flatMap(s2 => s1s.filter(_ != s2).map(s1 => (s1, s2)))
+      }
+    }.toSet
+    (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+  }
+
   test("q_graph_12_kcore: peel trajectory replicates; monotone nonincreasing") {
-    var a = adj
+    var a = sampledAdj
     val expected = (1 to 3).map { _ =>
       val keep = a.collect { case (v, ns) if ns.size >= 3 => v }.toSet
       a = a.collect { case (v, ns) if keep(v) =>
@@ -74,20 +94,7 @@ class Round5sOpsSpec extends SparkSpec {
 
   test("q_graph_15_closeness: layer counts replicate BFS ball sizes on the sampled graph") {
     // the query runs on the l_orderkey % 100 = 0 sampled handoff graph
-    val li = graft.sources.Tables(spark, sf, "lineitem")
-      .filter(col("l_orderkey") % 100 === 0)
-      .select("l_orderkey", "l_linenumber", "l_suppkey").collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
-    val edges = li.groupBy(_._1).values.flatMap { ls =>
-      val m: Map[Int, Seq[Long]] =
-        ls.groupBy(_._2).view.mapValues(_.map(_._3).toSeq).toMap
-      m.toSeq.flatMap { case (ln, s1s) =>
-        m.getOrElse(ln + 1, Seq.empty[Long])
-          .flatMap(s2 => s1s.filter(_ != s2).map(s1 => (s1, s2)))
-      }
-    }.toSet
-    val sadj = (edges ++ edges.map(e => (e._2, e._1)))
-      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val sadj = sampledAdj
     val expected = sadj.keys.map { v =>
       val l1 = sadj(v)
       val l2 = l1.flatMap(sadj.getOrElse(_, Set.empty)) -- l1 - v
