@@ -63,7 +63,10 @@ object Registry {
       Round5adOps.all ++
       Round5aeOps.all ++
       Round5afOps.all ++
-      Round5agOps.all
+      Round5agOps.all ++
+      Round6Ops.all ++
+      Round6bOps.all ++
+      Round6cOps.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(
