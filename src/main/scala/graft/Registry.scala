@@ -66,7 +66,8 @@ object Registry {
       Round5agOps.all ++
       Round6Ops.all ++
       Round6bOps.all ++
-      Round6cOps.all
+      Round6cOps.all ++
+      Round6dOps.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(

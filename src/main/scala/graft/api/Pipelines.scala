@@ -1428,4 +1428,347 @@ object Pipelines {
       Some(acc.map(_.union(one)).getOrElse(one))
     }.get
   }
+
+  /** Exact distinct via fixed-width bitmaps (generalizes
+    * q_agg_42_bitmap_distinct): non-negative integer `idCol` values
+    * pack into 63-bit words keyed (group, id div 63), OR-aggregated
+    * and popcount-summed. Per-group state is |domain|/63 words
+    * regardless of row count and fully map-side combinable — use when
+    * the id domain is bounded (count(DISTINCT) shuffles every value).
+    */
+  def bitmapDistinct(df: DataFrame, groupCol: String, idCol: String): DataFrame =
+    df.select(col(groupCol),
+        expr(s"$idCol div 63").as("__wd"),
+        expr(s"shiftleft(cast(1 as bigint), cast($idCol % 63 as int))").as("__mask"))
+      .groupBy(groupCol, "__wd")
+      .agg(expr("bit_or(__mask)").as("__bits"))
+      .groupBy(groupCol)
+      .agg(sum(bit_count(col("__bits")).cast("long")).as("n_distinct"))
+
+  /** Durbin–Watson statistic of the OLS residual walk over an integer
+    * series (generalizes q_stat_31): fits y ~ a + b·x from five exact
+    * integer sums, quantizes residuals to 1e-3 and differences them
+    * under one lag window. Returns (n, slope, dw); dw << 2 means the
+    * series' trend residuals are positively autocorrelated.
+    */
+  def durbinWatson(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dly = df.select(col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+      .localCheckpoint()
+    val m = dly.agg(count(lit(1)).as("__k"), sum("__x").as("__sx"), sum("__y").as("__sy"),
+      sum(col("__x") * col("__x")).as("__sxx"), sum(col("__x") * col("__y")).as("__sxy"))
+    def D(c0: String) = col(c0).cast("double")
+    val ab = m.select(col("__k"),
+        ((D("__k") * col("__sxy") - D("__sx") * col("__sy"))
+          / (D("__k") * col("__sxx") - D("__sx") * col("__sx"))).as("__b"),
+        col("__sx"), col("__sy"))
+      .select(col("__k"), col("__b"),
+        (D("__sy") / col("__k") - col("__b") * (D("__sx") / col("__k"))).as("__a"))
+    val e3 = floor((D("__y") - col("__a") - col("__b") * col("__x")) * 1000 + 0.5).cast("long")
+    val e = dly.crossJoin(broadcast(ab))
+      .select(col("__x"), col("__b"), e3.as("__e3"))
+      .withColumn("__p3", lag("__e3", 1).over(Window.orderBy("__x")))
+    e.groupBy("__b")
+      .agg(sum(when(col("__p3").isNotNull,
+          (col("__e3") - col("__p3")) * (col("__e3") - col("__p3"))).otherwise(0L)).as("__sd"),
+        sum(col("__e3") * col("__e3")).as("__se"), count(lit(1)).as("n"))
+      .select(col("n"),
+        graft.functions.Num.round(col("__b"), 6).as("slope"),
+        graft.functions.Num.round(col("__sd").cast("double") / col("__se"), 6).as("dw"))
+  }
+
+  /** Stochastic oscillator %K/%D (generalizes q_win_27): trailing
+    * `lookback`-row high-low range position of an integer series,
+    * smoothed over `smooth` rows. %K quantizes to 1e-6 BEFORE the %D
+    * average so the second window folds exact integers. Warm-up rows
+    * of both windows are excluded.
+    */
+  def stochasticOscillator(daily: DataFrame, dayCol: String, valueCol: String,
+      lookback: Int = 14, smooth: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(lookback >= 2 && smooth >= 1, s"bad params ($lookback, $smooth)")
+    val win = Window.orderBy(dayCol).rowsBetween(-(lookback - 1), 0)
+    val w = daily.select(col(dayCol), col(valueCol).as("__v"),
+      count(lit(1)).over(win).as("__k"),
+      min(valueCol).over(win).as("__ll"), max(valueCol).over(win).as("__hh"))
+    val pk = w.filter(col("__k") === lookback)
+      .select(col(dayCol),
+        when(col("__hh") === col("__ll"), lit(500000L))
+          .otherwise(floor((col("__v") - col("__ll")).cast("double") * 1000000
+            / (col("__hh") - col("__ll")) + 0.5).cast("long")).as("__k6"))
+    val ws = Window.orderBy(dayCol).rowsBetween(-(smooth - 1), 0)
+    pk.select(col(dayCol), col("__k6"),
+        count(lit(1)).over(ws).as("__m"), sum("__k6").over(ws).as("__s"))
+      .filter(col("__m") === smooth)
+      .select(col(dayCol),
+        (floor(col("__k6").cast("double") / 10000 * 100 + 0.5) / 100).as("pct_k"),
+        (floor(floor(col("__s").cast("double") / smooth + 0.5) / 10000 * 100 + 0.5) / 100)
+          .as("pct_d"))
+  }
+
+  /** Consecutive-index set similarity (generalizes q_set_8): Jaccard
+    * between the member sets at index i and i+1 for every i. The
+    * (index, member) relation dedups once; intersections are one
+    * (i+1, member)-keyed self-join.
+    */
+  def adjacentSetJaccard(df: DataFrame, indexCol: String, memberCol: String): DataFrame = {
+    val ms = df.select(col(indexCol).cast("long").as("__i"), col(memberCol).as("__m"))
+      .distinct().localCheckpoint()
+    val sz = ms.groupBy("__i").agg(count(lit(1)).as("__n"))
+    val ix = ms.as("a")
+      .join(ms.as("b"), col("b.__i") === col("a.__i") + 1 && col("b.__m") === col("a.__m"))
+      .groupBy(col("a.__i").as("__i")).agg(count(lit(1)).as("__both"))
+    sz.as("p")
+      .join(sz.as("nx"), col("nx.__i") === col("p.__i") + 1)
+      .join(ix.as("ix"), col("ix.__i") === col("p.__i"), "left_outer")
+      .select(col("p.__i").as(indexCol), col("p.__n").as("n_prev"),
+        col("nx.__n").as("n_next"), coalesce(col("__both"), lit(0L)).as("n_common"),
+        graft.functions.Num.round(coalesce(col("__both"), lit(0L)).cast("double")
+          / (col("p.__n") + col("nx.__n") - coalesce(col("__both"), lit(0L))), 6)
+          .as("jaccard"))
+  }
+
+  /** Character-class quality profile (generalizes q_text_49):
+    * upper/digit/space shares per group via exact length-difference
+    * counting — three codegen'd regex replaces in one scan.
+    */
+  def charClassProfile(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    def cnt(cls: String) =
+      (length(col(textCol)) - length(regexp_replace(col(textCol), cls, ""))).cast("long")
+    df.select(col(groupCol), length(col(textCol)).cast("long").as("__n"),
+        cnt("[A-Z]").as("__up"), cnt("[0-9]").as("__dg"), cnt(" ").as("__sp"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"), sum("__n").as("n_chars"),
+        graft.functions.Num.round(sum("__up").cast("double") / sum("__n"), 6).as("upper_ratio"),
+        graft.functions.Num.round(sum("__dg").cast("double") / sum("__n"), 6).as("digit_ratio"),
+        graft.functions.Num.round(sum("__sp").cast("double") / sum("__n"), 6).as("space_ratio"))
+  }
+
+  /** Cross-document boilerplate share (generalizes q_text_50):
+    * sentences (split on ". ", trimmed, length >= minLen) occurring in
+    * 2+ distinct documents, counted per group. At corpus scale key the
+    * frequency join on xxhash64(sentence) instead of the raw string.
+    */
+  def boilerplateShare(df: DataFrame, idCol: String, groupCol: String,
+      textCol: String, minLen: Int = 20): DataFrame = {
+    val sen = df.select(col(idCol).as("__id"), col(groupCol),
+        explode(split(col(textCol), "\\. ")).as("__s0"))
+      .select(col("__id"), col(groupCol), trim(col("__s0")).as("__s"))
+      .filter(length(col("__s")) >= minLen)
+      .localCheckpoint()
+    val freq = sen.groupBy("__s").agg(countDistinct("__id").as("__nd"))
+    sen.join(freq, "__s")
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_sentences"),
+        sum(when(col("__nd") >= 2, 1L).otherwise(0L)).as("n_boiler"),
+        graft.functions.Num.round(sum(when(col("__nd") >= 2, 1L).otherwise(0L)).cast("double")
+          / count(lit(1)), 6).as("boiler_ratio"))
+  }
+
+  /** Prefix-fingerprint dup summary (generalizes q_dedup_26): cluster
+    * by the first `prefixLen` characters, report the corpus-level dup
+    * profile in one row.
+    */
+  def prefixClusters(df: DataFrame, textCol: String, prefixLen: Int = 40): DataFrame =
+    df.groupBy(substring(col(textCol), 1, prefixLen).as("__pfx"))
+      .agg(count(lit(1)).as("__n"))
+      .agg(sum("__n").as("n_docs"), count(lit(1)).as("n_groups"),
+        sum(when(col("__n") >= 2, 1L).otherwise(0L)).as("n_multi_groups"),
+        sum(when(col("__n") >= 2, col("__n") - 1).otherwise(0L)).as("n_dup_docs"),
+        graft.functions.Num.round(
+          sum(when(col("__n") >= 2, col("__n") - 1).otherwise(0L)).cast("double")
+            / sum("__n"), 6).as("dup_ratio"))
+
+  /** Ridge shrinkage path (generalizes q_ml_10): two-regressor ridge
+    * coefficients at each λ, solved in closed form on the centered
+    * normal equations from nine exact integer power sums (`xCol`,
+    * `zCol`, `yCol` must already be integer-quantized). One scan for
+    * any number of λs.
+    */
+  def ridgePath(df: DataFrame, xCol: String, zCol: String, yCol: String,
+      lambdas: Seq[Long]): DataFrame = {
+    require(lambdas.nonEmpty, "need at least one lambda")
+    val m = df.select(col(xCol).cast("long").as("__x"), col(zCol).cast("long").as("__z"),
+        col(yCol).cast("long").as("__y"))
+      .agg(count(lit(1)).as("__n"), sum("__x").as("__sx"), sum("__z").as("__sz"),
+        sum("__y").as("__sy"),
+        sum(col("__x") * col("__x")).as("__sxx"), sum(col("__x") * col("__z")).as("__sxz"),
+        sum(col("__z") * col("__z")).as("__szz"), sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__z") * col("__y")).as("__szy"))
+    def D(c0: String) = col(c0).cast("double")
+    val c = m.select(
+      (D("__sxx") - D("__sx") * col("__sx") / col("__n")).as("__cxx"),
+      (D("__sxz") - D("__sx") * col("__sz") / col("__n")).as("__cxz"),
+      (D("__szz") - D("__sz") * col("__sz") / col("__n")).as("__czz"),
+      (D("__sxy") - D("__sx") * col("__sy") / col("__n")).as("__cxy"),
+      (D("__szy") - D("__sz") * col("__sy") / col("__n")).as("__czy"))
+    val withLam = c.withColumn("lambda", explode(array(lambdas.map(lit): _*)))
+    val det = ((col("__cxx") + col("lambda")) * (col("__czz") + col("lambda"))
+      - col("__cxz") * col("__cxz"))
+    withLam.select(col("lambda"),
+      graft.functions.Num.round((col("__cxy") * (col("__czz") + col("lambda"))
+        - col("__cxz") * col("__czy")) / det, 6).as("b_x"),
+      graft.functions.Num.round(((col("__cxx") + col("lambda")) * col("__czy")
+        - col("__cxz") * col("__cxy")) / det, 6).as("b_z"))
+  }
+
+  /** Token-budget water-filling (generalizes q_pipe_4): allocate
+    * `budgetNum/budgetDen` of the total integer weight across groups —
+    * equal shares first, then one redistribution of the slack left by
+    * groups below the fair share. Pure integer division end to end.
+    * Returns (group, available, alloc1, alloc_final, exhausted).
+    */
+  def waterfillBudget(df: DataFrame, groupCol: String, weightCol: String,
+      budgetNum: Long = 1L, budgetDen: Long = 2L): DataFrame = {
+    require(budgetNum > 0 && budgetDen > 0 && budgetNum <= budgetDen,
+      s"budget fraction $budgetNum/$budgetDen must sit in (0, 1]")
+    val src = df.groupBy(groupCol).agg(sum(col(weightCol).cast("long")).as("__t"))
+      .localCheckpoint()
+    val tot = src.agg(expr(s"sum(__t) * $budgetNum div $budgetDen").as("__budget"),
+      count(lit(1)).as("__ng"))
+    val r1 = src.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("__t"), col("__budget"),
+        expr("__budget div __ng").as("__fair"),
+        least(col("__t"), expr("__budget div __ng")).as("__a1"))
+      .localCheckpoint()
+    val slack = r1.agg((min("__budget") - sum("__a1")).as("__left"),
+      sum(when(col("__t") > col("__fair"), 1L).otherwise(0L)).as("__m"))
+    r1.crossJoin(broadcast(slack))
+      .select(col(groupCol), col("__t").as("available"), col("__a1").as("alloc1"),
+        when(col("__t") > col("__fair"),
+          least(col("__t"), col("__fair")
+            + when(col("__m") > 0, expr("__left div __m")).otherwise(lit(0L))))
+          .otherwise(col("__a1")).cast("long").as("alloc_final"),
+        when(col("__t") <= col("__fair"), 1L).otherwise(0L).as("exhausted"))
+  }
+
+  /** Retrieval exposure share (generalizes q_ret_9): per item-label
+    * share of the 1e6-quantized DCG mass across every query group's
+    * top-`k` ranking (rank by `scoreCol` DESC, `idCol` tie-break).
+    */
+  def exposureShare(df: DataFrame, queryCol: String, labelCol: String,
+      scoreCol: String, idCol: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && k <= 1000, s"k=$k out of range")
+    val wts = (1 to k).map(r => math.floor(1e6 * math.log(2) / math.log(r + 1.0) + 0.5).toLong)
+    val wArr = array(wts.map(lit): _*)
+    val w = Window.partitionBy(queryCol).orderBy(col(scoreCol).desc, col(idCol))
+    val mass = df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .groupBy(labelCol)
+      .agg(count(lit(1)).as("n_slots"),
+        sum(element_at(wArr, col("__rn").cast("int"))).as("__w6"))
+    mass.withColumn("__tot", sum("__w6").over(Window.partitionBy()))
+      .select(col(labelCol), col("n_slots"),
+        graft.functions.Num.round(col("__w6").cast("double") / col("__tot"), 6)
+          .as("exposure_share"))
+  }
+
+  /** k-truss fixpoint (generalizes q_graph_16's two-round trajectory):
+    * repeatedly drop edges in fewer than `k − 2` triangles until the
+    * edge set stabilizes. Support is one canonical-orientation wedge
+    * join per round; edge lists localCheckpoint between rounds.
+    * Returns the surviving canonical (src < dst) edge list.
+    */
+  def kTruss(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxIters: Int = 100): DataFrame = {
+    require(k >= 3, s"k-truss needs k >= 3, got $k")
+    val e0 = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d")).distinct()
+    val b0 = e0.union(e0.select(col("__d").as("__s"), col("__s").as("__d")))
+      .distinct().localCheckpoint()
+    var canon = b0.filter(col("__s") < col("__d"))
+      .select(col("__s").as("__u"), col("__d").as("__v")).localCheckpoint()
+    var n = canon.count()
+    var it = 0
+    var converged = n == 0
+    while (!converged) {
+      it += 1
+      if (it > maxIters)
+        throw new IllegalStateException(s"kTruss($k) did not converge in $maxIters peels")
+      val bi = canon.select(col("__u").as("__s"), col("__v").as("__d"))
+        .union(canon.select(col("__v").as("__s"), col("__u").as("__d")))
+        .localCheckpoint()
+      val next = canon
+        .join(bi.select(col("__s").as("__u"), col("__d").as("__w")), Seq("__u"))
+        .join(bi.select(col("__s").as("__v"), col("__d").as("__w")), Seq("__v", "__w"))
+        .groupBy("__u", "__v").agg(count(lit(1)).as("__sup"))
+        .filter(col("__sup") >= k - 2)
+        .select("__u", "__v").localCheckpoint()
+      val n2 = next.count()
+      if (n2 == n || n2 == 0) converged = true
+      canon = next
+      n = n2
+    }
+    canon.select(col("__u").as(srcCol), col("__v").as(dstCol))
+  }
+
+  /** Top event-type n-gram paths (generalizes q_stream_34's trigrams):
+    * the most common `n`-step sequences per id stream, ranked. One
+    * window pass with `n − 1` leads; the aggregate is |types|ⁿ-bounded.
+    */
+  def pathNgrams(df: DataFrame, idCol: String, tsCol: String, typeCol: String,
+      tieCol: String, n: Int = 3, topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 2 && n <= 6, s"n=$n out of range")
+    val w = Window.partitionBy(idCol).orderBy(tsCol, tieCol)
+    val withLeads = (1 until n).foldLeft(
+      df.select(col(idCol), col(tsCol), col(tieCol), col(typeCol).as("__e0"))) {
+      (acc, i) => acc.withColumn(s"__e$i", lead(col("__e0"), i).over(w))
+    }
+    val parts = (0 until n).map(i => col(s"__e$i"))
+    withLeads.filter(parts.drop(1).map(_.isNotNull).reduce(_ && _))
+      .groupBy(concat_ws(">", parts: _*).as("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path")).limit(topK)
+  }
+
+  /** Churn counts at inactivity horizons (generalizes q_stream_35):
+    * ids whose last activity is `h`+ days before the corpus's last
+    * day, for each horizon. Returns (horizon, n_ids, n_churned, rate).
+    */
+  def churnHorizons(df: DataFrame, idCol: String, tsCol: String,
+      horizons: Seq[Int] = Seq(3, 7, 14)): DataFrame = {
+    require(horizons.nonEmpty && horizons.forall(_ >= 0), "horizons must be >= 0")
+    val u = df.groupBy(idCol)
+      .agg(max((col(tsCol) / 86400000000L).cast("long")).as("__last"))
+      .localCheckpoint()
+    val mx = u.agg(max("__last").as("__maxd"))
+    val joined = u.crossJoin(broadcast(mx)).localCheckpoint()
+    horizons.map { h =>
+      val agg = joined.agg(count(lit(1)).as("n"),
+        sum(when(col("__last") <= col("__maxd") - h, 1L).otherwise(0L)).as("c"))
+        .collect().head
+      (h.toLong, agg.getLong(0), agg.getLong(1),
+        math.floor(agg.getLong(1).toDouble / agg.getLong(0) * 1e6 + 0.5) / 1e6)
+    }.foldLeft(Option.empty[DataFrame]) { (acc, row) =>
+      val one = df.sparkSession.createDataFrame(Seq(row))
+        .toDF("horizon", "n_ids", "n_churned", "rate")
+      Some(acc.map(_.union(one)).getOrElse(one))
+    }.get
+  }
+
+  /** Pairwise label-centroid cosine matrix (generalizes q_sim_33):
+    * components quantize to 1e8 integers, centroids to rounded integer
+    * means, the pair dots/norms are exact BIGINT sums — the corpus is
+    * touched once, the |labels|² join runs over broadcast-sized rows.
+    */
+  def centroidMatrix(df: DataFrame, labelCol: String, vecCol: String): DataFrame = {
+    val e = df.select(col(labelCol).as("__l"), posexplode(col(vecCol)).as(Seq("__p", "__v")))
+      .select(col("__l"), col("__p"),
+        floor(col("__v").cast("double") * 100000000L + 0.5).cast("long").as("__vi"))
+    val cl = e.groupBy("__l", "__p")
+      .agg(floor(sum("__vi").cast("double") / count(lit(1)) + 0.5).cast("long").as("__c"))
+      .localCheckpoint()
+    val a = cl.select(col("__l").as("__la"), col("__p"), col("__c").as("__ca"))
+    val b = cl.select(col("__l").as("__lb"), col("__p"), col("__c").as("__cb"))
+    a.join(b, Seq("__p")).filter(col("__la") < col("__lb"))
+      .groupBy(col("__la").as("label_a"), col("__lb").as("label_b"))
+      .agg(sum(col("__ca") * col("__cb")).as("__dot"),
+        sum(col("__ca") * col("__ca")).as("__qa"),
+        sum(col("__cb") * col("__cb")).as("__qb"))
+      .select(col("label_a"), col("label_b"),
+        graft.functions.Num.round(col("__dot").cast("double")
+          / (sqrt(col("__qa").cast("double")) * sqrt(col("__qb").cast("double"))), 6)
+          .as("cos_ab"))
+  }
 }
