@@ -67,7 +67,8 @@ object Registry {
       Round6Ops.all ++
       Round6bOps.all ++
       Round6cOps.all ++
-      Round6dOps.all
+      Round6dOps.all ++
+      Round6eOps.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(
