@@ -68,7 +68,8 @@ object Registry {
       Round6bOps.all ++
       Round6cOps.all ++
       Round6dOps.all ++
-      Round6eOps.all
+      Round6eOps.all ++
+      Round6fOps.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(

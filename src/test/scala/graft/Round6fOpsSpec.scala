@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-6 provenance/planning operators: brute-force replications on
+  * sf0.001.
+  */
+class Round6fOpsSpec extends SparkSpec {
+
+  test("q_text_51_source_overlap: shared-text counts replicate") {
+    val ds = graft.sources.Tables(spark, sf, "documents")
+      .select("source", "text").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val byText = ds.groupBy(_._2).values.filter(_.length >= 2)
+    val expected = byText.flatMap { entries =>
+      val srcs = entries.map(_._1).distinct.sorted
+      for (i <- srcs.indices; j <- i + 1 until srcs.length) yield (srcs(i), srcs(j))
+    }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Registry.byName("q_text_51_source_overlap").fn(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(got == expected)
+  }
+
+  test("q_pipe_5_epoch_plan: caps respected, capped sources serve cap x tokens, target not exceeded") {
+    val rows = Registry.byName("q_pipe_5_epoch_plan").fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val total = rows.map(_._2).sum
+    rows.foreach { case (src, toks, cap, epochs, served) =>
+      assert(epochs <= cap.toDouble + 1e-9, s"$src epochs over cap")
+      assert(served <= cap * toks, s"$src served over cap x tokens")
+      if (cap == 2L) {
+        assert(epochs == 2.0 && served == 2 * toks, s"$src capped source must serve fully")
+      }
+    }
+    assert(rows.map(_._5).sum <= 3 * total)
+  }
+
+  test("q_sim_34_threshold_sweep: counts are monotone decreasing and match a brute-force cosine pass") {
+    val vecs = graft.sources.Tables(spark, sf, "embeddings")
+      .filter(col("vec_id") < 60).orderBy("vec_id")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val all = for (i <- vecs.indices; j <- i + 1 until vecs.length)
+      yield cos(vecs(i)._2, vecs(j)._2)
+    val got = Registry.byName("q_sim_34_threshold_sweep").fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    got.foreach { case (thr, n) =>
+      assert(n == all.count(_ >= thr / 100.0).toLong, s"threshold $thr")
+    }
+    assert(got.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+  }
+}
