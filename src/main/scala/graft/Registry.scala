@@ -69,7 +69,8 @@ object Registry {
       Round6cOps.all ++
       Round6dOps.all ++
       Round6eOps.all ++
-      Round6fOps.all
+      Round6fOps.all ++
+      Round6gOps.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(
