@@ -70,7 +70,8 @@ object Registry {
       Round6dOps.all ++
       Round6eOps.all ++
       Round6fOps.all ++
-      Round6gOps.all
+      Round6gOps.all ++
+      Round6hOps.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(
