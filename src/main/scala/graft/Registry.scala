@@ -71,7 +71,9 @@ object Registry {
       Round6eOps.all ++
       Round6fOps.all ++
       Round6gOps.all ++
-      Round6hOps.all
+      Round6hOps.all ++
+      Round6iOps.all ++
+      Round6jOps.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(
