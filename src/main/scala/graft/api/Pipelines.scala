@@ -1771,4 +1771,211 @@ object Pipelines {
           / (sqrt(col("__qa").cast("double")) * sqrt(col("__qb").cast("double"))), 6)
           .as("cos_ab"))
   }
+
+  /** Directed k-NN cosine graph (generalizes the q_sim_35/36 base):
+    * (src, dst, rank, cos) for each row's k nearest neighbors, ranked
+    * (cos DESC, dst ASC) with the bit-exact float-fold cosine. Brute
+    * force — bound the input or feed LSH/IVF candidates at corpus
+    * scale; the per-src rank window is the only shuffle.
+    */
+  def knnGraph(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val pairs = v.as("a").join(broadcast(v.as("b")), col("a.__id") =!= col("b.__id"))
+      .select(col("a.__id").as("src"), col("b.__id").as("dst"),
+        graft.functions.VectorFunctions.cosine(col("a.__v"), col("b.__v")).as("cos"))
+    pairs.withColumn("rank",
+        row_number().over(Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** In-degree histogram of a directed edge list (the hubness readout
+    * of q_sim_35 over any kNN graph): (indeg, n_nodes), zero bin
+    * included via the node universe. O(E) aggregate.
+    */
+  def hubnessHistogram(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val nodes = edges.select(col(srcCol).as("__n")).distinct()
+    val ind = edges.groupBy(col(dstCol).as("__n")).agg(count(lit(1)).as("__indeg"))
+    nodes.join(ind, Seq("__n"), "left")
+      .select(coalesce(col("__indeg"), lit(0L)).as("indeg"))
+      .groupBy("indeg").agg(count(lit(1)).as("n_nodes"))
+  }
+
+  /** Mean pairwise cosine per group + global (-1 key) WITHOUT the pair
+    * space, via the centroid-sum identity (‖Σu‖²−Σ‖uᵢ‖²)/(n(n−1)) on
+    * 1e-3-quantized unit vectors (generalizes q_sim_38). One O(n·dim)
+    * pass; all cross-row arithmetic is exact BIGINT keyed (group, dim).
+    */
+  def anisotropy(df: DataFrame, groupCol: String, vecCol: String): DataFrame = {
+    val u = df.select(col(groupCol).cast("long").as("__g"), col(vecCol).as("__v"))
+      .withColumn("__nrm", graft.functions.VectorFunctions.l2norm(col("__v")))
+      .filter(col("__nrm") > 0)
+    val ex = u.select(col("__g"), col("__nrm"), posexplode(col("__v")).as(Seq("__d", "__x")))
+      .select(col("__g"), col("__d"),
+        floor(col("__x").cast("double") / col("__nrm") * 1000 + 0.5).cast("long").as("__uq"))
+    val grp = ex.groupBy("__g", "__d")
+      .agg(sum("__uq").as("__sd"), sum(col("__uq") * col("__uq")).as("__ssq"),
+        count(lit(1)).as("__n"))
+      .localCheckpoint()
+    val lab = grp.groupBy("__g")
+      .agg(sum(col("__sd") * col("__sd")).as("__num"), sum("__ssq").as("__selfsum"),
+        max("__n").as("__n"))
+    val gl = grp.groupBy("__d").agg(sum("__sd").as("__sd"), sum("__ssq").as("__ssq"))
+    val glr = gl.agg(sum(col("__sd") * col("__sd")).as("__num"), sum("__ssq").as("__selfsum"))
+      .crossJoin(u.agg(count(lit(1)).as("__n")))
+      .select(lit(-1L).as("__g"), col("__num"), col("__selfsum"), col("__n"))
+    lab.select(col("__g"), col("__num"), col("__selfsum"), col("__n")).union(glr)
+      .select(col("__g").as(groupCol), col("__n").as("n"),
+        (floor((col("__num") - col("__selfsum")).cast("double")
+          / (lit(1000000.0) * col("__n") * (col("__n") - 1)) * 1000000 + 0.5) / 1000000)
+          .as("mean_cos"))
+  }
+
+  /** Synchronous label propagation (generalizes q_graph_18): `rounds`
+    * supersteps of "adopt the most frequent neighbor label, ties →
+    * smallest", from label = node id, over the symmetrized edge list.
+    * Returns (node, label). Each superstep is one join + one window;
+    * labels localCheckpoint per round so lineage stays O(1).
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e0 = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst")).distinct()
+    val b = e0.union(e0.select(col("__dst").as("__src"), col("__src").as("__dst")))
+      .distinct().localCheckpoint()
+    var labels = b.select(col("__src").as("__node")).distinct()
+      .withColumn("__lab", col("__node")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val cnt = b.join(labels.withColumnRenamed("__node", "__nbr"), col("__dst") === col("__nbr"))
+        .groupBy(col("__src").as("__node"), col("__lab")).agg(count(lit(1)).as("__c"))
+      val w = Window.partitionBy("__node").orderBy(col("__c").desc, col("__lab"))
+      labels = cnt.withColumn("__rk", row_number().over(w)).filter(col("__rk") === 1)
+        .select("__node", "__lab").localCheckpoint()
+    }
+    labels.select(col("__node").as("node"), col("__lab").as("label"))
+  }
+
+  /** Adamic–Adar link prediction (generalizes q_graph_19): non-adjacent
+    * pairs sharing ≥1 neighbor scored Σ 1/ln(deg(z)), weights quantized
+    * to 1e-6 ints per neighbor BEFORE the pair sum. Candidates come
+    * from the wedge join (O(Σ deg²), never all-pairs). Returns
+    * (a, b, n_common, score).
+    */
+  def adamicAdar(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e0 = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst")).distinct()
+    val b = e0.union(e0.select(col("__dst").as("__src"), col("__src").as("__dst")))
+      .distinct().localCheckpoint()
+    val w = b.groupBy(col("__src").as("__node")).agg(count(lit(1)).as("__dg"))
+      .filter(col("__dg") >= 2)
+      .select(col("__node"),
+        floor(lit(1000000) / log(col("__dg").cast("double")) + 0.5).cast("long").as("__wz"))
+    b.as("x").join(b.as("y"), col("x.__dst") === col("y.__dst") && col("x.__src") < col("y.__src"))
+      .select(col("x.__src").as("a"), col("y.__src").as("b"), col("x.__dst").as("__z"))
+      .join(b.select(col("__src").as("__ea"), col("__dst").as("__eb")),
+        col("a") === col("__ea") && col("b") === col("__eb"), "left_anti")
+      .join(broadcast(w), col("__z") === col("__node"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("n_common"), sum("__wz").as("__s6"))
+      .select(col("a"), col("b"), col("n_common"),
+        (col("__s6").cast("double") / 1000000).as("score"))
+  }
+
+  /** Per-community modularity contribution (generalizes q_graph_20):
+    * (m2·dir_within − deg_sum²)/m2² for a node→community assignment —
+    * the halving-free exact-BIGINT form. Returns (community,
+    * dir_within, deg_sum, contribution); Σ contribution = modularity Q.
+    */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+      communities: DataFrame, nodeCol: String, comCol: String): DataFrame = {
+    val e0 = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst")).distinct()
+    val b = e0.union(e0.select(col("__dst").as("__src"), col("__src").as("__dst")))
+      .distinct().localCheckpoint()
+    val com = communities.select(col(nodeCol).as("__node"), col(comCol).as("__c"))
+    val m2 = b.agg(count(lit(1)).as("__m2"))
+    val within = b
+      .join(broadcast(com.select(col("__node").as("__na"), col("__c").as("__ca"))),
+        col("__src") === col("__na"))
+      .join(broadcast(com.select(col("__node").as("__nb"), col("__c").as("__cb"))),
+        col("__dst") === col("__nb"))
+      .filter(col("__ca") === col("__cb"))
+      .groupBy(col("__ca").as("__c")).agg(count(lit(1)).as("__dw"))
+    val degsum = b.join(broadcast(com), col("__src") === col("__node"))
+      .groupBy("__c").agg(count(lit(1)).as("__ds"))
+    degsum.join(within, Seq("__c"), "left").crossJoin(broadcast(m2))
+      .select(col("__c").as("community"),
+        coalesce(col("__dw"), lit(0L)).as("dir_within"), col("__ds").as("deg_sum"),
+        (floor((col("__m2") * coalesce(col("__dw"), lit(0L)) - col("__ds") * col("__ds"))
+          .cast("double") / (col("__m2") * col("__m2")).cast("double") * 1000000000 + 0.5)
+          / 1000000000).as("contribution"))
+  }
+
+  /** Train/test near-dup leakage audit (generalizes q_pipe_7): split by
+    * the overflow-safe multiplicative id hash (`trainPct` of 100 goes
+    * to train), then per-group count of test rows whose `keyCol` value
+    * also appears in train. Only key digests shuffle.
+    */
+  def splitLeakage(df: DataFrame, idCol: String, keyCol: String, groupCol: String,
+      trainPct: Int = 90): DataFrame = {
+    val bucket = (pmod(col(idCol), lit(1000000007L)) * 2654435761L) % 1000000007L % 100
+    val keyed = df.select(col(groupCol).as("__g"), col(keyCol).as("__k"),
+      when(bucket < trainPct, lit("train")).otherwise(lit("test")).as("__split"))
+      .localCheckpoint()
+    val tr = keyed.filter(col("__split") === "train").select(col("__k").as("__trk")).distinct()
+    keyed.filter(col("__split") === "test")
+      .join(tr, col("__k") === col("__trk"), "left")
+      .groupBy(col("__g").as(groupCol))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("__trk").isNotNull, 1).otherwise(0)).cast("long").as("n_leaked"))
+      .select(col(groupCol), col("n_test"), col("n_leaked"),
+        (floor(col("n_leaked").cast("double") / col("n_test") * 1000000 + 0.5) / 1000000)
+          .as("leak_share"))
+  }
+
+  /** Concat-and-split packing audit (generalizes q_pipe_8): for each
+    * context size, sequences cut, documents straddling a cut, split
+    * share, and tail pad — off ONE windowed cumulative token sum. The
+    * global-order window range-partitions at scale.
+    */
+  def ctxBoundarySweep(df: DataFrame, orderCol: String, tokCol: String,
+      ctxs: Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(ctxs.nonEmpty, "ctxBoundarySweep needs at least one context size")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = Window.orderBy(orderCol).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = df.select(col(orderCol), col(tokCol).cast("long").as("__tok"))
+      .withColumn("__c", sum("__tok").over(w))
+    cum.crossJoin(broadcast(ctxs.toDF("ctx")))
+      .select(col("ctx"), col("__tok"), col("__c"),
+        when(expr("(__c - 1) div ctx") > expr("(__c - __tok) div ctx"), 1).otherwise(0)
+          .as("__crossed"))
+      .groupBy("ctx")
+      .agg(max("__c").as("__total"), sum("__crossed").cast("long").as("n_docs_split"),
+        count(lit(1)).as("__n"))
+      .select(col("ctx"), expr("(__total + ctx - 1) div ctx").as("n_seqs"),
+        col("n_docs_split"),
+        (floor(col("n_docs_split").cast("double") / col("__n") * 1000000 + 0.5) / 1000000)
+          .as("split_share"),
+        (expr("(__total + ctx - 1) div ctx") * col("ctx") - col("__total")).as("tail_pad"))
+  }
+
+  /** Truncation pricing (generalizes q_text_52): tokens lost and docs
+    * touched when every row's `tokCol` is capped at each max length.
+    * Map-only + one aggregate.
+    */
+  def truncationLoss(df: DataFrame, tokCol: String, caps: Seq[Long]): DataFrame = {
+    require(caps.nonEmpty, "truncationLoss needs at least one cap")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(tokCol).cast("long").as("__tok"))
+      .crossJoin(broadcast(caps.toDF("cap")))
+      .select(col("cap"), col("__tok"),
+        when(col("__tok") > col("cap"), col("__tok") - col("cap")).otherwise(0L).as("__lost"))
+      .groupBy("cap")
+      .agg(sum("__tok").as("total_tokens"), sum("__lost").as("tokens_lost"),
+        sum(when(col("__tok") > col("cap"), 1).otherwise(0)).cast("long").as("docs_truncated"))
+      .select(col("cap"), col("total_tokens"), col("tokens_lost"), col("docs_truncated"),
+        (floor(col("tokens_lost").cast("double") / col("total_tokens") * 1000000 + 0.5) / 1000000)
+          .as("loss_share"))
+  }
 }
