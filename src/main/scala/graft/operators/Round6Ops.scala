@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Q
+import graft.functions.Num
 import graft.sources.Tables
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
@@ -17,6 +18,17 @@ import org.apache.spark.sql.functions._
   * statistics; rankings order on exact integers with id tie-breaks.
   */
 object Round6Ops {
+
+  /** q_scan_22's per-(session, dataset) partitioned-fixture cache path.
+    * Keyed on BOTH the applicationId and a digest of the dataset dir: a
+    * session that evaluates the query against two different sf dirs must
+    * not silently reuse the first dir's materialization.
+    */
+  def dppCachePath(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val dKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    s"${sys.props("java.io.tmpdir")}/graft_dpp_${s.sparkContext.applicationId}_$dKey"
+  }
 
   val all: Seq[Q] = Seq(
 
@@ -228,10 +240,10 @@ object Round6Ops {
         |SELECT ym, CAST(count(*) AS BIGINT) AS n_orders,
         | floor(CAST(sum(cents) AS DOUBLE) / 100 * 100 + 0.5) / 100 AS revenue
         |FROM f WHERE ym // 100 = 1995 GROUP BY ym ORDER BY ym""".stripMargin) { (s, d) =>
-      val tmp = s"${sys.props("java.io.tmpdir")}/graft_dpp_${s.sparkContext.applicationId}"
+      val tmp = Round6Ops.dppCachePath(s, d)
       val dir = new java.io.File(tmp)
-      // one partitioned materialization per session (81 month dirs at
-      // sf0.1 — the write is the fixture setup, not the measured op)
+      // one partitioned materialization per (session, dataset) (81 month
+      // dirs at sf0.1 — the write is the fixture setup, not the measured op)
       if (!dir.exists()) {
         Tables(s, d, "orders")
           .select((year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).cast("long").as("ym"),
@@ -245,7 +257,7 @@ object Round6Ops {
       fact.join(broadcast(dim.select("ym")), Seq("ym"))
         .groupBy("ym")
         .agg(count(lit(1)).as("n_orders"),
-          round(sum("cents").cast("double") / 100, 2).as("revenue"))
+          Num.round(sum("cents").cast("double") / 100, 2).as("revenue"))
         // partition-dir values type-infer as INT on read-back; emit the
         // declared BIGINT schema
         .select(col("ym").cast("long").as("ym"), col("n_orders"), col("revenue"))

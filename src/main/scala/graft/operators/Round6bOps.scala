@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Q
+import graft.functions.Num
 import graft.sources.Tables
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -53,9 +54,9 @@ object Round6bOps {
           cnt("[A-Z]").as("up"), cnt("[0-9]").as("dg"), cnt(" ").as("sp"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum("n").as("n_chars"),
-          round(sum("up").cast("double") / sum("n"), 6).as("upper_ratio"),
-          round(sum("dg").cast("double") / sum("n"), 6).as("digit_ratio"),
-          round(sum("sp").cast("double") / sum("n"), 6).as("space_ratio"))
+          Num.round(sum("up").cast("double") / sum("n"), 6).as("upper_ratio"),
+          Num.round(sum("dg").cast("double") / sum("n"), 6).as("digit_ratio"),
+          Num.round(sum("sp").cast("double") / sum("n"), 6).as("space_ratio"))
         .orderBy("source")
     },
 
@@ -92,7 +93,7 @@ object Round6bOps {
         .groupBy("source")
         .agg(count(lit(1)).as("n_sentences"),
           sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_boiler"),
-          round(sum(when(col("nd") >= 2, 1L).otherwise(0L)).cast("double")
+          Num.round(sum(when(col("nd") >= 2, 1L).otherwise(0L)).cast("double")
             / count(lit(1)), 6).as("boiler_ratio"))
         .orderBy("source")
     },
@@ -121,7 +122,7 @@ object Round6bOps {
         .agg(sum("n").as("n_docs"), count(lit(1)).as("n_groups"),
           sum(when(col("n") >= 2, 1L).otherwise(0L)).as("n_multi_groups"),
           sum(when(col("n") >= 2, col("n") - 1).otherwise(0L)).as("n_dup_docs"),
-          round(sum(when(col("n") >= 2, col("n") - 1).otherwise(0L)).cast("double")
+          Num.round(sum(when(col("n") >= 2, col("n") - 1).otherwise(0L)).cast("double")
             / sum("n"), 6).as("dup_ratio"))
     },
 

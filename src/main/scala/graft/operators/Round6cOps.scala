@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Q
+import graft.functions.Num
 import graft.sources.Tables
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
@@ -74,7 +75,7 @@ object Round6cOps {
           sum(when(col("last_day") <= col("maxd") - 3, 1L).otherwise(0L)).as("churn_3d"),
           sum(when(col("last_day") <= col("maxd") - 7, 1L).otherwise(0L)).as("churn_7d"),
           sum(when(col("last_day") <= col("maxd") - 14, 1L).otherwise(0L)).as("churn_14d"),
-          round(sum(when(col("last_day") <= col("maxd") - 7, 1L).otherwise(0L)).cast("double")
+          Num.round(sum(when(col("last_day") <= col("maxd") - 7, 1L).otherwise(0L)).cast("double")
             / count(lit(1)), 6).as("churn_7d_rate"))
     },
 
@@ -177,7 +178,7 @@ object Round6cOps {
           sum(when(col("n_distinct") < col("n_lines"), 1L).otherwise(0L)).as("n_dup_orders"),
           sum(when(col("max_ln") > col("n_distinct"), 1L).otherwise(0L)).as("n_gap_orders"),
           max("n_lines").as("max_lines"),
-          round(sum(when(col("n_distinct") < col("n_lines"), 1L).otherwise(0L)).cast("double")
+          Num.round(sum(when(col("n_distinct") < col("n_lines"), 1L).otherwise(0L)).cast("double")
             / count(lit(1)), 6).as("dup_order_ratio"))
     },
 

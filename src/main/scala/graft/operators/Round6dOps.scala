@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Q
+import graft.functions.Num
 import graft.sources.Tables
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -42,9 +43,9 @@ object Round6dOps {
         .filter(col("vec_id") < 100)
         .select(col("vec_id"),
           size(col("embedding")).cast("long").as("dim"),
-          round(array_min(col("embedding")).cast("double"), 6).as("v_min"),
-          round(array_max(col("embedding")).cast("double"), 6).as("v_max"),
-          round(aggregate(col("embedding"), lit(0.0), (a, x) => a + x.cast("double"))
+          Num.round(array_min(col("embedding")).cast("double"), 6).as("v_min"),
+          Num.round(array_max(col("embedding")).cast("double"), 6).as("v_max"),
+          Num.round(aggregate(col("embedding"), lit(0.0), (a, x) => a + x.cast("double"))
             / size(col("embedding")), 6).as("v_mean"),
           size(filter(col("embedding"), x => x > 0)).cast("long").as("n_positive"))
         .orderBy("vec_id")
@@ -133,7 +134,7 @@ object Round6dOps {
       Tables(s, d, "lineitem")
         .agg(count(lit(1)).as("n_total"),
           cnt(p1).as("n_p1"), cnt(p2).as("n_p2"), cnt(p3).as("n_p3"), cnt(p4).as("n_p4"),
-          round(cnt(p4).cast("double") / count(lit(1)), 6).as("sel_p4"))
+          Num.round(cnt(p4).cast("double") / count(lit(1)), 6).as("sel_p4"))
     },
 
     // Catalog-wide primary-key audit: rows vs distinct-PK for five

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Q
+import graft.functions.Num
 import graft.sources.Tables
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -55,7 +56,7 @@ object Round6eOps {
         .agg(count(lit(1)).as("n_rows"),
           sum(when(col("c_custkey").isNotNull, 1L).otherwise(0L)).as("n_matched"),
           sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_null_key"),
-          round(sum(when(col("c_custkey").isNotNull, col("cents")).otherwise(0L))
+          Num.round(sum(when(col("c_custkey").isNotNull, col("cents")).otherwise(0L))
             .cast("double") / 100, 2).as("matched_value"))
     },
 
@@ -68,8 +69,8 @@ object Round6eOps {
         |r AS (SELECT cents, row_number() OVER (ORDER BY cents, o_orderkey) AS rn FROM o),
         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM o),
         |k AS (SELECT n,
-        |  CAST(floor((n - 1.96 * sqrt(CAST(n AS DOUBLE))) / 2) AS BIGINT) AS r_lo,
-        |  CAST(ceil((n + 1.96 * sqrt(CAST(n AS DOUBLE))) / 2) AS BIGINT) AS r_hi,
+        |  greatest(1, least(n, CAST(floor((n - 1.96 * sqrt(CAST(n AS DOUBLE))) / 2) AS BIGINT))) AS r_lo,
+        |  greatest(1, least(n, CAST(ceil((n + 1.96 * sqrt(CAST(n AS DOUBLE))) / 2) AS BIGINT))) AS r_hi,
         |  (n + 1) // 2 AS r_med FROM n)
         |SELECT k.n,
         | floor(CAST((SELECT cents FROM r WHERE rn = k.r_lo) AS DOUBLE) / 100 * 100 + 0.5) / 100 AS ci_lo,
@@ -87,8 +88,13 @@ object Round6eOps {
           col("o_orderkey"))
         .localCheckpoint()
       val n = o.count()
-      val rLo = math.floor((n - 1.96 * math.sqrt(n.toDouble)) / 2).toLong
-      val rHi = math.ceil((n + 1.96 * math.sqrt(n.toDouble)) / 2).toLong
+      require(n > 0, "q_stat_32_median_ci: empty orders table")
+      // clamp to [1, n] (mirrored in the oracle): for tiny n the raw
+      // formula yields rank 0 / n+1, which no row carries — both
+      // engines would otherwise fail in DIFFERENT ways (NULL vs throw)
+      def clamp(r: Long) = math.max(1L, math.min(n, r))
+      val rLo = clamp(math.floor((n - 1.96 * math.sqrt(n.toDouble)) / 2).toLong)
+      val rHi = clamp(math.ceil((n + 1.96 * math.sqrt(n.toDouble)) / 2).toLong)
       val rMed = (n + 1) / 2
       val r = o.select(col("cents"),
         row_number().over(Window.orderBy("cents", "o_orderkey")).as("rn"))

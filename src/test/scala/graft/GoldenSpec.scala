@@ -11,10 +11,12 @@ class GoldenSpec extends SparkSpec {
 
   // Legitimately possibly-empty at sf0.001: near-dup family (all 500
   // texts distinct), anti join (every customer may have orders), rich-
-  // account full outer (acctbal thresholds may exclude everyone).
+  // account full outer (acctbal thresholds may exclude everyone),
+  // cross-source verbatim overlap (same all-distinct reason; its
+  // non-vacuous path is pinned by Round6fOpsSpec's synthetic corpus).
   private val mayBeEmpty = Set(
     "q_dedup_2_near", "q_dedup_3_minhash_lsh",
-    "q_join_5_full_outer", "q_join_7_anti")
+    "q_join_5_full_outer", "q_join_7_anti", "q_text_51_source_overlap")
 
   private lazy val golden: Map[String, (Long, String)] =
     scala.io.Source.fromInputStream(

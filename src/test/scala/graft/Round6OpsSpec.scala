@@ -100,13 +100,14 @@ class Round6OpsSpec extends SparkSpec {
         floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
       .filter(expr("ym div 100") === 1995)
       .groupBy("ym")
-      .agg(count(lit(1)).as("n"), round(sum("cents").cast("double") / 100, 2).as("rev"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Num.round(sum("cents").cast("double") / 100, 2).as("rev"))
       .orderBy("ym")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(got.toSeq == exp.toSeq)
     // plan evidence: the partitioned-fact join carries a dynamicpruning
     // partition filter (the tmp layout was written by the query above)
-    val tmp = s"${sys.props("java.io.tmpdir")}/graft_dpp_${spark.sparkContext.applicationId}"
+    val tmp = graft.operators.Round6Ops.dppCachePath(spark, sf)
     val fact = spark.read.parquet(tmp)
     val dim = spark.read.parquet(tmp).select(col("ym")).distinct()
       .withColumn("y", (col("ym") / 100).cast("long")).filter(col("y") === 1995)

@@ -21,6 +21,32 @@ class Round6fOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("q_text_51_source_overlap: nonzero counts on a synthetic corpus with known cross-source dups") {
+    // the sf0.001 fixture has no cross-source verbatim texts (the golden
+    // entry is 0 rows), so the join/group logic needs its own non-vacuous
+    // fixture: 3 sources sharing known texts.
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_overlap_").toString
+    val docs = Seq(
+      // "shared one" in s0+s1 (twice in s0 — must still count once per pair),
+      // "shared two" in s0+s1+s2, "only s2" unique
+      (1L, "shared one", "en", "s0", 10L),
+      (2L, "shared one", "en", "s0", 10L),
+      (3L, "shared one", "en", "s1", 10L),
+      (4L, "shared two", "en", "s0", 10L),
+      (5L, "shared two", "en", "s1", 10L),
+      (6L, "shared two", "en", "s2", 10L),
+      (7L, "only s2", "en", "s2", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Registry.byName("q_text_51_source_overlap").fn(spark, tmp).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(got == Map(
+      ("s0", "s1") -> 2L, // shared one + shared two
+      ("s0", "s2") -> 1L, // shared two
+      ("s1", "s2") -> 1L))
+  }
+
   test("q_pipe_5_epoch_plan: caps respected, capped sources serve cap x tokens, target not exceeded") {
     val rows = Registry.byName("q_pipe_5_epoch_plan").fn(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
