@@ -73,7 +73,9 @@ object Registry {
       Round6gOps.all ++
       Round6hOps.all ++
       Round6iOps.all ++
-      Round6jOps.all
+      Round6jOps.all ++
+      Round7Ops.all ++
+      Round7bOps.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(
