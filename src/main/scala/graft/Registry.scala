@@ -75,7 +75,9 @@ object Registry {
       Round6iOps.all ++
       Round6jOps.all ++
       Round7Ops.all ++
-      Round7bOps.all
+      Round7bOps.all ++
+      Round7cOps.all ++
+      Round7dOps.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(
