@@ -77,7 +77,9 @@ object Registry {
       Round7Ops.all ++
       Round7bOps.all ++
       Round7cOps.all ++
-      Round7dOps.all
+      Round7dOps.all ++
+      Round7eOps.all ++
+      Round7fOps.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(
