@@ -79,7 +79,8 @@ object Registry {
       Round7cOps.all ++
       Round7dOps.all ++
       Round7eOps.all ++
-      Round7fOps.all
+      Round7fOps.all ++
+      Round7gOps.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(
