@@ -51,7 +51,7 @@ object Round7eOps {
          |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
          |hubs AS (SELECT node FROM (SELECT node,
          |   row_number() OVER (ORDER BY deg DESC, node) AS rn FROM deg), n
-         |  WHERE rn <= greatest(n.n // 10, 1)),
+         |  WHERE rn <= greatest(n.n // 10, 2)),
          |eh AS (SELECT CAST(count(*) AS BIGINT) AS e2 FROM b
          |  WHERE src IN (SELECT node FROM hubs) AND dst IN (SELECT node FROM hubs)),
          |ea AS (SELECT CAST(count(*) AS BIGINT) AS e2 FROM b),
@@ -72,7 +72,7 @@ object Round7eOps {
       val deg = b.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
         .localCheckpoint()
       val n = deg.count()
-      val nHubs = math.max(n / 10, 1L)
+      val nHubs = math.max(n / 10, 2L)
       val hubs = deg
         .select(col("node"), row_number()
           .over(Window.orderBy(col("deg").desc, col("node"))).as("rn"))

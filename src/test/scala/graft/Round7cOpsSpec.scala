@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-7 dedup/stat operators: brute-force replications on sf0.001. */
+class Round7cOpsSpec extends SparkSpec {
+
+  private def docs =
+    graft.sources.Tables(spark, sf, "documents")
+      .select("doc_id", "text", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+
+  test("q_dedup_28_length_strata: quartiles partition the corpus; dup counts replicate") {
+    val sorted = docs.sortBy(d => (d._3, d._1))
+    val n = sorted.length
+    // ntile semantics: first (n mod 4) tiles get ceil(n/4)
+    val base = n / 4; val extra = n % 4
+    val sizes = (1 to 4).map(q => if (q <= extra) base + 1 else base)
+    val tiles = sizes.scanLeft(0)(_ + _).sliding(2).map(w => (w(0), w(1))).toSeq
+    val exp = tiles.zipWithIndex.map { case ((a, b), i) =>
+      val slice = sorted.slice(a, b)
+      (i + 1L, slice.length.toLong, slice.map(_._2).distinct.length.toLong,
+        slice.map(_._3).min, slice.map(_._3).max)
+    }
+    val got = Registry.byName("q_dedup_28_length_strata").fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5), r.getLong(6)))
+    assert(got.toSeq == exp)
+  }
+
+  test("q_dedup_29_bag_of_words: sorted-bag distinct replicates") {
+    val bags = docs.map(_._2.split(" ").sorted.mkString(" "))
+    val r = Registry.byName("q_dedup_29_bag_of_words").fn(spark, sf).collect().head
+    assert(r.getLong(0) == docs.length.toLong)
+    assert(r.getLong(1) == docs.map(_._2).distinct.length.toLong)
+    assert(r.getLong(2) == bags.distinct.length.toLong)
+    assert(r.getLong(3) == r.getLong(1) - r.getLong(2))
+  }
+
+  test("q_dedup_30_normalized_ladder: each rung replicates; normalization can only collapse") {
+    val stop = Set("a", "the")
+    def strip(t: String) = t.split(" ").filterNot(stop).mkString(" ")
+    def bag(t: String) = t.split(" ").sorted.mkString(" ")
+    def both(t: String) = t.split(" ").filterNot(stop).sorted.mkString(" ")
+    val exp = Seq(
+      (1L, "raw", docs.map(_._2).distinct.length.toLong),
+      (2L, "stopword_stripped", docs.map(d => strip(d._2)).distinct.length.toLong),
+      (3L, "sorted_bag", docs.map(d => bag(d._2)).distinct.length.toLong),
+      (4L, "stripped_sorted_bag", docs.map(d => both(d._2)).distinct.length.toLong))
+    val got = Registry.byName("q_dedup_30_normalized_ladder").fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == exp)
+    // every normalized form is a function of the raw text
+    assert(exp(1)._3 <= exp(0)._3 && exp(2)._3 <= exp(0)._3 && exp(3)._3 <= exp(1)._3)
+  }
+
+  test("q_stat_33_kappa: 2x2 table and kappa replicate") {
+    val flags = docs.map { d =>
+      val tk = d._2.split(" ")
+      (if (tk.length < 40) 1 else 0, if (tk.distinct.length < 22) 1 else 0)
+    }
+    val n = flags.length.toDouble
+    val n11 = flags.count(_ == ((1, 1))).toLong
+    val n10 = flags.count(_ == ((1, 0))).toLong
+    val n01 = flags.count(_ == ((0, 1))).toLong
+    val n00 = flags.count(_ == ((0, 0))).toLong
+    val r = Registry.byName("q_stat_33_kappa").fn(spark, sf).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((n11, n10, n01, n00)))
+    val po = (n11 + n00) / n
+    val pe = ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) / n / n
+    assert(r.getDouble(6) == math.floor((po - pe) / (1 - pe) * 1000000 + 0.5) / 1000000)
+    // both raters flag real minorities → kappa must be informative, not degenerate
+    assert(r.getDouble(6) > 0.2 && r.getDouble(6) < 1.0)
+  }
+
+  test("q_stat_34_hash_perm: observed diff replicates; p-value well-formed") {
+    val o = graft.sources.Tables(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority")).collect()
+      .map(r => (r.getLong(0), math.floor(r.getDouble(1) * 100 + 0.5).toLong,
+        r.getString(2) == "1-URGENT"))
+    val urg = o.filter(_._3).map(_._2)
+    val oth = o.filterNot(_._3).map(_._2)
+    val od = urg.sum.toDouble / urg.length - oth.sum.toDouble / oth.length
+    val r = Registry.byName("q_stat_34_hash_perm").fn(spark, sf).collect().head
+    assert(r.getLong(0) == 20L)
+    assert(r.getDouble(1) == math.floor(od / 100 * 100 + 0.5) / 100)
+    assert(r.getLong(2) >= 0 && r.getLong(2) <= 20)
+    assert(r.getDouble(3) > 0 && r.getDouble(3) <= 1.0)
+  }
+
+  test("q_stat_35_breusch_pagan: aux R2 in [0,1]; BP = n x R2 at the declared scales") {
+    val r = Registry.byName("q_stat_35_breusch_pagan").fn(spark, sf).collect().head
+    val (n, r2, bp) = (r.getLong(0), r.getDouble(1), r.getDouble(2))
+    assert(r2 >= 0 && r2 <= 1)
+    assert(math.abs(bp - n * r2) <= n * 1e-6 + 1e-4 + 1e-9)
+  }
+}
