@@ -1978,4 +1978,218 @@ object Pipelines {
         (floor(col("tokens_lost").cast("double") / col("total_tokens") * 1000000 + 0.5) / 1000000)
           .as("loss_share"))
   }
+  // ─── Round-7 wrappers ──────────────────────────────────────────────
+
+  /** k-anonymity summary of `df` under the given quasi-identifier
+    * columns (generalizes q_priv_1): group count, k, max group, rows in
+    * groups under `riskK` and their share. One QI-bounded groupBy.
+    */
+  def kAnonymity(df: DataFrame, qiCols: Seq[String], riskK: Int = 5): DataFrame =
+    df.groupBy(qiCols.map(col): _*).agg(count(lit(1)).as("__n"))
+      .agg(count(lit(1)).as("n_groups"), min("__n").as("k_anonymity"),
+        max("__n").as("max_group"), sum("__n").as("n_rows"),
+        sum(when(col("__n") < riskK, col("__n")).otherwise(0L)).as("n_at_risk"),
+        graft.functions.Num.round(
+          sum(when(col("__n") < riskK, col("__n")).otherwise(0L)).cast("double")
+            / sum("__n"), 6).as("risk_share"))
+
+  /** l-diversity of the QI groups against a sensitive column
+    * (generalizes q_priv_2). `sensitive` may be any expression column
+    * (e.g. a pre-bucketed band).
+    */
+  def lDiversity(df: DataFrame, qiCols: Seq[String],
+      sensitive: org.apache.spark.sql.Column, minL: Int = 3): DataFrame =
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"), countDistinct(sensitive).as("__l"))
+      .agg(count(lit(1)).as("n_groups"), min("__l").as("min_l"),
+        graft.functions.Num.round(sum("__l").cast("double") / count(lit(1)), 6)
+          .as("mean_l"),
+        sum(when(col("__l") < minL, 1L).otherwise(0L)).as("n_low_div_groups"),
+        sum(when(col("__l") < minL, col("__n")).otherwise(0L)).as("n_exposed"))
+
+  /** Intra-document duplicate n-gram share per group (generalizes
+    * q_text_55): positions − distinct as two array sizes, no explode.
+    */
+  def dupNgramShare(df: DataFrame, groupCol: String, textCol: String,
+      n: Int = 5): DataFrame = {
+    val tk = split(col(textCol), " ")
+    val pos = greatest(size(tk) - (n - 1), lit(0)).cast("long")
+    val dst = size(when(size(tk) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(sequence(lit(1), size(tk) - (n - 1)),
+        i => concat_ws(" ", slice(tk, i, lit(n))))))).cast("long")
+    df.select(col(groupCol), pos.as("__n"), dst.as("__d"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"), sum("__n").as("n_ngrams"),
+        sum(col("__n") - col("__d")).as("n_dup_ngrams"),
+        graft.functions.Num.round(sum(col("__n") - col("__d")).cast("double")
+          / greatest(sum("__n"), lit(1L)), 6).as("dup_share"))
+  }
+
+  /** Gopher-style rule incidence matrix per group (generalizes
+    * q_text_57): all four rules as exact integer predicates.
+    */
+  def qualityRuleMatrix(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val tk = split(col(textCol), " ")
+    val m = df.select(col(groupCol),
+      size(tk).cast("long").as("__nt"),
+      size(array_distinct(tk)).cast("long").as("__nu"),
+      length(col(textCol)).cast("long").as("__nc"),
+      (length(col(textCol)) - length(regexp_replace(col(textCol), "[0-9]", "")))
+        .cast("long").as("__dg"))
+    val f = m.select(col(groupCol),
+      when(col("__nt") < 15, 1L).otherwise(0L).as("__r1"),
+      when(col("__nc") - col("__nt") + 1 < col("__nt") * 3
+        || col("__nc") - col("__nt") + 1 > col("__nt") * 10, 1L).otherwise(0L).as("__r2"),
+      when(col("__dg") * 5 > col("__nc"), 1L).otherwise(0L).as("__r3"),
+      when(col("__nu") * 5 < col("__nt") * 2, 1L).otherwise(0L).as("__r4"))
+    val fails = col("__r1") + col("__r2") + col("__r3") + col("__r4")
+    f.groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum("__r1").as("n_short"), sum("__r2").as("n_wordlen"),
+        sum("__r3").as("n_digit"), sum("__r4").as("n_repeat"),
+        sum(when(fails >= 2, 1L).otherwise(0L)).as("n_multi_fail"),
+        graft.functions.Num.round(sum(when(fails === 0, 1L).otherwise(0L)).cast("double")
+          / count(lit(1)), 6).as("clean_share"))
+  }
+
+  /** Cohen's kappa between two binary rater columns (0/1 longs)
+    * (generalizes q_stat_33). Returns the 2×2 plus p_observed and κ.
+    */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val m = df.agg(count(lit(1)).as("n"),
+      sum(when(col(aCol) === 1 && col(bCol) === 1, 1L).otherwise(0L)).as("n11"),
+      sum(when(col(aCol) === 1 && col(bCol) === 0, 1L).otherwise(0L)).as("n10"),
+      sum(when(col(aCol) === 0 && col(bCol) === 1, 1L).otherwise(0L)).as("n01"),
+      sum(when(col(aCol) === 0 && col(bCol) === 0, 1L).otherwise(0L)).as("n00"))
+    def D(c: org.apache.spark.sql.Column) = c.cast("double")
+    val pe = (D(col("n11") + col("n10")) * (col("n11") + col("n01"))
+      + D(col("n01") + col("n00")) * (col("n10") + col("n00"))) / col("n") / col("n")
+    val po = D(col("n11") + col("n00")) / col("n")
+    m.select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+      graft.functions.Num.round(po, 6).as("p_observed"),
+      graft.functions.Num.round((po - pe) / (lit(1) - pe), 6).as("kappa"))
+  }
+
+  /** Fano overdispersion factor per group from a pre-bucketed event
+    * frame (generalizes q_stream_38): var/mean of per-bucket counts.
+    */
+  def fanoFactor(df: DataFrame, groupCol: String, bucketCol: String): DataFrame =
+    df.groupBy(col(groupCol), col(bucketCol)).agg(count(lit(1)).as("__c"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_buckets"), sum("__c").as("n_events"),
+        sum(col("__c") * col("__c")).as("__scc"))
+      .select(col(groupCol), col("n_buckets"), col("n_events"),
+        graft.functions.Num.round((col("n_buckets").cast("double") * col("__scc")
+          - col("n_events").cast("double") * col("n_events"))
+          / (col("n_buckets").cast("double") * col("n_events")), 6).as("fano"))
+
+  /** Degree-sequence Gini of an undirected edge list (generalizes
+    * q_graph_23). Edges must already be symmetrized+distinct.
+    */
+  def degreeGini(bidirEdges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val deg = bidirEdges.groupBy(col(srcCol).as("__node")).agg(count(lit(1)).as("__deg"))
+    deg.select(col("__deg"),
+        row_number().over(Window.orderBy(col("__deg"), col("__node")))
+          .cast("long").as("__i"))
+      .agg(count(lit(1)).as("n_nodes"), sum("__deg").as("total_degree"),
+        sum(col("__i") * col("__deg")).as("__sid"), max("__deg").as("max_degree"))
+      .select(col("n_nodes"), col("total_degree"), col("max_degree"),
+        graft.functions.Num.round((col("__sid").cast("double") * 2
+          - (col("n_nodes") + 1).cast("double") * col("total_degree"))
+          / (col("n_nodes").cast("double") * col("total_degree")), 6).as("gini"))
+  }
+
+  /** Deterministic token-balanced shard summary (generalizes q_pipe_9):
+    * portable multiplicative hash of `idCol` into `nShards` shards.
+    */
+  def shardBalance(df: DataFrame, idCol: String, tokCol: String,
+      nShards: Int = 16): DataFrame = {
+    val P = 1000000007L
+    df.select((((col(idCol) % P) * 2654435761L % P) % nShards).as("__shard"),
+        col(tokCol).cast("long").as("__tok"))
+      .groupBy("__shard")
+      .agg(count(lit(1)).as("__nd"), sum("__tok").as("__toks"))
+      .agg(count(lit(1)).as("n_shards"), sum("__nd").as("n_rows"),
+        min("__toks").as("min_tokens"), max("__toks").as("max_tokens"),
+        graft.functions.Num.round(sum("__toks").cast("double") / count(lit(1)), 2)
+          .as("mean_tokens"),
+        graft.functions.Num.round((max("__toks").cast("double") - min("__toks"))
+          / (sum("__toks").cast("double") / count(lit(1))), 6).as("imbalance"))
+  }
+
+  /** One Newton step of logistic regression from β=0 for a binary
+    * 0/1 label vs one regressor (generalizes q_ml_12): closed form
+    * 4·(XᵀX)⁻¹Xᵀ(y−½) over five exact sums.
+    */
+  def logitStep(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("long")
+    val m = df.agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(x * x).as("sxx"),
+      sum(y).as("sy"), sum(when(y === 1, x).otherwise(0L)).as("sxy"))
+    def D(c: org.apache.spark.sql.Column) = c.cast("double")
+    val den = D(col("n")) * col("sxx") - D(col("sx")) * col("sx")
+    val gy = D(col("sy")) - D(col("n")) / 2
+    val gxy = D(col("sxy")) - D(col("sx")) / 2
+    m.select(col("n"), col("sy").as("n_positive"),
+      graft.functions.Num.round(D(col("sy")) / col("n"), 6).as("base_rate"),
+      graft.functions.Num.round(lit(4.0) * (D(col("sxx")) * gy - D(col("sx")) * gxy) / den, 6)
+        .as("beta0"),
+      graft.functions.Num.round(lit(4.0) * (D(col("n")) * gxy - D(col("sx")) * gy) / den, 6)
+        .as("beta1"))
+  }
+
+  /** Quantization bit-width error sweep over a float-array column
+    * (generalizes q_sim_40): RMSE + max abs error per width.
+    */
+  def bitwidthSweep(df: DataFrame, vecCol: String,
+      bits: Seq[Long] = Seq(2L, 4L, 8L)): DataFrame = {
+    val e = df.select(col(vecCol).as("__v"),
+        explode(array(bits.map(lit): _*)).as("bits"))
+      .withColumn("__s", (pow(lit(2.0), col("bits") - 1) - 1).cast("double"))
+    def err(x: org.apache.spark.sql.Column, sc: org.apache.spark.sql.Column) = {
+      val xd = x.cast("double"); xd - floor(xd * sc + 0.5) / sc
+    }
+    e.select(col("bits"),
+        floor(aggregate(transform(col("__v"), x => {
+          val ev = err(x, col("__s")); ev * ev
+        }), lit(0.0), (acc, v) => acc + v) * 1000000000L + 0.5)
+          .cast("long").as("__sq9"),
+        floor(array_max(transform(col("__v"), x => abs(err(x, col("__s")))))
+          * 1000000 + 0.5).cast("long").as("__mx6"),
+        size(col("__v")).cast("long").as("__dim"))
+      .groupBy("bits")
+      .agg(sum("__dim").as("n_values"),
+        graft.functions.Num.round(
+          sqrt(sum("__sq9").cast("double") / 1e9 / sum("__dim")), 6).as("rmse"),
+        graft.functions.Num.round(max("__mx6").cast("double") / 1000000, 6)
+          .as("max_abs_err"))
+  }
+
+  /** TwoNN intrinsic-dimension estimate over a sampled vector frame
+    * (generalizes q_sim_39). The sample should be broadcast-sized; at
+    * corpus scale feed IVF/LSH candidate pairs instead.
+    */
+  def twoNNDimension(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = df.select(col(idCol).as("__i"), col(vecCol).as("__ea"))
+    val b = df.select(col(idCol).as("__j"), col(vecCol).as("__eb"))
+    val w = Window.partitionBy("__i").orderBy(col("__d2"), col("__j"))
+    a.join(broadcast(b), col("__i") =!= col("__j"))
+      .select(col("__i"), col("__j"),
+        graft.functions.VectorFunctions.sqDist(col("__ea"), col("__eb")).as("__d2"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 2)
+      .groupBy("__i")
+      .agg(max(when(col("__rn") === 1, col("__d2"))).as("__d1"),
+        max(when(col("__rn") === 2, col("__d2"))).as("__d2nd"))
+      .filter(col("__d1") > 0)
+      .select(floor(log(col("__d2nd") / col("__d1")) * 0.5 * 1000000 + 0.5)
+        .cast("long").as("__ln6"))
+      .agg(count(lit(1)).as("n_points"), sum("__ln6").as("sum_ln_mu6"))
+      .select(col("n_points"), col("sum_ln_mu6"),
+        graft.functions.Num.round(
+          col("n_points").cast("double") * 1000000 / col("sum_ln_mu6"), 4).as("dim_est"))
+  }
 }
+
