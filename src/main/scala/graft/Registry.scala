@@ -80,7 +80,8 @@ object Registry {
       Round7dOps.all ++
       Round7eOps.all ++
       Round7fOps.all ++
-      Round7gOps.all
+      Round7gOps.all ++
+      Round7hOps.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(
