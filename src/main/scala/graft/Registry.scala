@@ -81,7 +81,8 @@ object Registry {
       Round7eOps.all ++
       Round7fOps.all ++
       Round7gOps.all ++
-      Round7hOps.all
+      Round7hOps.all ++
+      Round7iOps.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(
