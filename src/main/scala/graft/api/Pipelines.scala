@@ -2191,5 +2191,120 @@ object Pipelines {
         graft.functions.Num.round(
           col("n_points").cast("double") * 1000000 / col("sum_ln_mu6"), 4).as("dim_est"))
   }
+  /** Rich-club coefficient of an undirected (symmetrized+distinct)
+    * edge list (generalizes q_graph_21): density among the top-decile
+    * (min 2) degree nodes vs global density.
+    */
+  def richClub(bidirEdges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = bidirEdges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .localCheckpoint()
+    val deg = b.groupBy(col("__src").as("__node")).agg(count(lit(1)).as("__deg"))
+      .localCheckpoint()
+    val n = deg.count()
+    val nHubs = math.max(n / 10, 2L)
+    val hubs = deg.select(col("__node"), row_number()
+        .over(Window.orderBy(col("__deg").desc, col("__node"))).as("__rn"))
+      .filter(col("__rn") <= nHubs).select("__node").localCheckpoint()
+    val e2 = b.count()
+    val eh2 = b.join(broadcast(hubs), b("__src") === hubs("__node"), "left_semi")
+      .join(broadcast(hubs.withColumnRenamed("__node", "__node2")),
+        col("__dst") === col("__node2"), "left_semi")
+      .count()
+    val hubDen = eh2.toDouble / (nHubs * (nHubs - 1))
+    val den = e2.toDouble / (n * (n - 1))
+    val spark = bidirEdges.sparkSession
+    import spark.implicits._
+    Seq((n, nHubs, e2 / 2, eh2 / 2,
+      math.floor(hubDen * 1000000 + 0.5) / 1000000,
+      math.floor(den * 1000000 + 0.5) / 1000000,
+      math.floor(hubDen / den * 10000 + 0.5) / 10000))
+      .toDF("n_nodes", "n_hubs", "n_edges", "n_hub_edges",
+        "hub_density", "density", "rich_club_ratio")
+  }
+
+  /** Year-over-year growth of a (yyyymm, long value) series
+    * (generalizes q_time_23): calendar self-join on ym−100, robust to
+    * missing months.
+    */
+  def yoyGrowth(df: DataFrame, ymCol: String, valueCol: String): DataFrame = {
+    val m = df.select(col(ymCol).cast("long").as("ym"),
+      col(valueCol).cast("long").as("__v")).localCheckpoint()
+    val b = m.select((col("ym") + 100).as("__ym2"), col("__v").as("__pv"))
+    m.join(b, col("ym") === col("__ym2"))
+      .select(col("ym"),
+        graft.functions.Num.round(col("__v").cast("double") / 100, 2).as("revenue"),
+        graft.functions.Num.round(col("__pv").cast("double") / 100, 2).as("prev_revenue"),
+        graft.functions.Num.round((col("__v").cast("double") - col("__pv")) / col("__pv"), 6)
+          .as("yoy_growth"))
+  }
+
+  /** Ulcer index + max drawdown per group over an ordered integer
+    * value series (generalizes q_win_28): RMS of 1e-8-quantized
+    * relative drawdowns against the running peak.
+    */
+  def ulcerIndex(df: DataFrame, groupCol: String, orderCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(groupCol), col(orderCol), col(valueCol).cast("long").as("__v"))
+      .withColumn("__peak", max("__v").over(w))
+      .select(col(groupCol),
+        floor((col("__peak") - col("__v")).cast("double") / col("__peak")
+          * 100000000L + 0.5).cast("long").as("__d8"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_rows"),
+        graft.functions.Num.round(sqrt(sum(col("__d8") * col("__d8")).cast("double")
+          / 1e16 / count(lit(1))) * 100, 4).as("ulcer_pct"),
+        graft.functions.Num.round(max("__d8").cast("double") / 1e8 * 100, 4)
+          .as("max_dd_pct"))
+  }
+
+  /** Decontamination cost (generalizes q_pipe_10): per group, rows and
+    * token mass lost when dropping rows whose distinct token-n-gram
+    * overlap with `bench`'s shingle set exceeds `threshold`.
+    */
+  def decontaminationCost(train: DataFrame, idCol: String, groupCol: String,
+      textCol: String, tokCol: String, bench: DataFrame, benchTextCol: String,
+      n: Int = 3, threshold: Double = 0.05): DataFrame = {
+    val bsh = bench.select(explode(
+        TextFunctions.tokenShingles(col(benchTextCol), n)).as("__sh")).distinct()
+    val dsh = train.select(col(idCol).as("__id"),
+      explode(TextFunctions.tokenShingles(col(textCol), n)).as("__sh"))
+    val tot = dsh.groupBy("__id").agg(count(lit(1)).as("__n_sh"))
+    val hit = dsh.join(broadcast(bsh), "__sh")
+      .groupBy("__id").agg(count(lit(1)).as("__n_hit"))
+    val fl = tot.join(hit, Seq("__id"), "left_outer")
+      .select(col("__id"),
+        when(coalesce(col("__n_hit"), lit(0L)).cast("double") / col("__n_sh") > threshold,
+          1L).otherwise(0L).as("__bad"))
+    train.select(col(idCol).as("__id"), col(groupCol), col(tokCol).cast("long").as("__tok"))
+      .join(fl, "__id")
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"), sum("__bad").as("n_flagged"),
+        sum("__tok").as("tokens_total"),
+        sum(when(col("__bad") === 1, col("__tok")).otherwise(0L)).as("tokens_lost"),
+        graft.functions.Num.round(
+          sum(when(col("__bad") === 1, col("__tok")).otherwise(0L)).cast("double")
+            / sum("__tok"), 6).as("loss_share"))
+  }
+
+  /** k-suppression cost curve (generalizes q_priv_5): rows/groups lost
+    * publishing only QI groups of size ≥ k, for each k.
+    */
+  def suppressionCost(df: DataFrame, qiCols: Seq[String],
+      ks: Seq[Long] = Seq(2L, 5L, 10L, 20L)): DataFrame = {
+    val g = df.groupBy(qiCols.map(col): _*).agg(count(lit(1)).as("__n"))
+      .localCheckpoint()
+    g.withColumn("k", explode(array(ks.map(lit): _*)))
+      .groupBy("k")
+      .agg(sum(when(col("__n") >= col("k"), col("__n")).otherwise(0L)).as("n_published"),
+        sum(when(col("__n") < col("k"), col("__n")).otherwise(0L)).as("n_suppressed"),
+        sum(when(col("__n") < col("k"), 1L).otherwise(0L)).as("groups_suppressed"),
+        graft.functions.Num.round(
+          sum(when(col("__n") < col("k"), col("__n")).otherwise(0L)).cast("double")
+            / sum("__n"), 6).as("suppression_cost"))
+  }
 }
 

@@ -109,4 +109,65 @@ class Pipelines9Spec extends SparkSpec {
     val pinned = Registry.byName("q_sim_39_twonn_dim").fn(spark, sf).collect().head
     assert(api.toSeq == pinned.toSeq)
   }
+  test("richClub == q_graph_21_rich_club") {
+    val li = graft.sources.Tables(spark, sf, "lineitem")
+      .filter(col("l_orderkey") % 20 === 0)
+    val a = li.select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+      col("l_suppkey").as("src"))
+    val b = li.select(col("l_orderkey").as("ok2"), col("l_linenumber").as("ln2"),
+      col("l_suppkey").as("dst"))
+    val e = a.join(b, col("ok") === col("ok2") && (col("ln") + 1) === col("ln2"))
+      .filter(col("src") =!= col("dst")).select("src", "dst").distinct()
+    val bidir = e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    val api = Pipelines.richClub(bidir, "src", "dst").collect().head
+    val pinned = Registry.byName("q_graph_21_rich_club").fn(spark, sf).collect().head
+    assert(api.toSeq == pinned.toSeq)
+  }
+
+  test("yoyGrowth == q_time_23_yoy") {
+    val m = graft.sources.Tables(spark, sf, "orders")
+      .groupBy((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+        .cast("long").as("ym"))
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents"))
+    val api = Pipelines.yoyGrowth(m, "ym", "cents").orderBy("ym")
+      .collect().map(_.toSeq).toSeq
+    val pinned = Registry.byName("q_time_23_yoy").fn(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(api == pinned)
+  }
+
+  test("ulcerIndex == q_win_28_ulcer") {
+    val dly = graft.sources.Tables(spark, sf, "orders")
+      .groupBy(year(col("o_orderdate")).cast("long").as("y"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("day"))
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents"))
+    val api = Pipelines.ulcerIndex(dly, "y", "day", "cents").orderBy("y")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    val pinned = Registry.byName("q_win_28_ulcer").fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(api == pinned)
+  }
+
+  test("decontaminationCost == q_pipe_10_decontam_cost") {
+    val docs = graft.sources.Tables(spark, sf, "documents")
+    val api = Pipelines.decontaminationCost(
+      docs.filter(col("doc_id") >= 5)
+        .select(col("doc_id"), col("source"), col("text"), expr("n_chars div 5").as("toks")),
+      "doc_id", "source", "text", "toks",
+      docs.filter(col("doc_id") < 5), "text", 3, 0.05)
+      .orderBy("source").collect().map(_.toSeq).toSeq
+    val pinned = Registry.byName("q_pipe_10_decontam_cost").fn(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(api == pinned)
+  }
+
+  test("suppressionCost == q_priv_5_suppression_cost") {
+    val api = Pipelines.suppressionCost(
+      graft.sources.Tables(spark, sf, "customer"), Seq("c_nationkey", "c_mktsegment"))
+      .orderBy("k").collect().map(_.toSeq).toSeq
+    val pinned = Registry.byName("q_priv_5_suppression_cost").fn(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(api == pinned)
+  }
 }
+
