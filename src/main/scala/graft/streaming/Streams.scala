@@ -516,4 +516,47 @@ object Streams {
           UserEntropy(user, n, h6)
       }
   }
+  final case class BotEvent(user_id: Long, minute_id: Long, night: Long)
+  final case class BotFlags(user_id: Long, n_events: Long,
+      r_heavy: Long, r_dense: Long, r_burst: Long, r_night: Long)
+
+  /** Online behavioral bot screen — the live twin of
+    * q_stream_40_bot_screen. Per-user state is the minute→count map
+    * plus the night-event counter; every rule is the same
+    * cross-multiplied integer predicate as the batch query, so the
+    * LAST refinement per user equals the batch flags exactly.
+    *
+    * Scale note: one shuffle on user_id; state is O(active minutes)
+    * per key and merging is associative. At production scale the
+    * minute map ages out via a timeout (a bot screen only needs a
+    * trailing window); the fixture month needs no eviction.
+    */
+  def botScreenStream(events: DataFrame): org.apache.spark.sql.Dataset[BotFlags] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import events.sparkSession.implicits._
+    events.select(col("user_id"),
+        expr("unix_micros(ts) div 60000000").as("minute_id"),
+        when(expr("(unix_micros(ts) div 3600000000) % 24") < 6, 1L)
+          .otherwise(0L).as("night"))
+      .as[BotEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[(Map[Long, Long], Long), BotFlags](GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[BotEvent], state: GroupState[(Map[Long, Long], Long)]) =>
+          var (mins, nNight) = state.getOption.getOrElse((Map.empty[Long, Long], 0L))
+          batch.foreach { e =>
+            mins = mins.updated(e.minute_id, mins.getOrElse(e.minute_id, 0L) + 1L)
+            nNight += e.night
+          }
+          state.update((mins, nNight))
+          val n = mins.values.sum
+          val m = mins.size.toLong
+          val maxmin = if (mins.isEmpty) 0L else mins.values.max
+          BotFlags(user, n,
+            if (n >= 75) 1L else 0L,
+            if (100 * n > 101 * m) 1L else 0L,
+            if (maxmin >= 2) 1L else 0L,
+            if (10 * nNight > 3 * n) 1L else 0L)
+      }
+  }
 }
+

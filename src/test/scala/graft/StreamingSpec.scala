@@ -384,4 +384,24 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), math.floor(r.getDouble(1) * 1e6 + 0.5).toLong))
     pinned.foreach { case (u, h6) => assert(streamed(u) == h6, s"user $u") }
   }
+  test("online bot screen: last refinement per user equals the batch q_stream_40 flags") {
+    import org.apache.spark.sql.expressions.Window
+    val q = Streams.botScreenStream(Streams.eventStream(spark, inputDir)).toDF()
+      .writeStream.format("memory").queryName("stream_botscreen")
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("stream_botscreen")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id").orderBy(col("n_events").desc)))
+      .filter(col("rn") === 1)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(streamed.nonEmpty)
+    val agg = (streamed.map(_._1).sum, streamed.map(_._2).sum,
+      streamed.map(_._3).sum, streamed.map(_._4).sum)
+    val pinned = Registry.byName("q_stream_40_bot_screen").fn(spark, sf).collect().head
+    assert(agg == ((pinned.getLong(1), pinned.getLong(2),
+      pinned.getLong(3), pinned.getLong(4))))
+    assert(streamed.length.toLong == pinned.getLong(0))
+  }
 }
+
