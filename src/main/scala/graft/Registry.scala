@@ -82,7 +82,8 @@ object Registry {
       Round7fOps.all ++
       Round7gOps.all ++
       Round7hOps.all ++
-      Round7iOps.all
+      Round7iOps.all ++
+      Round7jOps.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(
