@@ -83,7 +83,8 @@ object Registry {
       Round7gOps.all ++
       Round7hOps.all ++
       Round7iOps.all ++
-      Round7jOps.all
+      Round7jOps.all ++
+      Round7kOps.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(
