@@ -84,7 +84,8 @@ object Registry {
       Round7hOps.all ++
       Round7iOps.all ++
       Round7jOps.all ++
-      Round7kOps.all
+      Round7kOps.all ++
+      Round7lOps.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(
