@@ -85,7 +85,8 @@ object Registry {
       Round7iOps.all ++
       Round7jOps.all ++
       Round7kOps.all ++
-      Round7lOps.all
+      Round7lOps.all ++
+      Round7mOps.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(

@@ -96,7 +96,7 @@ object Round7lOps {
     Q("q_priv_7_dp_budget",
       """WITH g AS (SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n
         |  FROM customer GROUP BY 1, 2),
-        |eps AS (SELECT unnest(ARRAY[0.1, 0.5, 1.0, 2.0]) AS eps)
+        |eps AS (SELECT CAST(unnest(ARRAY[0.1, 0.5, 1.0, 2.0]) AS DOUBLE) AS eps)
         |SELECT eps,
         | CAST(count(*) AS BIGINT) AS n_groups,
         | CAST(sum(CASE WHEN 1.0 / (eps * n) <= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_usable,
