@@ -86,7 +86,8 @@ object Registry {
       Round7jOps.all ++
       Round7kOps.all ++
       Round7lOps.all ++
-      Round7mOps.all
+      Round7mOps.all ++
+      Round7nOps.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(
