@@ -87,7 +87,8 @@ object Registry {
       Round7kOps.all ++
       Round7lOps.all ++
       Round7mOps.all ++
-      Round7nOps.all
+      Round7nOps.all ++
+      Round7oOps.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(
