@@ -2306,5 +2306,123 @@ object Pipelines {
           sum(when(col("__n") < col("k"), col("__n")).otherwise(0L)).cast("double")
             / sum("__n"), 6).as("suppression_cost"))
   }
+
+  /** Per-group token-accounting ledger (generalizes q_pipe_11): raw →
+    * quality gate (≥ minTokens) → multiset-digest dedup (first id wins)
+    * → truncation cap. One scan; the md5 digest is the only wide
+    * shuffle key.
+    */
+  def tokenLedger(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, minTokens: Long = 20L, cap: Long = 96L): DataFrame = {
+    val t = df.select(col(idCol).as("__id"), col(groupCol).as("__g"),
+      size(split(col(textCol), " ")).cast("long").as("__ntok"),
+      md5(concat_ws(" ", sort_array(split(col(textCol), " ")))).as("__dg"))
+    val s0 = t.groupBy("__g")
+      .agg(count(lit(1)).as("docs_raw"), sum("__ntok").as("toks_raw"))
+    val q = t.filter(col("__ntok") >= minTokens)
+    val s1 = q.groupBy("__g")
+      .agg(count(lit(1)).as("docs_quality"), sum("__ntok").as("toks_quality"))
+      .withColumnRenamed("__g", "__g1")
+    val k = q.withColumn("__rk", row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("__dg")).orderBy(col("__id"))))
+    val s2 = k.filter(col("__rk") === 1).groupBy("__g")
+      .agg(count(lit(1)).as("docs_dedup"), sum("__ntok").as("toks_dedup"),
+        sum(least(col("__ntok"), lit(cap))).as("toks_packed"))
+      .withColumnRenamed("__g", "__g2")
+    s0.join(s1, col("__g") === col("__g1"), "left")
+      .join(s2, col("__g") === col("__g2"), "left")
+      .select(col("__g").as(groupCol), col("docs_raw"), col("toks_raw"),
+        coalesce(col("docs_quality"), lit(0L)).as("docs_quality"),
+        coalesce(col("toks_quality"), lit(0L)).as("toks_quality"),
+        coalesce(col("docs_dedup"), lit(0L)).as("docs_dedup"),
+        coalesce(col("toks_dedup"), lit(0L)).as("toks_dedup"),
+        coalesce(col("toks_packed"), lit(0L)).as("toks_packed"))
+  }
+
+  /** Prosecutor re-identification risk of a QI release, reported per
+    * `byCol` (generalizes q_priv_8). Risk rationals are integer
+    * divisions so the fold is exact.
+    */
+  def reidRisk(df: DataFrame, qiCols: Seq[String], byCol: String): DataFrame =
+    df.groupBy(qiCols.map(col): _*).agg(count(lit(1)).as("__k"))
+      .groupBy(col(byCol).cast("long").as(byCol))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("__k") === 1, 1L).otherwise(0L)).as("n_singletons"),
+        (floor(sum(expr("1000000000 div __k")).cast("double") / 1000 + 0.5) / 1000000)
+          .as("exp_reid"),
+        (expr("1000000 div min(__k)").cast("double") / 1000000).as("max_risk"))
+
+  /** Rank-biased precision per query group (generalizes q_ret_11):
+    * ranking = ORDER BY rankCol DESC, idCol; relevance = relCol ≠ 0.
+    * Discounts (1-p)·p^(r-1) for ranks 1..depth are quantized to 1e8
+    * BIGINTs at plan time so the fold is exact for ANY p.
+    */
+  def rbp(df: DataFrame, queryCol: String, rankCol: String, idCol: String,
+      rel: org.apache.spark.sql.Column, p: Double = 0.8, depth: Int = 20): DataFrame = {
+    val w = (1 to depth).map(r =>
+      math.floor(1e8 * (1 - p) * math.pow(p, r - 1) + 0.5).toLong)
+    val wArr = array(w.map(lit): _*)
+    val byRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(queryCol).orderBy(col(rankCol).desc, col(idCol))
+    df.select(col(queryCol), when(rel, 1).otherwise(0).as("__rel"),
+        row_number().over(byRank).cast("long").as("__rn"))
+      .groupBy(queryCol)
+      .agg(sum(when(col("__rel") === 1 && col("__rn") <= depth, 1L).otherwise(0L))
+          .as(s"n_rel_top$depth"),
+        sum(when(col("__rel") === 1 && col("__rn") <= depth,
+          element_at(wArr, col("__rn").cast("int"))).otherwise(0L)).as("__w"))
+      .select(col(queryCol), col(s"n_rel_top$depth"),
+        (floor(col("__w").cast("double") / 100 + 0.5) / 1000000).as("rbp"))
+  }
+
+  /** Signed business-day (weekday) distance between two date/timestamp
+    * columns as closed-form epoch-day algebra (generalizes
+    * q_time_23). Antisymmetric: negative when `end` precedes `start`.
+    */
+  def weekdaysBetween(start: org.apache.spark.sql.Column,
+      end: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def wk(e: org.apache.spark.sql.Column) =
+      lit(5L) * floor((e + 3) / 7).cast("long") + least(pmod(e + 3, lit(7)), lit(5L))
+    wk(datediff(end, lit("1970-01-01")).cast("long")) -
+      wk(datediff(start, lit("1970-01-01")).cast("long"))
+  }
+
+  /** Token-vocabulary drift between two groups via map HOFs
+    * (generalizes q_map_6): shared keys, asymmetric key counts, L1
+    * distance over shared counts.
+    */
+  def vocabDrift(df: DataFrame, groupCol: String, textCol: String,
+      a: String, b: String): DataFrame = {
+    def vmap(v: String, out: String) =
+      df.filter(col(groupCol) === v)
+        .select(explode(split(col(textCol), " ")).as("__t"))
+        .groupBy("__t").agg(count(lit(1)).as("__n"))
+        .agg(map_from_entries(sort_array(collect_list(struct(col("__t"), col("__n")))))
+          .as(out))
+    val m = vmap(a, "__m0").crossJoin(broadcast(vmap(b, "__m1")))
+    val shared0 = map_filter(col("__m0"), (k, _) => map_contains_key(col("__m1"), k))
+    val zip = map_zip_with(shared0, col("__m1"), (_, x, y) =>
+      when(x.isNotNull && y.isNotNull, abs(x - y)).otherwise(0L))
+    m.select(
+      size(shared0).cast("long").as("n_shared"),
+      (size(col("__m0")) - size(shared0)).cast("long").as("n_only_a"),
+      (size(col("__m1")) - size(map_filter(col("__m1"),
+        (k, _) => map_contains_key(col("__m0"), k)))).cast("long").as("n_only_b"),
+      aggregate(map_values(zip), lit(0L), (acc, x) => acc + x).as("l1_shared"))
+  }
+
+  /** The same K rows from every group on any cluster size or engine:
+    * bottom-k by the portable multiplicative hash, as a typed
+    * Aggregator whose K-bounded buffer partial-aggregates map-side
+    * (generalizes q_udaf_4). Output: (group, rn 1..k, key).
+    */
+  def bottomKSample(df: DataFrame, groupCol: String, keyCol: String,
+      k: Int = 5): DataFrame = {
+    val agg = udaf(new graft.operators.Round7nOps.BottomKAgg(k))
+    df.groupBy(groupCol)
+      .agg(agg(col(keyCol)).as("__bk"))
+      .select(col(groupCol), posexplode(col("__bk.ks")).as(Seq("__pos", keyCol)))
+      .select(col(groupCol), (col("__pos") + 1).cast("long").as("rn"), col(keyCol))
+  }
 }
 

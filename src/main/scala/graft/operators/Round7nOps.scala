@@ -42,8 +42,7 @@ object Round7nOps {
     * later.
     */
   final case class BKBuf(ks: Array[Long])
-  object BottomK extends Aggregator[Long, BKBuf, BKBuf] {
-    private val K = 5
+  class BottomKAgg(K: Int) extends Aggregator[Long, BKBuf, BKBuf] {
     private def h(k: Long): Long =
       (math.floorMod(k, 1000000007L) * 2654435761L) % 1000000007L
     private def trim(ks: Array[Long]): Array[Long] =
@@ -55,6 +54,7 @@ object Round7nOps {
     def bufferEncoder = Encoders.product[BKBuf]
     def outputEncoder = Encoders.product[BKBuf]
   }
+  object BottomK extends BottomKAgg(5)
 
   /** q_sink_5's per-(session, dataset) range-clustered materialization
     * path (q_scan_22/dppCachePath precedent: keyed on BOTH appId and a
