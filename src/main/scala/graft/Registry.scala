@@ -88,7 +88,8 @@ object Registry {
       Round7lOps.all ++
       Round7mOps.all ++
       Round7nOps.all ++
-      Round7oOps.all
+      Round7oOps.all ++
+      Round7pOps.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(
