@@ -89,7 +89,8 @@ object Registry {
       Round7mOps.all ++
       Round7nOps.all ++
       Round7oOps.all ++
-      Round7pOps.all
+      Round7pOps.all ++
+      Round7qOps.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(
