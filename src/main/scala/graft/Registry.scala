@@ -90,7 +90,8 @@ object Registry {
       Round7nOps.all ++
       Round7oOps.all ++
       Round7pOps.all ++
-      Round7qOps.all
+      Round7qOps.all ++
+      Round7rOps.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(
