@@ -91,7 +91,8 @@ object Registry {
       Round7oOps.all ++
       Round7pOps.all ++
       Round7qOps.all ++
-      Round7rOps.all
+      Round7rOps.all ++
+      Round7sOps.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(
