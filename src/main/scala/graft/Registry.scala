@@ -92,7 +92,8 @@ object Registry {
       Round7pOps.all ++
       Round7qOps.all ++
       Round7rOps.all ++
-      Round7sOps.all
+      Round7sOps.all ++
+      Round7tOps.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(
