@@ -93,7 +93,8 @@ object Registry {
       Round7qOps.all ++
       Round7rOps.all ++
       Round7sOps.all ++
-      Round7tOps.all
+      Round7tOps.all ++
+      Round7uOps.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(
