@@ -2411,6 +2411,173 @@ object Pipelines {
       aggregate(map_values(zip), lit(0L), (acc, x) => acc + x).as("l1_shared"))
   }
 
+  /** Pinball-loss quantile-forecast evaluation (generalizes q_ml_13):
+    * portable-hash split (3 train shards : 1 test), per-group exact
+    * type-1 q50/q90 on train, τ∈{.5,.9} losses on test. `centsCol`
+    * must already be an exact integer unit.
+    */
+  def pinballEval(df: DataFrame, groupCol: String, centsCol: String,
+      keyCol: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    def DD(c: org.apache.spark.sql.Column) = c.cast("double")
+    val h = (pmod(col(keyCol), lit(1000000007L)) * 2654435761L) % 1000000007L % 4
+    val j = df.select(col(groupCol).as("__g"), col(centsCol).as("__t2"),
+      col(keyCol).as("__k"), h.as("__h"))
+    val wOrd = W.partitionBy(col("__g")).orderBy(col("__t2"), col("__k"))
+    val wAll = W.partitionBy(col("__g"))
+    val tr = j.filter(col("__h") < 3)
+      .select(col("__g"), col("__t2"),
+        row_number().over(wOrd).as("__rn"), count(lit(1)).over(wAll).as("__n"))
+    val qq = tr.groupBy("__g")
+      .agg(max(when(col("__rn") === expr("(__n + 1) div 2"), col("__t2"))).as("q50"),
+        max(when(col("__rn") === expr("(9 * __n + 9) div 10"), col("__t2"))).as("q90"))
+    val te = j.filter(col("__h") === 3).select(col("__g").as("__tg"), col("__t2"))
+    te.join(qq, col("__tg") === col("__g"))
+      .groupBy(col("__g"), col("q50"), col("q90"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(greatest(lit(5) * (col("__t2") - col("q50")),
+          lit(-5) * (col("__t2") - col("q50")))).as("__l50"),
+        sum(greatest(lit(9) * (col("__t2") - col("q90")),
+          -(col("__t2") - col("q90")))).as("__l90"))
+      .select(col("__g").as(groupCol), col("n_test"),
+        (DD(col("q50")) / 100).as("q50"), (DD(col("q90")) / 100).as("q90"),
+        graft.functions.Num.round(DD(col("__l50")) / 1000 / col("n_test"), 6).as("pinball50"),
+        graft.functions.Num.round(DD(col("__l90")) / 1000 / col("n_test"), 6).as("pinball90"))
+  }
+
+  /** MASE of a w-step moving-average forecast vs the one-step naive
+    * baseline over an ordered series (generalizes q_ml_14, w=3).
+    * Integer values stay exact: errors are ×w-scaled.
+    */
+  def mase(series: DataFrame, tCol: String, xCol: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window.orderBy(col(tCol))
+    val l = series.select(col(xCol).as("__x"),
+      lag(col(xCol), 1).over(W).as("__x1"), lag(col(xCol), 2).over(W).as("__x2"),
+      lag(col(xCol), 3).over(W).as("__x3"))
+    l.filter(col("__x3").isNotNull)
+      .select(abs(lit(3) * col("__x") - (col("__x1") + col("__x2") + col("__x3"))).as("__e3"),
+        abs(lit(3) * col("__x") - lit(3) * col("__x1")).as("__e1"))
+      .agg(count(lit(1)).as("n_scored"),
+        sum("__e3").as("sum_err3x"), sum("__e1").as("sum_naive3x"))
+      .select(col("n_scored"), col("sum_err3x"), col("sum_naive3x"),
+        graft.functions.Num.round(
+          col("sum_err3x").cast("double") / col("sum_naive3x"), 6).as("mase"))
+  }
+
+  /** Hodges–Lehmann pseudo-median per group over an ordered series
+    * (generalizes q_stat_44): median of Walsh sums (x_i+x_j)/2, i ≤ j.
+    */
+  def hodgesLehmann(series: DataFrame, groupCol: String, tCol: String,
+      xCol: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val a = series.select(col(groupCol).as("__g"), col(tCol).as("__t1"), col(xCol).as("__x1"))
+    val b = series.select(col(groupCol).as("__g2"), col(tCol).as("__t2"), col(xCol).as("__x2"))
+    val w = a.join(b, col("__g") === col("__g2") && col("__t1") <= col("__t2"))
+      .select(col("__g"), col("__t1"), col("__t2"), (col("__x1") + col("__x2")).as("__s"))
+    val wRn = W.partitionBy(col("__g")).orderBy(col("__s"), col("__t1"), col("__t2"))
+    val wAll = W.partitionBy(col("__g"))
+    w.select(col("__g"), col("__s"),
+        row_number().over(wRn).as("__rn"), count(lit(1)).over(wAll).as("__nw"))
+      .groupBy("__g")
+      .agg((max(when(col("__rn") === expr("(__nw + 1) div 2"), col("__s")))
+          .cast("double") / 2).as("hl_estimate"),
+        max(col("__nw")).cast("long").as("n_walsh"))
+      .withColumnRenamed("__g", groupCol)
+  }
+
+  /** Kendall τ-b with tie corrections over an ordered series
+    * (generalizes q_stat_46). x/y must be exact integers so tie
+    * detection is never a float comparison.
+    */
+  def kendallTauB(series: DataFrame, tCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    def DD(c: org.apache.spark.sql.Column) = c.cast("double")
+    val a = series.select(col(tCol).as("__t1"), col(xCol).as("__x1"), col(yCol).as("__y1"))
+    val b = series.select(col(tCol).as("__t2"), col(xCol).as("__x2"), col(yCol).as("__y2"))
+    val p = a.join(b, col("__t1") < col("__t2"))
+    p.agg(
+        sum(when((col("__x1") < col("__x2") && col("__y1") < col("__y2")) ||
+          (col("__x1") > col("__x2") && col("__y1") > col("__y2")), 1L).otherwise(0L)).as("nc"),
+        sum(when((col("__x1") < col("__x2") && col("__y1") > col("__y2")) ||
+          (col("__x1") > col("__x2") && col("__y1") < col("__y2")), 1L).otherwise(0L)).as("nd"),
+        sum(when(col("__x1") === col("__x2") && col("__y1") =!= col("__y2"), 1L)
+          .otherwise(0L)).as("tx"),
+        sum(when(col("__y1") === col("__y2") && col("__x1") =!= col("__x2"), 1L)
+          .otherwise(0L)).as("ty"),
+        count(lit(1)).as("n0"))
+      .select(col("nc"), col("nd"), col("tx"), col("ty"), col("n0"),
+        graft.functions.Num.round(DD(col("nc") - col("nd"))
+          / sqrt(DD(col("n0") - col("tx")) * (col("n0") - col("ty"))), 6).as("tau_b"))
+  }
+
+  /** Brier score with the Murphy decomposition (generalizes q_ml_15):
+    * `pmCol` = integral milli-unit forecasts 0..999, `yCol` = 0/1
+    * outcomes; 10 equal bins.
+    */
+  def brierDecomposition(df: DataFrame, pmCol: String, yCol: String): DataFrame = {
+    def DD(c: org.apache.spark.sql.Column) = c.cast("double")
+    val f = df.select(col(pmCol).as("__pm"), col(yCol).as("__y"))
+    val b = f.groupBy(expr("__pm div 100").as("__bin"))
+      .agg(count(lit(1)).as("__n"), sum("__pm").as("__sp"), sum("__y").as("__sy"))
+    val t = f.agg(count(lit(1)).as("__nn"), sum("__y").as("__syy"))
+    val pbar = DD(col("__sp")) / col("__n") / 1000
+    val ybar = DD(col("__sy")) / col("__n")
+    val gbar = DD(col("__syy")) / col("__nn")
+    b.crossJoin(broadcast(t))
+      .agg(
+        (sum(DD(col("__n")) * (pbar - ybar) * (pbar - ybar)) / max(col("__nn"))).as("__rel"),
+        (sum(DD(col("__n")) * (ybar - gbar) * (ybar - gbar)) / max(col("__nn"))).as("__res"),
+        max(gbar * (lit(1) - gbar)).as("__unc"),
+        max(col("__nn")).as("__nn2"))
+      .select(col("__nn2").as("n_scored"),
+        graft.functions.Num.round(col("__rel"), 6).as("reliability"),
+        graft.functions.Num.round(col("__res"), 6).as("resolution"),
+        graft.functions.Num.round(col("__unc"), 6).as("uncertainty"),
+        graft.functions.Num.round(col("__rel") - col("__res") + col("__unc"), 6).as("brier"))
+  }
+
+  /** √-scaled mixture quotas to an EXACT total via largest-remainder
+    * rounding (generalizes q_pipe_12).
+    */
+  def sqrtQuota(df: DataFrame, groupCol: String, total: Long = 100L): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val l = df.groupBy(col(groupCol).as("__g")).agg(count(lit(1)).as("__n"))
+    val w = l.select(col("__g"), col("__n"),
+      floor(sqrt(col("__n").cast("double")) * 1000000).cast("long").as("__w6"))
+    val wAll = W.partitionBy()
+    val t = w.select(col("__g"), col("__n"), col("__w6"),
+        (lit(total) * col("__w6")).as("__p"), sum(col("__w6")).over(wAll).as("__tw"))
+      .select(col("__g"), col("__n"), col("__w6"),
+        expr("__p div __tw").as("__q0"), (col("__p") % col("__tw")).as("__rem"))
+    t.select(col("__g"), col("__n"), col("__w6"), col("__q0"), col("__rem"),
+        row_number().over(W.orderBy(col("__rem").desc, col("__g"))).as("__rk"),
+        (lit(total) - sum(col("__q0")).over(wAll)).as("__left"))
+      .select(col("__g").as(groupCol), col("__n").as("n_docs"),
+        col("__w6").as("weight6"),
+        (col("__q0") + when(col("__rk") <= col("__left"), 1L).otherwise(0L))
+          .cast("long").as("quota"))
+  }
+
+  /** Keyed pseudonymization Column: sha2-256 of salt ‖ key — the same
+    * token on every engine/run, referentially consistent across tables
+    * (generalizes q_priv_10).
+    */
+  def pseudonymize(key: org.apache.spark.sql.Column,
+      salt: String): org.apache.spark.sql.Column =
+    sha2(concat(lit(salt), lit("|"), key.cast("string")), 256)
+
+  /** Canonicalize a URL Column: lowercase host, strip www., drop the
+    * utm_source param, trim the trailing slash (generalizes
+    * q_dedup_28_url_canonical's cleanup).
+    */
+  def canonicalizeUrl(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val host = split_part(url, lit("/"), lit(3))
+    val rest = substring(url, lit(9) + length(host), lit(100000))
+    concat(lit("https://"),
+      regexp_replace(lower(host), "^www\\.", ""),
+      rtrim(regexp_replace(rest, "\\?utm_source=feed", ""), "/"))
+  }
+
   /** The same K rows from every group on any cluster size or engine:
     * bottom-k by the portable multiplicative hash, as a typed
     * Aggregator whose K-bounded buffer partial-aggregates map-side
