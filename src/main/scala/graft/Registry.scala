@@ -94,7 +94,8 @@ object Registry {
       Round7rOps.all ++
       Round7sOps.all ++
       Round7tOps.all ++
-      Round7uOps.all
+      Round7uOps.all ++
+      Round7vOps.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(
