@@ -95,7 +95,8 @@ object Registry {
       Round7sOps.all ++
       Round7tOps.all ++
       Round7uOps.all ++
-      Round7vOps.all
+      Round7vOps.all ++
+      Round7wOps.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(
