@@ -282,14 +282,9 @@ object Round3Ops {
       // round and a loud non-convergence contract; the oracle walks
       // the same graph with a recursive CTE (reachable-set min label —
       // engine-appropriate form, identical fixpoint).
-      val li = Tables(s, d, "lineitem").filter(col("l_orderkey") % 200 === 0)
-      val a = li.select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
-        col("l_suppkey").as("src"))
-      val b = li.select(col("l_orderkey").as("ok2"), col("l_linenumber").as("ln2"),
-        col("l_suppkey").as("dst"))
-      val edges = a.join(b, col("ok") === col("ok2") && (col("ln") + 1) === col("ln2"))
-        .filter(col("src") =!= col("dst"))
-        .select("src", "dst").distinct()
+      // shared session-cached edge list (SampledEdges.handoff) — the
+      // same rows the inline self-join produced, materialized once.
+      val edges = graft.sources.SampledEdges.handoff(s, d, 200)
       val nodes = edges.select(col("src").as("node"))
         .union(edges.select(col("dst").as("node"))).distinct()
       graft.api.Pipelines.connectedComponents(nodes, "node", edges, "src", "dst", maxIters = 50)

@@ -747,16 +747,10 @@ object Round3cOps {
       // disconnected by construction). The oracle walks the same graph
       // with a bounded recursive CTE and takes min hop per node —
       // identical fixpoint, engine-appropriate form.
-      val li = Tables(s, d, "lineitem").filter(col("l_orderkey") % 200 === 0)
-      val a = li.select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
-        col("l_suppkey").as("src"))
-      val b = li.select(col("l_orderkey").as("ok2"), col("l_linenumber").as("ln2"),
-        col("l_suppkey").as("dst"))
-      // checkpoint the self-join ONCE (the q_graph_2 lesson): the root
-      // pick, bidir construction, and initial distances all reuse it
-      val edges = a.join(b, col("ok") === col("ok2") && (col("ln") + 1) === col("ln2"))
-        .filter(col("src") =!= col("dst"))
-        .select("src", "dst").distinct().localCheckpoint()
+      // session-cached checkpointed edge list (SampledEdges.handoff):
+      // the root pick, bidir construction, and initial distances all
+      // reuse ONE materialization shared across the graph family
+      val edges = graft.sources.SampledEdges.handoff(s, d, 200)
       val nodes = edges.select(col("src").as("node"))
         .union(edges.select(col("dst").as("node"))).distinct().localCheckpoint()
       // one O(1-row) driver action to pick the root (same budget class

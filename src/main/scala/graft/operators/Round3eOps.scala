@@ -724,14 +724,7 @@ object Round3eOps {
       // pairs are generated per shared neighbor (O(Σ deg²), the
       // triangle-counting shape), never all-pairs. |union| =
       // da + db − c by inclusion-exclusion — no second set pass.
-      val li = Tables(s, d, "lineitem").filter(col("l_orderkey") % 200 === 0)
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"))
-      val e = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_linenumber") + 1 === col("b.l_linenumber") &&
-            col("a.l_suppkey") =!= col("b.l_suppkey"))
-        .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
-        .distinct()
+      val e = graft.sources.SampledEdges.handoff(s, d, 200)
       val bidir = e.select(col("src"), col("dst"))
         .union(e.select(col("dst").as("src"), col("src").as("dst")))
         .distinct()

@@ -53,14 +53,7 @@ object Round7vOps {
         |FROM d2""".stripMargin) { (s, d) =>
       // Two bfsDistances passes; the far-node pick between them is the
       // same O(1-row) driver action class as q_graph_6's root pick.
-      val li = Tables(s, d, "lineitem").filter(col("l_orderkey") % 200 === 0)
-      val a = li.select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
-        col("l_suppkey").as("src"))
-      val b = li.select(col("l_orderkey").as("ok2"), col("l_linenumber").as("ln2"),
-        col("l_suppkey").as("dst"))
-      val edges = a.join(b, col("ok") === col("ok2") && (col("ln") + 1) === col("ln2"))
-        .filter(col("src") =!= col("dst"))
-        .select("src", "dst").distinct().localCheckpoint()
+      val edges = graft.sources.SampledEdges.handoff(s, d, 200)
       val nodes = edges.select(col("src").as("node"))
         .union(edges.select(col("dst").as("node"))).distinct().localCheckpoint()
       val root = nodes.agg(min("node")).head().getLong(0)
