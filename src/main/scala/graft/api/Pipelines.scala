@@ -2591,5 +2591,123 @@ object Pipelines {
       .select(col(groupCol), posexplode(col("__bk.ks")).as(Seq("__pos", keyCol)))
       .select(col(groupCol), (col("__pos") + 1).cast("long").as("rn"), col(keyCol))
   }
+
+  /** Exact order statistics of a LONG column WITHOUT a single-partition
+    * global sort — the scale form that replaces the
+    * `row_number().over(Window.orderBy(v))` rank-pick pattern on
+    * fact-sized input (where the no-partition window funnels the whole
+    * table through one task).
+    *
+    * Shape: range-partition on the value (one shuffle; each partition
+    * owns a contiguous value range), count rows per partition (a
+    * map-side-combinable P-row aggregate), prefix-sum the P-row
+    * histogram on the driver, then sort ONLY inside the partitions that
+    * own a requested rank — each ~N/P rows, bounded by cluster
+    * parallelism, not data size. The value at global rank r does not
+    * depend on where Spark draws the range boundaries: equal values
+    * always hash to the same range partition, so the histogram offsets
+    * identify the owning partition and local index deterministically,
+    * and the picked VALUE is unique even when ranks tie.
+    *
+    * `ranksOf` receives the total row count n and returns the 1-based
+    * ranks wanted (ascending value order). Returns (n, rank -> value).
+    * The collect is O(P + #ranks) — the same bounded-driver-action
+    * class as a 1-row aggregate. `valueCol` must be non-null.
+    */
+  def exactRankPick(df: DataFrame, valueCol: String,
+      ranksOf: Long => Seq[Long], partitions: Int = 0): (Long, Map[Long, Long]) = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = if (partitions > 0) partitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df.select(col(valueCol).cast("long").as("__v"))
+      .repartitionByRange(parts, col("__v"))
+      .localCheckpoint()
+    val hist = ranged.groupBy(spark_partition_id().as("__pid"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val n = hist.map(_._2).sum
+    val ranks = ranksOf(n).distinct
+    require(ranks.nonEmpty && ranks.forall(r => r >= 1 && r <= n),
+      s"exactRankPick: ranks $ranks outside [1, $n]")
+    var off = 0L
+    val spans = hist.map { case (pid, cnt) => val lo = off; off += cnt; (pid, lo, off) }
+    // global rank r lives in the partition whose span (lo, hi] contains it,
+    // at local 1-based rank r - lo
+    val wanted: Map[Int, Seq[(Long, Long)]] = ranks
+      .map { r =>
+        val (pid, lo, _) = spans.find { case (_, lo2, hi) => r > lo2 && r <= hi }.get
+        (pid, r, r - lo)
+      }
+      .groupBy(_._1).map { case (p, xs) => p -> xs.map(x => (x._2, x._3)) }
+    val owning = wanted.keys.toSeq.map(p => lit(p))
+    val picked = ranged
+      .withColumn("__pid", spark_partition_id())
+      .filter(col("__pid").isin(owning: _*))
+      .withColumn("__lrn",
+        row_number().over(Window.partitionBy("__pid").orderBy("__v")).cast("long"))
+      .filter(wanted.toSeq.map { case (pid, rs) =>
+        col("__pid") === pid && col("__lrn").isin(rs.map(x => lit(x._2)): _*)
+      }.reduce(_ || _))
+      .select(col("__pid"), col("__lrn"), col("__v"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    (n, wanted.toSeq.flatMap { case (pid, rs) =>
+      rs.map { case (g, l) => g -> picked((pid, l)) }
+    }.toMap)
+  }
+
+  /** Exact global 1-based rank over a TOTAL order (the `orderCols`
+    * must be a unique key, so ties cannot reorder across engines)
+    * WITHOUT a single-partition sort: range-partition on the order
+    * key, count rows per partition, broadcast the P-row prefix-sum
+    * offsets back, and add each partition's local `row_number` to its
+    * offset. Two fact shuffles (range + the pid-keyed window) replace
+    * the one-task global sort; every stage is ~N/P per task.
+    *
+    * Returns the input columns plus `rankCol`. The driver action is
+    * the P-row histogram collect — bounded by parallelism.
+    */
+  def exactGlobalRank(df: DataFrame, orderCols: Seq[String],
+      rankCol: String, partitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = if (partitions > 0) partitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df
+      .repartitionByRange(parts, orderCols.map(col): _*)
+      .localCheckpoint()
+    val hist = ranged.groupBy(spark_partition_id().as("__pid"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var off = 0L
+    val offsets = hist.map { case (pid, cnt) => val lo = off; off += cnt; (pid, lo) }
+    val offDf = df.sparkSession.createDataFrame(offsets.toSeq)
+      .toDF("__pid2", "__off")
+    ranged
+      .withColumn("__pid", spark_partition_id())
+      .join(broadcast(offDf), col("__pid") === col("__pid2"))
+      .withColumn(rankCol,
+        (col("__off") + row_number().over(
+          Window.partitionBy("__pid").orderBy(orderCols.map(col): _*))).cast("long"))
+      .drop("__pid", "__pid2", "__off")
+  }
+
+  /** Spark/DuckDB `ntile(k)` bucket for a row at global 1-based rank
+    * `rankCol` out of `n` total: the first n%k buckets take ⌈n/k⌉
+    * rows, the rest ⌊n/k⌋ — the exact builtin semantics, expressed on
+    * a distributed rank so no single-partition window is needed.
+    */
+  def ntileOfRank(rankCol: org.apache.spark.sql.Column, n: Long,
+      k: Int): org.apache.spark.sql.Column = {
+    // exact integer division (Spark's `/` is double division; the
+    // subtract-mod form keeps the quotient an exactly-representable
+    // integer for any rank < 2^53)
+    def idiv(a: org.apache.spark.sql.Column, b: Long) =
+      ((a - pmod(a, lit(b))) / b).cast("long")
+    val base = n / k
+    val rem = n % k
+    val cut = rem * (base + 1)
+    when(rankCol <= cut, idiv(rankCol - 1, base + 1) + 1)
+      .otherwise(lit(rem) + idiv(rankCol - cut - 1, math.max(base, 1L)) + 1)
+      .cast("long")
+  }
 }
 

@@ -79,28 +79,24 @@ object Round6eOps {
         |FROM k""".stripMargin) { (s, d) =>
       // Ranks are exact integers computed once from n (the float only
       // picks WHICH order statistics — both engines floor/ceil the
-      // same double); the three selections are one semi-joined filter
-      // against the ranked table. At 100 TB the global row_number
-      // becomes the range-partitioned rank (rfmSegments' machinery);
-      // the CI math is unchanged.
+      // same double); the three selections run through
+      // Pipelines.exactRankPick — range-partition on the value, P-row
+      // histogram, per-partition local sort — so no stage funnels the
+      // fact table through one task. The CI math is unchanged.
+      def ranksOf(n: Long): Seq[Long] = {
+        require(n > 0, "q_stat_32_median_ci: empty orders table")
+        // clamp to [1, n] (mirrored in the oracle): for tiny n the raw
+        // formula yields rank 0 / n+1, which no row carries — both
+        // engines would otherwise fail in DIFFERENT ways (NULL vs throw)
+        def clamp(r: Long) = math.max(1L, math.min(n, r))
+        Seq(clamp(math.floor((n - 1.96 * math.sqrt(n.toDouble)) / 2).toLong),
+          (n + 1) / 2,
+          clamp(math.ceil((n + 1.96 * math.sqrt(n.toDouble)) / 2).toLong))
+      }
       val o = Tables(s, d, "orders")
-        .select(floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"),
-          col("o_orderkey"))
-        .localCheckpoint()
-      val n = o.count()
-      require(n > 0, "q_stat_32_median_ci: empty orders table")
-      // clamp to [1, n] (mirrored in the oracle): for tiny n the raw
-      // formula yields rank 0 / n+1, which no row carries — both
-      // engines would otherwise fail in DIFFERENT ways (NULL vs throw)
-      def clamp(r: Long) = math.max(1L, math.min(n, r))
-      val rLo = clamp(math.floor((n - 1.96 * math.sqrt(n.toDouble)) / 2).toLong)
-      val rHi = clamp(math.ceil((n + 1.96 * math.sqrt(n.toDouble)) / 2).toLong)
-      val rMed = (n + 1) / 2
-      val r = o.select(col("cents"),
-        row_number().over(Window.orderBy("cents", "o_orderkey")).as("rn"))
-      val picks = r.filter(col("rn").isin(rLo, rMed, rHi))
-        .select(col("rn"), col("cents")).collect()
-        .map(x => x.getInt(0).toLong -> x.getLong(1)).toMap
+        .select(floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      val (n, picks) = graft.api.Pipelines.exactRankPick(o, "cents", ranksOf)
+      val Seq(rLo, rMed, rHi) = ranksOf(n)
       import s.implicits._
       Seq((n, math.floor(picks(rLo).toDouble / 100 * 100 + 0.5) / 100,
         math.floor(picks(rMed).toDouble / 100 * 100 + 0.5) / 100,

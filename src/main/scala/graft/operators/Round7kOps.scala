@@ -200,24 +200,24 @@ object Round7kOps {
         | floor(CAST(n_above + n_le AS DOUBLE) * ta / nn * 10000 + 0.5) / 10000 AS e_above,
         | floor(c2 * 10000 + 0.5) / 10000 AS chi2
         |FROM cls, mg, chi ORDER BY seg""".stripMargin) { (s, d) =>
-      // The global row_number is the fixture-scale order statistic; at
-      // 100 TB the range-partitioned exact rank (q_sort_5's machinery)
-      // replaces the single-partition sort — the 2×k algebra is
-      // unchanged. chi2's per-cell terms sum over a 5-row frame.
+      // The median is picked by Pipelines.exactRankPick — the
+      // range-partitioned exact order statistic (range shuffle on the
+      // value, P-row histogram, per-partition local sort) — so no stage
+      // ever funnels the orders⋈customer fact through one task; the
+      // 2×k algebra is unchanged. chi2's per-cell terms sum over a
+      // 5-row frame.
       val o = Tables(s, d, "orders")
         .join(Tables(s, d, "customer"), col("o_custkey") === col("c_custkey"))
         .select(floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"),
           col("c_mktsegment").as("seg"))
         .localCheckpoint()
-      val n = o.agg(count(lit(1)).as("cnt"))
-      val med = o.withColumn("rn", row_number().over(Window.orderBy("cents")))
-        .crossJoin(broadcast(n))
-        .filter(col("rn") === floor((col("cnt") + 1) / 2).cast("long"))
-        .select(col("cents").as("m"))
-      val cls = o.crossJoin(broadcast(med))
+      val (_, picks) =
+        graft.api.Pipelines.exactRankPick(o, "cents", nn => Seq((nn + 1) / 2))
+      val m = picks.values.head
+      val cls = o
         .groupBy("seg")
-        .agg(sum(when(col("cents") > col("m"), 1L).otherwise(0L)).as("n_above"),
-          sum(when(col("cents") <= col("m"), 1L).otherwise(0L)).as("n_le"))
+        .agg(sum(when(col("cents") > m, 1L).otherwise(0L)).as("n_above"),
+          sum(when(col("cents") <= m, 1L).otherwise(0L)).as("n_le"))
       val mg = cls.agg(sum("n_above").as("ta"), sum("n_le").as("tl"),
         sum(col("n_above") + col("n_le")).as("nn"))
       val withMg = cls.crossJoin(broadcast(mg))
