@@ -95,8 +95,14 @@ object Bench {
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath + ".runs.json"),
       s"""{"run1":${json(run1, _.toString)},"run2":${json(run2, _.toString)}}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // self-grading keys (r7 verdict item 4): both raw run totals, the
+    // min-merged total, and every query over the 5 s per-query budget
+    val overBudget = results.filter(_._2 > 5.0).toSeq.sortBy(-_._2)
+      .map { case (n, s) => "\"" + n + "\"" }.mkString("[", ",", "]")
+    val runsKey =
+      f"""{"run1_total":${run1.values.sum}%.3f,"run2_total":${run2.values.sum}%.3f}"""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results, _.toString)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results, _.toString)},"sf":"$sfDir","runs":$runsKey,"min":$total,"over_budget":$overBudget}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
@@ -115,7 +121,8 @@ object Bench {
     println(s"BENCH_FULL_JSON written to $outPath (${results.size} queries)")
 
     val compact = json(results, v => f"$v%.3f")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$compact,"sf":"$sfDir","queries_file":"$outPath"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$compact,"sf":"$sfDir","queries_file":"$outPath","runs":$runsKey,"min":$total,"over_budget":$overBudget}""")
+    graft.sources.SampledEdges.clear()
     spark.stop()
   }
 }

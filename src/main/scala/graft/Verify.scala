@@ -45,6 +45,7 @@ object Verify {
       sqlJson(selected, sfDir))
     Files.writeString(Paths.get(s"$outDir/spark_schema.json"),
       schemaJson(spark, selected, sfDir))
+    graft.sources.SampledEdges.clear()
     spark.stop()
   }
 

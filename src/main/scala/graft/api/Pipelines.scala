@@ -980,8 +980,12 @@ object Pipelines {
   def lorenzCurve(df: DataFrame, idCol: String, valueCol: String,
       buckets: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val b = df.select(col(valueCol),
-      ntile(buckets).over(Window.orderBy(valueCol, idCol)).cast("long").as("decile"))
+    // ntile via the range-partitioned exact rank — identical bucket
+    // assignment to the builtin, no single-partition window
+    val n = df.count()
+    val b = exactGlobalRank(df.select(col(valueCol), col(idCol)),
+        Seq(valueCol, idCol), "__rk")
+      .select(col(valueCol), ntileOfRank(col("__rk"), n, buckets).as("decile"))
     val g = b.groupBy("decile").agg(count(lit(1)).as("n"), sum(valueCol).as("__s"))
     g.withColumn("__cum", sum("__s").over(
         Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)))
@@ -1279,9 +1283,12 @@ object Pipelines {
       alphaNum: Int = 1, alphaDenom: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val m = df.count()
-    val rk = df.select(col(idCol), col(pCol),
-        floor(col(pCol) * 1000000 + 0.5).cast("long").as("__p6"))
-      .withColumn("__k", row_number().over(Window.orderBy(col("__p6"), col(idCol))))
+    // ascending-p rank via the range-partitioned exact rank — no
+    // single-partition window even when the p-value table is large
+    val rk = exactGlobalRank(
+      df.select(col(idCol), col(pCol),
+        floor(col(pCol) * 1000000 + 0.5).cast("long").as("__p6")),
+      Seq("__p6", idCol), "__k")
     val km = rk.agg(max(when(
       col("__p6") * m * alphaDenom <= col("__k").cast("long") * 1000000L * alphaNum,
       col("__k")).otherwise(0)).as("__kmax"))
@@ -1733,18 +1740,20 @@ object Pipelines {
       .agg(max((col(tsCol) / 86400000000L).cast("long")).as("__last"))
       .localCheckpoint()
     val mx = u.agg(max("__last").as("__maxd"))
-    val joined = u.crossJoin(broadcast(mx)).localCheckpoint()
-    horizons.map { h =>
-      val agg = joined.agg(count(lit(1)).as("n"),
-        sum(when(col("__last") <= col("__maxd") - h, 1L).otherwise(0L)).as("c"))
-        .collect().head
-      (h.toLong, agg.getLong(0), agg.getLong(1),
-        math.floor(agg.getLong(1).toDouble / agg.getLong(0) * 1e6 + 0.5) / 1e6)
-    }.foldLeft(Option.empty[DataFrame]) { (acc, row) =>
-      val one = df.sparkSession.createDataFrame(Seq(row))
-        .toDF("horizon", "n_ids", "n_churned", "rate")
-      Some(acc.map(_.union(one)).getOrElse(one))
-    }.get
+    // all horizons fold into ONE aggregation pass / ONE driver action
+    // (per-horizon conditional sums) instead of one collect per horizon
+    val aggCols = count(lit(1)).as("__n") +: horizons.map(h =>
+      sum(when(col("__last") <= col("__maxd") - h, 1L).otherwise(0L)).as(s"__c$h"))
+    val row = u.crossJoin(broadcast(mx))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .collect().head
+    val n = row.getLong(0)
+    val rows = horizons.zipWithIndex.map { case (h, i) =>
+      val c = row.getLong(i + 1)
+      (h.toLong, n, c, math.floor(c.toDouble / n * 1e6 + 0.5) / 1e6)
+    }
+    df.sparkSession.createDataFrame(rows)
+      .toDF("horizon", "n_ids", "n_churned", "rate")
   }
 
   /** Pairwise label-centroid cosine matrix (generalizes q_sim_33):
@@ -1938,13 +1947,13 @@ object Pipelines {
     */
   def ctxBoundarySweep(df: DataFrame, orderCol: String, tokCol: String,
       ctxs: Seq[Long]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(ctxs.nonEmpty, "ctxBoundarySweep needs at least one context size")
     val spark = df.sparkSession
     import spark.implicits._
-    val w = Window.orderBy(orderCol).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = df.select(col(orderCol), col(tokCol).cast("long").as("__tok"))
-      .withColumn("__c", sum("__tok").over(w))
+    // the global cumulative token sum runs through prefixSum — exact
+    // integer running sum off range partitions, no one-task window
+    val cum = prefixSum(df.select(col(orderCol), col(tokCol).cast("long").as("__tok")),
+      Seq(orderCol), "__tok", "__c")
     cum.crossJoin(broadcast(ctxs.toDF("ctx")))
       .select(col("ctx"), col("__tok"), col("__c"),
         when(expr("(__c - 1) div ctx") > expr("(__c - __tok) div ctx"), 1).otherwise(0)
@@ -2465,7 +2474,11 @@ object Pipelines {
   }
 
   /** Hodges–Lehmann pseudo-median per group over an ordered series
-    * (generalizes q_stat_44): median of Walsh sums (x_i+x_j)/2, i ≤ j.
+    * (generalizes q_stat_44): median of Walsh averages (x_i+x_j)/2,
+    * i ≤ j. For an EVEN Walsh count the two middle Walsh sums are
+    * averaged (the standard HL pseudo-median, not the lower median).
+    * `tCol` must be UNIQUE within each group — the i ≤ j pairing keys
+    * on it, so duplicate t values would double-count pairs.
     */
   def hodgesLehmann(series: DataFrame, groupCol: String, tCol: String,
       xCol: String): DataFrame = {
@@ -2479,15 +2492,20 @@ object Pipelines {
     w.select(col("__g"), col("__s"),
         row_number().over(wRn).as("__rn"), count(lit(1)).over(wAll).as("__nw"))
       .groupBy("__g")
-      .agg((max(when(col("__rn") === expr("(__nw + 1) div 2"), col("__s")))
-          .cast("double") / 2).as("hl_estimate"),
+      .agg(((max(when(col("__rn") === expr("(__nw + 1) div 2"), col("__s")))
+          + max(when(col("__rn") === expr("(__nw + 2) div 2"), col("__s"))))
+          .cast("double") / 4).as("hl_estimate"),
         max(col("__nw")).cast("long").as("n_walsh"))
       .withColumnRenamed("__g", groupCol)
   }
 
   /** Kendall τ-b with tie corrections over an ordered series
     * (generalizes q_stat_46). x/y must be exact integers so tie
-    * detection is never a float comparison.
+    * detection is never a float comparison. Tie counts follow the
+    * canonical (scipy/R) convention: `tx` counts ALL x-tied pairs and
+    * `ty` ALL y-tied pairs — a pair tied in BOTH x and y counts in
+    * both — so τ-b = (nc − nd)/√((n0 − tx)(n0 − ty)) matches the
+    * standard statistic even with duplicate (x, y) pairs.
     */
   def kendallTauB(series: DataFrame, tCol: String, xCol: String,
       yCol: String): DataFrame = {
@@ -2500,10 +2518,8 @@ object Pipelines {
           (col("__x1") > col("__x2") && col("__y1") > col("__y2")), 1L).otherwise(0L)).as("nc"),
         sum(when((col("__x1") < col("__x2") && col("__y1") > col("__y2")) ||
           (col("__x1") > col("__x2") && col("__y1") < col("__y2")), 1L).otherwise(0L)).as("nd"),
-        sum(when(col("__x1") === col("__x2") && col("__y1") =!= col("__y2"), 1L)
-          .otherwise(0L)).as("tx"),
-        sum(when(col("__y1") === col("__y2") && col("__x1") =!= col("__x2"), 1L)
-          .otherwise(0L)).as("ty"),
+        sum(when(col("__x1") === col("__x2"), 1L).otherwise(0L)).as("tx"),
+        sum(when(col("__y1") === col("__y2"), 1L).otherwise(0L)).as("ty"),
         count(lit(1)).as("n0"))
       .select(col("nc"), col("nd"), col("tx"), col("ty"), col("n0"),
         graft.functions.Num.round(DD(col("nc") - col("nd"))
@@ -2512,14 +2528,20 @@ object Pipelines {
 
   /** Brier score with the Murphy decomposition (generalizes q_ml_15):
     * `pmCol` = integral milli-unit forecasts 0..999, `yCol` = 0/1
-    * outcomes; 10 equal bins.
+    * outcomes; 10 equal bins. `brier` is the TRUE mean (p − y)²
+    * (computed from the exact integer Σ(pm − 1000y)², NOT the binned
+    * identity — with many distinct forecasts per bin rel − res + unc
+    * is only an approximation); `resid` reports the decomposition gap
+    * the binning leaves.
     */
   def brierDecomposition(df: DataFrame, pmCol: String, yCol: String): DataFrame = {
     def DD(c: org.apache.spark.sql.Column) = c.cast("double")
     val f = df.select(col(pmCol).as("__pm"), col(yCol).as("__y"))
     val b = f.groupBy(expr("__pm div 100").as("__bin"))
       .agg(count(lit(1)).as("__n"), sum("__pm").as("__sp"), sum("__y").as("__sy"))
-    val t = f.agg(count(lit(1)).as("__nn"), sum("__y").as("__syy"))
+    val t = f.agg(count(lit(1)).as("__nn"), sum("__y").as("__syy"),
+      sum((col("__pm") - lit(1000L) * col("__y"))
+        * (col("__pm") - lit(1000L) * col("__y"))).as("__bq"))
     val pbar = DD(col("__sp")) / col("__n") / 1000
     val ybar = DD(col("__sy")) / col("__n")
     val gbar = DD(col("__syy")) / col("__nn")
@@ -2528,12 +2550,15 @@ object Pipelines {
         (sum(DD(col("__n")) * (pbar - ybar) * (pbar - ybar)) / max(col("__nn"))).as("__rel"),
         (sum(DD(col("__n")) * (ybar - gbar) * (ybar - gbar)) / max(col("__nn"))).as("__res"),
         max(gbar * (lit(1) - gbar)).as("__unc"),
+        max(DD(col("__bq")) / 1000000 / col("__nn")).as("__bt"),
         max(col("__nn")).as("__nn2"))
       .select(col("__nn2").as("n_scored"),
         graft.functions.Num.round(col("__rel"), 6).as("reliability"),
         graft.functions.Num.round(col("__res"), 6).as("resolution"),
         graft.functions.Num.round(col("__unc"), 6).as("uncertainty"),
-        graft.functions.Num.round(col("__rel") - col("__res") + col("__unc"), 6).as("brier"))
+        graft.functions.Num.round(col("__bt"), 6).as("brier"),
+        graft.functions.Num.round(col("__bt")
+          - (col("__rel") - col("__res") + col("__unc")), 6).as("resid"))
   }
 
   /** √-scaled mixture quotas to an EXACT total via largest-remainder
@@ -2566,16 +2591,26 @@ object Pipelines {
       salt: String): org.apache.spark.sql.Column =
     sha2(concat(lit(salt), lit("|"), key.cast("string")), 256)
 
-  /** Canonicalize a URL Column: lowercase host, strip www., drop the
-    * utm_source param, trim the trailing slash (generalizes
+  /** Canonicalize a URL Column: scheme-preserving (http stays http —
+    * the prefix length is derived from the scheme, not hard-coded),
+    * lowercase host, strip www., drop EVERY utm_* query param wherever
+    * it sits (leading `?`, middle `&`, or trailing — no dangling
+    * separators left behind), trim the trailing slash (generalizes
     * q_dedup_28_url_canonical's cleanup).
     */
   def canonicalizeUrl(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val scheme = lower(substring_index(url, "://", 1))
     val host = split_part(url, lit("/"), lit(3))
-    val rest = substring(url, lit(9) + length(host), lit(100000))
-    concat(lit("https://"),
+    val rest = url.substr(length(scheme) + length(host) + 4, lit(100000))
+    // pass 1 drops utm params followed by another param (keeps the
+    // leading separator for what follows); pass 2 drops a trailing utm
+    // param together with its own leading ? or &
+    val noUtm = regexp_replace(
+      regexp_replace(rest, "utm_[A-Za-z_]+=[^&#]*&", ""),
+      "[?&]utm_[A-Za-z_]+=[^&#]*$", "")
+    concat(scheme, lit("://"),
       regexp_replace(lower(host), "^www\\.", ""),
-      rtrim(regexp_replace(rest, "\\?utm_source=feed", ""), "/"))
+      rtrim(noUtm, "/"))
   }
 
   /** The same K rows from every group on any cluster size or engine:
@@ -2667,12 +2702,20 @@ object Pipelines {
     * the P-row histogram collect — bounded by parallelism.
     */
   def exactGlobalRank(df: DataFrame, orderCols: Seq[String],
+      rankCol: String, partitions: Int = 0): DataFrame =
+    exactGlobalRankBy(df, orderCols.map(col), rankCol, partitions)
+
+  /** Column-expression form of [[exactGlobalRank]] — use for mixed
+    * asc/desc orders, e.g. `Seq(col("cnt").desc, col("token"))`. The
+    * order must still be a total (unique) one.
+    */
+  def exactGlobalRankBy(df: DataFrame, orderCols: Seq[org.apache.spark.sql.Column],
       rankCol: String, partitions: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val parts = if (partitions > 0) partitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val ranged = df
-      .repartitionByRange(parts, orderCols.map(col): _*)
+      .repartitionByRange(parts, orderCols: _*)
       .localCheckpoint()
     val hist = ranged.groupBy(spark_partition_id().as("__pid"))
       .agg(count(lit(1)).as("__n"))
@@ -2686,8 +2729,97 @@ object Pipelines {
       .join(broadcast(offDf), col("__pid") === col("__pid2"))
       .withColumn(rankCol,
         (col("__off") + row_number().over(
-          Window.partitionBy("__pid").orderBy(orderCols.map(col): _*))).cast("long"))
+          Window.partitionBy("__pid").orderBy(orderCols: _*))).cast("long"))
       .drop("__pid", "__pid2", "__off")
+  }
+
+  /** Exact running sum of a LONG column over a TOTAL order WITHOUT a
+    * single-partition window: range-partition on the order key, sum
+    * each partition (P-row aggregate), prefix-sum the per-partition
+    * totals on the driver, and add each partition's offset to its
+    * local cumulative sum. Integer sums are order-insensitive, so the
+    * result is bit-identical to the one-task
+    * `sum(v).over(Window.orderBy(...))` form it replaces. Returns the
+    * input plus `outCol` (the inclusive running sum).
+    */
+  def prefixSum(df: DataFrame, orderCols: Seq[String], valueCol: String,
+      outCol: String, partitions: Int = 0): DataFrame =
+    prefixSumN(df, orderCols, Seq(valueCol -> outCol), partitions)
+
+  /** Multi-column form of [[prefixSum]]: all running sums share ONE
+    * range shuffle and one P-row offset exchange.
+    */
+  def prefixSumN(df: DataFrame, orderCols: Seq[String],
+      valueOutCols: Seq[(String, String)], partitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(valueOutCols.nonEmpty, "prefixSumN needs at least one value column")
+    val parts = if (partitions > 0) partitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df
+      .repartitionByRange(parts, orderCols.map(col): _*)
+      .localCheckpoint()
+    val hist = ranged.groupBy(spark_partition_id().as("__pid"))
+      .agg(valueOutCols.map { case (v, _) => sum(col(v).cast("long")).as(s"__s_$v") }.head,
+        valueOutCols.tail.map { case (v, _) => sum(col(v).cast("long")).as(s"__s_$v") }: _*)
+      .collect()
+      .map(r => r.getInt(0) -> valueOutCols.indices.map(i => r.getLong(i + 1)))
+      .sortBy(_._1)
+    val offs = Array.fill(valueOutCols.size)(0L)
+    val offsets = hist.map { case (pid, sums) =>
+      val lo = offs.toSeq
+      sums.indices.foreach(i => offs(i) += sums(i))
+      org.apache.spark.sql.Row.fromSeq(pid +: lo)
+    }
+    val offSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__pid2",
+        org.apache.spark.sql.types.IntegerType) +:
+      valueOutCols.map { case (v, _) => org.apache.spark.sql.types.StructField(
+        s"__off_$v", org.apache.spark.sql.types.LongType) })
+    val offDf = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(offsets: _*), offSchema)
+    val w = Window.partitionBy("__pid").orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    valueOutCols.foldLeft(
+      ranged
+        .withColumn("__pid", spark_partition_id())
+        .join(broadcast(offDf), col("__pid") === col("__pid2"))) {
+      case (acc, (v, out)) =>
+        acc.withColumn(out,
+          (col(s"__off_$v") + sum(col(v).cast("long")).over(w)).cast("long"))
+    }.drop("__pid" +: "__pid2" +: valueOutCols.map { case (v, _) => s"__off_$v" }: _*)
+  }
+
+  /** Every adjacent pair of a totally-ordered LONG id column WITHOUT a
+    * single-partition `lead` window: range-partition on the id,
+    * per-partition `lead` (intra-partition pairs), then stitch each
+    * partition's last id to the next non-empty partition's first id —
+    * a P-row driver-side boundary exchange. Returns (idCol, `nxtCol`)
+    * for every consecutive pair, exactly the rows the global
+    * `lead(id, 1).over(Window.orderBy(id))` form emits (minus the
+    * final null-next row).
+    */
+  def adjacentPairs(df: DataFrame, idCol: String, nxtCol: String,
+      partitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = if (partitions > 0) partitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df.select(col(idCol).cast("long").as(idCol))
+      .repartitionByRange(parts, col(idCol))
+      .localCheckpoint()
+    val bounds = ranged.groupBy(spark_partition_id().as("__pid"))
+      .agg(min(col(idCol)).as("__first"), max(col(idCol)).as("__last"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val cross = bounds.sliding(2).collect {
+      case Array((_, _, last), (_, first, _)) => (last, first)
+    }.toSeq
+    val intra = ranged
+      .withColumn("__pid", spark_partition_id())
+      .withColumn(nxtCol,
+        lead(col(idCol), 1).over(Window.partitionBy("__pid").orderBy(idCol)))
+      .filter(col(nxtCol).isNotNull)
+      .select(col(idCol), col(nxtCol).cast("long").as(nxtCol))
+    if (cross.isEmpty) intra
+    else intra.union(df.sparkSession.createDataFrame(cross).toDF(idCol, nxtCol))
   }
 
   /** Spark/DuckDB `ntile(k)` bucket for a row at global 1-based rank

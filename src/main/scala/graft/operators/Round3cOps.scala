@@ -697,17 +697,21 @@ object Round3cOps {
         .groupBy("user_id", "sid")
         .agg(min("tus").as("s1s"), max("tus").as("s1e"))
         .drop("sid")
-      // global (un-keyed) windows are fine for the incident stream: it is
-      // error-filtered and tiny next to the fact; at scale incidents
-      // would derive per calendar-day partition with boundary stitching
-      val iw = Window.orderBy("tus", "event_id")
-      val irunW = Window.orderBy("tus", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val inc = Tables(s, d, "events").filter(col("event_type") === "error")
+      // the incident stream scales with the fact (fixed error rate), so
+      // its gap-island derivation is fully distributed too: global rank
+      // via Pipelines.exactGlobalRank, the lag via a rank-shifted self
+      // join, and the island ids via Pipelines.prefixSum — three keyed
+      // shuffles of the error slice, never a one-task window
+      val er = Tables(s, d, "events").filter(col("event_type") === "error")
         .select(col("event_id"), unix_micros(col("ts")).as("tus"))
-        .withColumn("brk", when(lag("tus", 1).over(iw).isNull
-          || col("tus") - lag("tus", 1).over(iw) > 1800000000L, 1).otherwise(0))
-        .withColumn("iid", sum("brk").over(irunW))
+      val r = graft.api.Pipelines.exactGlobalRank(er, Seq("tus", "event_id"), "__rk")
+        .localCheckpoint()
+      val prevR = r.select((col("__rk") + 1).as("__rk2"), col("tus").as("__ptus"))
+      val brkDf = r.join(prevR, col("__rk") === col("__rk2"), "left")
+        .select(col("tus"), col("__rk"),
+          when(col("__ptus").isNull
+            || col("tus") - col("__ptus") > 1800000000L, 1).otherwise(0).as("brk"))
+      val inc = graft.api.Pipelines.prefixSum(brkDf, Seq("__rk"), "brk", "iid")
         .groupBy("iid")
         .agg(min("tus").as("i2s"), (max("tus") + 300000000L).as("i2e"))
         .drop("iid")

@@ -44,24 +44,26 @@ object Round3dOps {
       // at a data point, so evaluating both ECDFs on the merged
       // distinct-value grid is exact. Integer core: D·n1·n2 =
       // max|n2·cum1 − n1·cum2| never leaves BIGINT; the one division
-      // happens in a 1-row projection. The cumulative window is global
-      // ORDER BY v — its width is the DISTINCT-value grid (bounded by
-      // measurement resolution, not corpus size); at 100 TB you'd compute
-      // the same prefix sums with a two-pass range-partitioned cumsum.
+      // happens in a 1-row projection. The ECDF prefix sums run over the
+      // DISTINCT-value grid via the two-pass range-partitioned cumsum
+      // (Pipelines.prefixSumN) — exact integers, no one-task stage at
+      // any grid size.
       val src = Tables(s, d, "events")
         .filter(col("event_type").isin("click", "view"))
         .select(col("value").as("v"),
           when(col("event_type") === "click", 1L).otherwise(0L).as("ia"))
       val pts = src.groupBy("v")
         .agg(sum("ia").as("c1"), (count(lit(1)) - sum("ia")).as("c2"))
-      val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      // totals = the last value of each (monotone) cumsum — taking them
-      // as a window max avoids re-deriving the pts aggregate for a
-      // separate totals branch (2 corpus aggregation passes → 1)
-      val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      val cum = pts.select(sum("c1").over(w).as("cum1"), sum("c2").over(w).as("cum2"))
-        .withColumn("n1", max("cum1").over(wAll))
-        .withColumn("n2", max("cum2").over(wAll))
+        .localCheckpoint()
+      // both ECDF prefix sums share ONE range shuffle
+      // (Pipelines.prefixSumN — exact integer cumsums, no one-task
+      // window even when the distinct-value grid is large); totals are
+      // a 1-row broadcast off the same materialized pts
+      val tot = pts.agg(sum("c1").cast("long").as("n1"), sum("c2").cast("long").as("n2"))
+      val cum = graft.api.Pipelines
+        .prefixSumN(pts, Seq("v"), Seq("c1" -> "cum1", "c2" -> "cum2"))
+        .select(col("cum1"), col("cum2"))
+        .crossJoin(broadcast(tot))
       cum
         .groupBy("n1", "n2")
         .agg(max(abs(col("n2") * col("cum1") - col("n1") * col("cum2"))).as("d_num"))
@@ -95,8 +97,10 @@ object Round3dOps {
         .select(col("value").as("v"),
           when(col("event_type") === "purchase", 1L).otherwise(0L).as("ia"))
       val pts = src.groupBy("v").agg(sum("ia").as("c1"), count(lit(1)).as("c"))
-      val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = pts.select(col("c1"), col("c"), (sum("c").over(w) - col("c")).as("prior"))
+      // range-partitioned integer cumsum (Pipelines.prefixSum) — no
+      // one-task window over the distinct-value grid
+      val cum = graft.api.Pipelines.prefixSum(pts, Seq("v"), "c", "__cums")
+        .select(col("c1"), col("c"), (col("__cums") - col("c")).as("prior"))
       val agg = cum.agg(
         sum("c1").as("n1"),
         sum(col("c") - col("c1")).as("n2"),
@@ -192,9 +196,11 @@ object Round3dOps {
         .crossJoin(broadcast(stats))
         .select(col("doc_id"), s6.as("s6"))
       val total = scored.groupBy("doc_id").agg(sum("s6").as("s6"))
+      // TakeOrdered top-10 over the doc-scale score table, then the
+      // rank window over just 10 rows
       val w = Window.orderBy(col("s6").desc, col("doc_id").asc)
-      total.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 10)
+      total.orderBy(col("s6").desc, col("doc_id").asc).limit(10)
+        .withColumn("rn", row_number().over(w))
         .select(col("doc_id"), (col("s6").cast("double") / 1000000).as("score"),
           col("rn").cast("long").as("rn"))
         .orderBy("rn")
@@ -284,11 +290,17 @@ object Round3dOps {
             .cast("long").as("l6"))
       val doc = sc.groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"), sum("l6").as("sum_l6"))
-      val w = Window.orderBy(
-        (col("sum_l6").cast("double") / col("n_bigrams").cast("double")).desc, col("doc_id"))
-      doc.select(col("doc_id"), col("n_bigrams"), col("sum_l6"),
-        round(exp(-(col("sum_l6").cast("double") / (col("n_bigrams").cast("double") * 1000000.0))), 4).as("ppl"),
-        ntile(3).over(w).cast("long").as("bucket"))
+        .localCheckpoint()
+      // builtin-identical ntile(3) via exactGlobalRankBy + ntileOfRank
+      // — range-partitioned on the (mean-l6 DESC, doc_id) total order,
+      // no one-task window over the doc-scale table
+      val nDoc = doc.count()
+      graft.api.Pipelines.exactGlobalRankBy(doc,
+          Seq((col("sum_l6").cast("double") / col("n_bigrams").cast("double")).desc,
+            col("doc_id")), "__rk")
+        .select(col("doc_id"), col("n_bigrams"), col("sum_l6"),
+          round(exp(-(col("sum_l6").cast("double") / (col("n_bigrams").cast("double") * 1000000.0))), 4).as("ppl"),
+          graft.api.Pipelines.ntileOfRank(col("__rk"), nDoc, 3).as("bucket"))
         .orderBy("doc_id")
     },
 
@@ -585,9 +597,11 @@ object Round3dOps {
           floor(log(col("c12").cast("double") * col("nn").cast("double")
             / (col("c1").cast("double") * col("c2").cast("double"))) * 1000000 + 0.5)
             .cast("long").as("pmi6"))
+      // TakeOrdered top-20 over the bigram-vocab score table, then the
+      // rank window over just 20 rows
       val w = Window.orderBy(col("pmi6").desc, col("w1"), col("w2"))
-      sc.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 20)
+      sc.orderBy(col("pmi6").desc, col("w1"), col("w2")).limit(20)
+        .withColumn("rn", row_number().over(w))
         .select(col("w1"), col("w2"), col("c12"),
           (col("pmi6").cast("double") / 1000000).as("pmi"), col("rn").cast("long").as("rn"))
         .orderBy("rn")

@@ -273,16 +273,15 @@ object Round5Ops {
       // checks like q_dq_2 cannot see it). event_id is a global sequence
       // the fixture interleaves across types, so the purchase slice has
       // holes by construction — exactly the shape of a per-topic
-      // continuity audit. lead() over the distinct key set turns each
-      // adjacent pair into a candidate gap. The global-order window is
-      // single-partition here; at 100 TB this becomes
-      // repartitionByRange(id) + per-partition lead with one boundary
-      // row exchanged per partition (the q_sink_2 range-layout
-      // machinery) — the report stays top-20 either way.
+      // continuity audit. Adjacent pairs come from
+      // Pipelines.adjacentPairs: repartitionByRange(id) +
+      // per-partition lead, with one boundary row stitched per
+      // partition off a P-row driver exchange — never a
+      // single-partition lead window; the report stays top-20.
       val k = Tables(s, d, "events").filter(col("event_type") === "purchase")
         .select(col("event_id").as("id")).distinct()
-      k.withColumn("nxt", lead("id", 1).over(Window.orderBy("id")))
-        .filter(col("nxt").isNotNull && col("nxt") - col("id") > 1)
+      graft.api.Pipelines.adjacentPairs(k, "id", "nxt")
+        .filter(col("nxt") - col("id") > 1)
         .select((col("id") + 1).as("gap_start"), (col("nxt") - 1).as("gap_end"),
           (col("nxt") - col("id") - 1).cast("long").as("gap_len"))
         .orderBy(col("gap_len").desc, col("gap_start"))

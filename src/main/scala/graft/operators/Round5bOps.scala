@@ -39,19 +39,20 @@ object Round5bOps {
       // classifier-evaluation metric). Ties get average ranks, carried
       // as DOUBLED integers (2·minrank + tiecount − 1) so every
       // sufficient statistic stays exact BIGINT; gini = 2·AUC − 1.
-      // The global rank window is the only wide op; at 100 TB it becomes
-      // repartitionByRange(cents) + per-partition rank with one
-      // cumulative-count row exchanged per partition (q_dq_22's note) —
-      // the result stays one row.
+      // Ranks come from per-distinct-value counts + Pipelines.prefixSum
+      // (range-partitioned integer cumsum): r2(v) = 2·cumc − cnt + 1,
+      // so no per-row rank window and no one-task sort — the corpus
+      // collapses to the distinct-value grid in one keyed aggregate.
       val e = Tables(s, d, "events").select(
         floor(col("value") * 100 + 0.5).cast("long").as("cents"),
         when(col("event_type") === "purchase", 1).otherwise(0).as("pos"))
-      val w = e.select(col("pos"),
-        (rank().over(Window.orderBy("cents")) * 2 +
-          count(lit(1)).over(Window.partitionBy("cents")) - 1).cast("long").as("r2"))
-      val a = w.agg(sum("pos").cast("long").as("n1"),
-        sum(lit(1) - col("pos")).cast("long").as("n0"),
-        sum(when(col("pos") === 1, col("r2")).otherwise(0L)).cast("long").as("r12"))
+      val pts = e.groupBy("cents")
+        .agg(count(lit(1)).as("cnt"), sum("pos").cast("long").as("np"))
+      val cum = graft.api.Pipelines.prefixSum(pts, Seq("cents"), "cnt", "cumc")
+      val r2 = col("cumc") * 2 - col("cnt") + 1
+      val a = cum.agg(sum("np").cast("long").as("n1"),
+        sum(col("cnt") - col("np")).cast("long").as("n0"),
+        sum(col("np") * r2).cast("long").as("r12"))
       a.select(col("n1").as("n_pos"), col("n0").as("n_neg"),
         round((col("r12") - col("n1") * (col("n1") + 1)).cast("double")
           / (lit(2.0) * col("n1") * col("n0")), 6).as("auc"),
@@ -110,18 +111,26 @@ object Round5bOps {
       // sums are exact BIGINTs; each group's R²/n term is
       // floor-quantized to an integer BEFORE the 5-term window sum
       // (q_stat_11's between-term discipline); the tie-correction mass
-      // Σ(t³−t) is an exact BIGINT off the per-value counts. Scale: one
-      // global rank window (repartitionByRange + per-partition rank at
-      // 100 TB), then everything is 5-row arithmetic.
+      // Σ(t³−t) is an exact BIGINT off the per-value counts. Ranks come
+      // from the distinct-value grid + Pipelines.prefixSum (r2(v) =
+      // 2·cumc − cnt + 1, q_ret_5's device) joined back onto the
+      // (prio, cents) counts — no per-row rank window, no one-task
+      // sort; then everything is 5-row arithmetic.
       val c = Tables(s, d, "orders").select(col("o_orderpriority").as("prio"),
         floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
-      val w = c.select(col("prio"), col("cents"),
-        (rank().over(Window.orderBy("cents")) * 2 +
-          count(lit(1)).over(Window.partitionBy("cents")) - 1).cast("long").as("r2"))
-      val g = w.groupBy("prio").agg(count(lit(1)).as("n"), sum("r2").as("s2"),
-        floor(sum("r2").cast("double") * sum("r2").cast("double")
-          / (lit(4.0) * count(lit(1)))).cast("long").as("term"))
-      val t = c.groupBy("cents").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val pts = c.groupBy("cents").agg(count(lit(1)).as("cnt"))
+      val cum = graft.api.Pipelines.prefixSum(pts, Seq("cents"), "cnt", "cumc")
+        .select(col("cents").as("c2c"), (col("cumc") * 2 - col("cnt") + 1).as("r2"),
+          col("cnt"))
+      val pc = c.groupBy("prio", "cents").agg(count(lit(1)).as("npc"))
+      val g = pc.join(cum, col("cents") === col("c2c"))
+        .groupBy("prio").agg(sum("npc").cast("long").as("n"),
+          sum(col("npc") * col("r2")).cast("long").as("s2"),
+          floor(sum(col("npc") * col("r2")).cast("double")
+            * sum(col("npc") * col("r2")).cast("double")
+            / (lit(4.0) * sum("npc"))).cast("long").as("term"))
+      val t = cum
         .agg(sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).cast("long").as("ties"))
       val wAll = Window.partitionBy()
       val a = g.select(col("prio"), col("n"), col("s2"),

@@ -213,26 +213,27 @@ object Round5cOps {
       // (integer ceilings via (n+1)÷2 and (9n+9)÷10 — no interpolation
       // float); the session table itself is the proven session_window
       // batch form, oracle-mirrored by gap-and-island SQL with the same
-      // strictly-greater gap rule. Scale: sessions are user-bounded;
-      // the two global rank windows run over the session table (not the
-      // corpus) — repartitionByRange at 100 TB, same as q_ret_5's note.
+      // strictly-greater gap rule. Scale: sessions are user-bounded,
+      // and the percentiles come from Pipelines.exactRankPick (range-
+      // partitioned order statistics) — no one-task sort at any scale.
       val sess = Tables(s, d, "events")
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
         .agg(count(lit(1)).as("n_events"), min("ts").as("mn"), max("ts").as("mx"))
         .select(col("n_events"), (unix_micros(col("mx")) - unix_micros(col("mn"))).as("span_us"))
         .localCheckpoint()
-      val st = sess
-        .withColumn("rne", row_number().over(Window.orderBy("n_events")).cast("long"))
-        .withColumn("rns", row_number().over(Window.orderBy("span_us")).cast("long"))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
-      st.agg(
-        max("n").as("n_sessions"),
-        min(when(col("rne") === expr("(n + 1) div 2"), col("n_events"))).as("p50_events"),
-        min(when(col("rne") === expr("(9 * n + 9) div 10"), col("n_events"))).as("p90_events"),
-        min(when(col("rns") === expr("(n + 1) div 2"), col("span_us"))).as("p50_span_us"),
-        min(when(col("rns") === expr("(9 * n + 9) div 10"), col("span_us"))).as("p90_span_us"),
-        round(sum(when(col("n_events") === 1, 1).otherwise(0)).cast("double")
-          / max("n"), 6).as("singleton_share"))
+      val ranks = (nn: Long) => Seq((nn + 1) / 2, (9 * nn + 9) / 10)
+      val (n, pe) = graft.api.Pipelines.exactRankPick(sess, "n_events", ranks)
+      val (_, ps) = graft.api.Pipelines.exactRankPick(sess, "span_us", ranks)
+      sess.agg(
+          count(lit(1)).as("n_sessions"),
+          round(sum(when(col("n_events") === 1, 1).otherwise(0)).cast("double")
+            / count(lit(1)), 6).as("singleton_share"))
+        .select(col("n_sessions"),
+          lit(pe((n + 1) / 2)).as("p50_events"),
+          lit(pe((9 * n + 9) / 10)).as("p90_events"),
+          lit(ps((n + 1) / 2)).as("p50_span_us"),
+          lit(ps((9 * n + 9) / 10)).as("p90_span_us"),
+          col("singleton_share"))
     },
 
     Q("q_dedup_12_incremental",
@@ -342,16 +343,17 @@ object Round5cOps {
       // its observed positive rate — the monotonicity/reliability curve
       // that complements q_ret_5's AUC (AUC says the ranking works;
       // this says WHERE it works and whether the score tracks the
-      // outcome rate). Deciles come from ntile(10) over the totally
-      // ordered (cents, event_id) stream, so bucket boundaries are
-      // engine-deterministic; per-bucket stats are exact BIGINTs.
-      // Scale: same single global order as q_ret_5 (repartitionByRange
-      // at 100 TB), then a 10-row agg.
+      // outcome rate). Deciles come from the builtin-identical ntile
+      // over the totally ordered (cents, event_id) stream, computed as
+      // Pipelines.exactGlobalRank + ntileOfRank (range-partitioned —
+      // no one-task window); per-bucket stats are exact BIGINTs.
       val e = Tables(s, d, "events").select(col("event_id"),
         floor(col("value") * 100 + 0.5).cast("long").as("cents"),
         when(col("event_type") === "purchase", 1).otherwise(0).as("pos"))
-      val b = e.select(col("cents"), col("pos"),
-        ntile(10).over(Window.orderBy("cents", "event_id")).cast("long").as("decile"))
+      val nE = e.count()
+      val b = graft.api.Pipelines.exactGlobalRank(e, Seq("cents", "event_id"), "__rk")
+        .select(col("cents"), col("pos"),
+          graft.api.Pipelines.ntileOfRank(col("__rk"), nE, 10).as("decile"))
       b.groupBy("decile").agg(count(lit(1)).as("n"), sum("pos").cast("long").as("k"),
           sum("cents").cast("long").as("sc"))
         .select(col("decile"), col("n"), col("k"),

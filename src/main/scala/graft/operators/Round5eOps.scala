@@ -229,9 +229,11 @@ object Round5eOps {
       val c = t.groupBy("tok").agg(count(lit(1)).as("tf"),
         countDistinct("doc_id").as("df"))
       val nDocs = Tables(s, d, "documents").agg(count(lit(1)).as("n_docs"))
-      val r = c.withColumn("rnk",
-        row_number().over(Window.orderBy(col("tf").desc, col("tok"))).cast("long"))
-        .filter(col("rnk") <= 20)
+      // TakeOrdered top-20 (distributed per-partition heads), then the
+      // rank window runs over just those 20 rows — never over the vocab
+      val r = c.orderBy(col("tf").desc, col("tok")).limit(20)
+        .withColumn("rnk",
+          row_number().over(Window.orderBy(col("tf").desc, col("tok"))).cast("long"))
       r.crossJoin(broadcast(nDocs))
         .select(col("rnk"), col("tok"), col("tf"), col("df"),
           round(col("tf").cast("double") / col("df"), 4).as("burstiness"),
@@ -261,21 +263,22 @@ object Round5eOps {
       // one-pass conditional-min agg as the funnel (no self-join);
       // gaps are exact integer µs; percentiles are exact ⌈q·n⌉-th
       // order statistics over the converted-user table (q_stream_16's
-      // integer-ceiling device). Scale: user-keyed agg, then rank
-      // windows on the (much smaller) converted subset.
+      // integer-ceiling device), picked by Pipelines.exactRankPick —
+      // range-partitioned, never a one-task sort of the user table.
       val st = Tables(s, d, "events").groupBy("user_id").agg(
         min(when(col("event_type") === "signup", unix_micros(col("ts")))).as("t_signup"),
         min(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("t_first_purchase"))
       val conv = st.filter(col("t_signup").isNotNull && col("t_first_purchase").isNotNull
           && col("t_first_purchase") > col("t_signup"))
         .select(col("user_id"), (col("t_first_purchase") - col("t_signup")).as("gap_us"))
-      val r = conv
-        .withColumn("rn", row_number().over(Window.orderBy("gap_us", "user_id")).cast("long"))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
-      r.agg(max("n").as("n_converted"),
-        round(sum("gap_us").cast("double") / max("n") / 60000000L, 2).as("mean_gap_min"),
-        expr("CAST(min(CASE WHEN rn = (n + 1) div 2 THEN gap_us END) div 1000000 AS LONG)").as("p50_gap_s"),
-        expr("CAST(min(CASE WHEN rn = (9 * n + 9) div 10 THEN gap_us END) div 1000000 AS LONG)").as("p90_gap_s"))
+        .localCheckpoint()
+      val (n, picks) = graft.api.Pipelines.exactRankPick(conv, "gap_us",
+        nn => Seq((nn + 1) / 2, (9 * nn + 9) / 10))
+      conv.agg(count(lit(1)).as("n_converted"),
+          round(sum("gap_us").cast("double") / count(lit(1)) / 60000000L, 2).as("mean_gap_min"))
+        .select(col("n_converted"), col("mean_gap_min"),
+          lit(picks((n + 1) / 2) / 1000000L).as("p50_gap_s"),
+          lit(picks((9 * n + 9) / 10) / 1000000L).as("p90_gap_s"))
     },
 
     Q("q_graph_10_reciprocity",

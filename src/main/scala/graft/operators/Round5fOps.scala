@@ -253,9 +253,11 @@ object Round5fOps {
         .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
         .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
       val v = t.groupBy("tok").agg(count(lit(1)).as("tf"))
-      val top = v.withColumn("rnk",
-        row_number().over(Window.orderBy(col("tf").desc, col("tok"))).cast("long"))
-        .filter(col("rnk") <= 10)
+      // TakeOrdered top-10 over the vocab, then the rank window over
+      // just 10 rows
+      val top = v.orderBy(col("tf").desc, col("tok")).limit(10)
+        .withColumn("rnk",
+          row_number().over(Window.orderBy(col("tf").desc, col("tok"))).cast("long"))
       val p = t.filter(col("n") > 1)
         .join(broadcast(top), "tok")
         .select(col("rnk"), col("tok"),

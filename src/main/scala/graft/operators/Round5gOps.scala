@@ -246,15 +246,17 @@ object Round5gOps {
       // the cumulative share — the CURVE whose area deficit q_agg_29's
       // Gini scalar summarizes (this is the view that says WHERE the
       // inequality lives: bottom-decile starvation vs top-decile
-      // domination). Deciles are engine-deterministic ntile(10) over
-      // the totally ordered (cents, orderkey) stream (q_ret_6's
-      // device); shares are exact BIGINT rationals off the 10-row
-      // table. Scale: one global order (repartitionByRange at 100 TB)
-      // then a 10-row agg and prefix window.
+      // domination). Deciles are the builtin-identical ntile(10) over
+      // the totally ordered (cents, orderkey) stream, computed as
+      // Pipelines.exactGlobalRank + ntileOfRank (range-partitioned —
+      // no one-task window); shares are exact BIGINT rationals off
+      // the 10-row table, whose prefix window is decile-bounded.
       val e = Tables(s, d, "orders").select(col("o_orderkey"),
         floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
-      val b = e.select(col("cents"),
-        ntile(10).over(Window.orderBy("cents", "o_orderkey")).cast("long").as("decile"))
+      val nE = e.count()
+      val b = graft.api.Pipelines.exactGlobalRank(e, Seq("cents", "o_orderkey"), "__rk")
+        .select(col("cents"),
+          graft.api.Pipelines.ntileOfRank(col("__rk"), nE, 10).as("decile"))
       val g = b.groupBy("decile").agg(count(lit(1)).as("n"), sum("cents").as("s"))
       val c = g
         .withColumn("cum", sum("s").over(Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)))

@@ -60,19 +60,17 @@ object Round5hOps {
       // IQR, midhinge, and Bowley's quartile skewness (Q₁+Q₃−2Q₂)/IQR —
       // the outlier-immune shape triple beside q_agg_15's moment
       // skewness (Bowley saturates in [−1,1] and ignores tails
-      // entirely). All quartiles are exact integers off one global rank
-      // window; the three shape numbers are closed-form rationals.
-      // Scale: repartitionByRange for the global order at 100 TB, then
-      // a one-row reduction.
+      // entirely). All quartiles are exact integers picked by
+      // Pipelines.exactRankPick (range shuffle on the value, P-row
+      // histogram, per-partition local sort — no one-task global
+      // sort); the three shape numbers are closed-form rationals.
       val c = Tables(s, d, "orders").select(col("o_orderkey"),
         floor(col("o_totalprice") * 100 + 0.5).cast("long").as("x"))
-      val r = c
-        .withColumn("rn", row_number().over(Window.orderBy("x", "o_orderkey")).cast("long"))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
-      val q = r.agg(max("n").as("n"),
-        min(when(col("rn") === expr("(n + 3) div 4"), col("x"))).as("q1"),
-        min(when(col("rn") === expr("(n + 1) div 2"), col("x"))).as("q2"),
-        min(when(col("rn") === expr("(3 * n + 3) div 4"), col("x"))).as("q3"))
+      val (n, picks) = graft.api.Pipelines.exactRankPick(c, "x",
+        nn => Seq((nn + 3) / 4, (nn + 1) / 2, (3 * nn + 3) / 4))
+      import s.implicits._
+      val q = Seq((n, picks((n + 3) / 4), picks((n + 1) / 2), picks((3 * n + 3) / 4)))
+        .toDF("n", "q1", "q2", "q3")
       q.select(col("n"),
         round(col("q1").cast("double") / 100, 2).as("q1v"),
         round(col("q2").cast("double") / 100, 2).as("q2v"),
@@ -133,15 +131,15 @@ object Round5hOps {
       // can still hide head disagreement, which is what segmentation
       // and reward models actually consume). Both rankings order by
       // (metric DESC, user_id) so the sets are engine-deterministic;
-      // all counts exact. Scale: one user-table pass + two rank windows
-      // (repartitionByRange) + a 50-row semi-join.
+      // all counts exact. Scale: one user-table pass + two TakeOrdered
+      // top-50s (per-partition heads merged on the driver — never a
+      // global sort) + a 50-row semi-join.
       val u = Tables(s, d, "events").groupBy("user_id")
         .agg(count(lit(1)).as("cnt"),
           sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
-      val tv = u.withColumn("rr", row_number().over(Window.orderBy(col("cents").desc, col("user_id"))))
-        .filter(col("rr") <= 50).select("user_id")
-      val tc = u.withColumn("rr", row_number().over(Window.orderBy(col("cnt").desc, col("user_id"))))
-        .filter(col("rr") <= 50).select("user_id")
+        .localCheckpoint()
+      val tv = u.orderBy(col("cents").desc, col("user_id")).limit(50).select("user_id")
+      val tc = u.orderBy(col("cnt").desc, col("user_id")).limit(50).select("user_id")
       tv.join(tc, "user_id").agg(count(lit(1)).as("nc"))
         .select(lit(50L).as("k"), col("nc").as("n_common"),
           round(col("nc").cast("double") / (lit(100) - col("nc")), 6).as("jaccard"),
@@ -188,8 +186,10 @@ object Round5hOps {
           (floor(log((col("n0") + 1).cast("double") / (col("df0") + 1)) * 1000000L + 0.5).cast("long")
             - floor(log((col("n1") + 1).cast("double") / (col("df1") + 1)) * 1000000L + 0.5).cast("long"))
             .as("shiftq"))
-      sh.withColumn("rnk", row_number().over(Window.orderBy(abs(col("shiftq")).desc, col("tok"))).cast("long"))
-        .filter(col("rnk") <= 20)
+      // TakeOrdered top-20 over the vocab-scale shift table, then the
+      // rank window over just 20 rows
+      sh.orderBy(abs(col("shiftq")).desc, col("tok")).limit(20)
+        .withColumn("rnk", row_number().over(Window.orderBy(abs(col("shiftq")).desc, col("tok"))).cast("long"))
         .select(col("rnk"), col("tok"), col("df0"), col("df1"),
           (col("shiftq").cast("double") / 1000000L).as("idf_shift"))
         .orderBy("rnk")

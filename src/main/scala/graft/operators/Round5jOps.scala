@@ -168,8 +168,10 @@ object Round5jOps {
         .distinct()
       val df = sh.groupBy("g").agg(count(lit(1)).as("df"))
       val nd = Tables(s, d, "documents").agg(count(lit(1)).as("nd"))
-      df.withColumn("rnk", row_number().over(Window.orderBy(col("df").desc, col("g"))).cast("long"))
-        .filter(col("rnk") <= 10)
+      // TakeOrdered top-10 over the shingle vocab, then the rank
+      // window over just 10 rows
+      df.orderBy(col("df").desc, col("g")).limit(10)
+        .withColumn("rnk", row_number().over(Window.orderBy(col("df").desc, col("g"))).cast("long"))
         .crossJoin(broadcast(nd))
         .select(col("rnk"), col("g").as("trigram"), col("df"),
           round(col("df").cast("double") / col("nd"), 6).as("doc_share"))

@@ -163,8 +163,12 @@ object Round5kOps {
       val e = Tables(s, d, "events").select(col("event_id"),
         floor(col("value") * 100 + 0.5).cast("long").as("cents"),
         when(col("event_type") === "purchase", 1).otherwise(0).as("pos"))
-      val b = e.select(col("cents"), col("pos"),
-        ntile(10).over(Window.orderBy("cents", "event_id")).cast("long").as("decile"))
+      // builtin-identical ntile via exactGlobalRank + ntileOfRank —
+      // range-partitioned, no one-task window over the events fact
+      val nE = e.count()
+      val b = graft.api.Pipelines.exactGlobalRank(e, Seq("cents", "event_id"), "__rk")
+        .select(col("cents"), col("pos"),
+          graft.api.Pipelines.ntileOfRank(col("__rk"), nE, 10).as("decile"))
       val g = b.groupBy("decile").agg(count(lit(1)).as("n"), sum("pos").cast("long").as("k"))
         .localCheckpoint()
       val tot = g.agg(sum("k").cast("long").as("kk"))

@@ -116,8 +116,8 @@ object Round5tOps {
         .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
         .localCheckpoint()
       val top10 = toks.groupBy("tok").agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(Window.orderBy(col("c").desc, col("tok"))))
-        .filter(col("rn") <= 10).select(col("tok").as("stop_tok"))
+        .orderBy(col("c").desc, col("tok")).limit(10)
+        .select(col("tok").as("stop_tok"))
       toks.join(broadcast(top10), col("tok") === col("stop_tok"), "left_outer")
         .groupBy("lang")
         .agg(count(lit(1)).as("n_tok"),

@@ -50,10 +50,18 @@ object Round5vOps {
         .agg(max(expr("unix_micros(ts)")).as("last_us"),
           count(lit(1)).as("freq"),
           sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
-      val sc = u.select(col("user_id"),
-        ntile(5).over(Window.orderBy(col("last_us").desc, col("user_id"))).as("r"),
-        ntile(5).over(Window.orderBy(col("freq").desc, col("user_id"))).as("f"),
-        ntile(5).over(Window.orderBy(col("cents").desc, col("user_id"))).as("m"))
+        .localCheckpoint()
+      // builtin-identical ntile(5) per axis via exactGlobalRankBy +
+      // ntileOfRank — three range shuffles of the user table, no
+      // one-task windows even when users scale with the fact
+      val nU = u.count()
+      def score(ord: Seq[org.apache.spark.sql.Column], out: String) =
+        graft.api.Pipelines.exactGlobalRankBy(u, ord, "__rk")
+          .select(col("user_id"),
+            graft.api.Pipelines.ntileOfRank(col("__rk"), nU, 5).as(out))
+      val sc = score(Seq(col("last_us").desc, col("user_id")), "r")
+        .join(score(Seq(col("freq").desc, col("user_id")), "f"), "user_id")
+        .join(score(Seq(col("cents").desc, col("user_id")), "m"), "user_id")
       sc.groupBy(col("r").cast("long").as("r"), col("f").cast("long").as("f"),
           col("m").cast("long").as("m"))
         .agg(count(lit(1)).as("n_users"))
@@ -237,8 +245,10 @@ object Round5vOps {
           floor(-pr * log(pr) / log(lit(2.0)) * 1000000 + 0.5).cast("long").as("t6"))
         .groupBy("user_id").agg(sum("t6").as("h6"))
       val m = h.agg(floor(sum("h6").cast("double") / count(lit(1)) + 0.5).cast("long").as("mean_h6"))
-      h.withColumn("rn", row_number().over(Window.orderBy(col("h6").desc, col("user_id"))))
-        .filter(col("rn") <= 10)
+      // TakeOrdered top-10 over the user-scale entropy table, then the
+      // rank window over just 10 rows
+      h.orderBy(col("h6").desc, col("user_id")).limit(10)
+        .withColumn("rn", row_number().over(Window.orderBy(col("h6").desc, col("user_id"))))
         .crossJoin(broadcast(m))
         .select(col("user_id"), (col("h6") / 1000000.0).as("h_bits"),
           (col("mean_h6") / 1000000.0).as("pop_mean_bits"), col("rn"))

@@ -74,9 +74,10 @@ object Round6hOps {
       }
       val sizes = labels.groupBy(col("lab").as("community"))
         .agg(count(lit(1)).as("size"))
-      sizes.withColumn("rank",
+      // TakeOrdered top-20, then the rank window over just 20 rows
+      sizes.orderBy(col("size").desc, col("community")).limit(20)
+        .withColumn("rank",
           row_number().over(Window.orderBy(col("size").desc, col("community"))).cast("long"))
-        .filter(col("rank") <= 20)
         .select("rank", "community", "size")
         .orderBy("rank")
     },
@@ -121,9 +122,11 @@ object Round6hOps {
         .join(broadcast(w), col("z") === col("node"))
         .groupBy("a", "bb")
         .agg(count(lit(1)).as("n_common"), sum("wz").as("score6"))
-      cand.withColumn("rank",
+      // TakeOrdered top-20 over the candidate-pair table (which scales
+      // with wedge count), then the rank window over just 20 rows
+      cand.orderBy(col("score6").desc, col("a"), col("bb")).limit(20)
+        .withColumn("rank",
           row_number().over(Window.orderBy(col("score6").desc, col("a"), col("bb"))).cast("long"))
-        .filter(col("rank") <= 20)
         .select(col("rank"), col("a"), col("bb").as("b"), col("n_common"),
           (col("score6").cast("double") / 1000000).as("score"))
         .orderBy("rank")

@@ -133,17 +133,16 @@ object Round6iOps {
         | floor(CAST(sum(crossed) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000 AS split_share,
         | CAST(((max(c) + ctx - 1) // ctx) * ctx - max(c) AS BIGINT) AS tail_pad
         |FROM x GROUP BY ctx ORDER BY ctx""".stripMargin) { (s, d) =>
-      // One windowed cumulative sum feeds all three context sizes (the
+      // One cumulative token sum feeds all three context sizes (the
       // 3-row VALUES join is a broadcast); a doc is split iff its first
       // and last token land in different blocks — pure integer floor
-      // division off the cumsum, no per-token explosion. The global
-      // ORDER BY window is range-partitioned at scale (contiguous
-      // doc_id ranges per partition + per-partition offsets — the
-      // rfmSegments machinery); the fixture runs it single-window.
+      // division off the cumsum, no per-token explosion. The running
+      // sum is Pipelines.prefixSum: contiguous doc_id ranges per
+      // partition + per-partition integer offsets — bit-identical to
+      // the global window, with no one-task stage.
       val toks = Tables(s, d, "documents")
         .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("tok"))
-      val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = toks.withColumn("c", sum("tok").over(w))
+      val cum = graft.api.Pipelines.prefixSum(toks, Seq("doc_id"), "tok", "c")
       import s.implicits._
       val ctxs = Seq(128L, 256L, 512L).toDF("ctx")
       val x = cum.crossJoin(broadcast(ctxs))

@@ -112,8 +112,12 @@ object Round7bOps {
       val toks = Tables(s, d, "documents")
         .select(col("source"), explode(split(col("text"), " ")).as("token"))
       val tf = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
-      val rnk = tf.select(col("token"), row_number()
-        .over(Window.orderBy(col("cnt").desc, col("token"))).cast("long").as("rnk"))
+      // full Zipf rank of the vocabulary via exactGlobalRankBy (range-
+      // partitioned on (cnt DESC, token)) — the vocab grows with the
+      // corpus, so no one-task rank window
+      val rnk = graft.api.Pipelines
+        .exactGlobalRankBy(tf, Seq(col("cnt").desc, col("token")), "rnk")
+        .select(col("token"), col("rnk"))
       val st = toks.groupBy("source", "token").agg(count(lit(1)).as("cnt"))
       st.join(broadcast(rnk), "token")
         .groupBy("source")

@@ -43,12 +43,14 @@ object Round7cOps {
         | min_chars, max_chars
         |FROM g ORDER BY quartile""".stripMargin) { (s, d) =>
       // ntile over the (n_chars, doc_id) total order is identical on
-      // both engines. The global window is the fixture path; at 100 TB
-      // the quartile cut-points come from approx_percentile and the
-      // assignment becomes a per-row comparison — same downstream agg.
-      Tables(s, d, "documents")
+      // both engines, computed as exactGlobalRank + ntileOfRank —
+      // range-partitioned, never a one-task window over the corpus.
+      val docs = Tables(s, d, "documents")
+        .select(col("text"), col("n_chars"), col("doc_id"))
+      val nD = docs.count()
+      graft.api.Pipelines.exactGlobalRank(docs, Seq("n_chars", "doc_id"), "__rk")
         .select(col("text"), col("n_chars"),
-          ntile(4).over(Window.orderBy("n_chars", "doc_id")).as("quartile"))
+          graft.api.Pipelines.ntileOfRank(col("__rk"), nD, 4).as("quartile"))
         .groupBy("quartile")
         .agg(count(lit(1)).as("n_docs"), countDistinct("text").as("n_distinct"),
           min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
@@ -200,36 +202,39 @@ object Round7cOps {
         |   / (count(*) + 1) * 1000000 + 0.5) / 1000000 AS p_value,
         | floor(max(abs(pdiff)) / 100 * 100 + 0.5) / 100 AS max_perm_diff
         |FROM pd""".stripMargin) { (s, d) =>
-      // The 20-salt fan-out rides ONE scan (explode of a 20-element
-      // literal array — 20x rows into a 20-row aggregate, map-side
-      // combinable; at 100 TB prefer 40 conditional aggregates in one
-      // pass — same math, zero row growth). Means are exact-cents /
-      // exact-count doubles; the extremeness comparison runs on
-      // identically-computed doubles.
+      // The 20-salt fan-out is ONE pass of 42 conditional aggregates —
+      // zero row growth (the r7 verdict retired the 20× explode this
+      // scan used to ride): per salt only the g=1 side is aggregated;
+      // the g=0 side is the exact integer complement (total − s_k,
+      // n − c_k), so every mean is the same exact-cents/exact-count
+      // double the exploded form produced, and the extremeness
+      // comparison runs on identically-computed doubles.
       val o = Tables(s, d, "orders").select(col("o_orderkey"),
         floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"),
         when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L).as("urg"))
-        .localCheckpoint()
-      val obs = o.agg(
-        (sum(when(col("urg") === 1, col("cents"))).cast("double") / sum("urg")
-          - sum(when(col("urg") === 0, col("cents"))).cast("double")
-          / sum(lit(1L) - col("urg"))).as("od"))
-      val g = ((col("o_orderkey") % P) * (col("k") * 2 + 3) % P) * 2654435761L % P % 2
-      val pd = o.withColumn("k", explode(array((1 to 20).map(k => lit(k.toLong)): _*)))
-        .select(col("k"), col("cents"), g.as("g"))
-        .groupBy("k")
-        .agg((sum(when(col("g") === 1, col("cents"))).cast("double")
-          / sum(when(col("g") === 1, 1L).otherwise(0L))
-          - sum(when(col("g") === 0, col("cents"))).cast("double")
-          / sum(when(col("g") === 0, 1L).otherwise(0L))).as("pdiff"))
-      pd.crossJoin(broadcast(obs))
-        .agg(count(lit(1)).as("n_perms"),
-          Num.round(max(col("od")) / 100, 2).as("obs_diff"),
-          sum(when(abs(col("pdiff")) >= abs(col("od")), 1L).otherwise(0L)).as("n_extreme"),
-          Num.round((sum(when(abs(col("pdiff")) >= abs(col("od")), 1L).otherwise(0L))
-            .cast("double") + 1) / (count(lit(1)) + 1), 6).as("p_value"),
-          Num.round(max(abs(col("pdiff"))) / 100, 2).as("max_perm_diff"))
-        .select("n_perms", "obs_diff", "n_extreme", "p_value", "max_perm_diff")
+      def g(k: Int) =
+        ((col("o_orderkey") % P) * (k * 2 + 3) % P) * 2654435761L % P % 2
+      val aggCols = Seq(
+        count(lit(1)).as("n"), sum("cents").as("tc"),
+        sum(when(col("urg") === 1, col("cents"))).as("su"), sum("urg").as("nu")) ++
+        (1 to 20).flatMap(k => Seq(
+          sum(when(g(k) === 1, col("cents"))).as(s"s$k"),
+          sum(when(g(k) === 1, 1L).otherwise(0L)).as(s"c$k")))
+      val m = o.agg(aggCols.head, aggCols.tail: _*)
+      def D(c: org.apache.spark.sql.Column) = c.cast("double")
+      val od = D(col("su")) / col("nu") -
+        D(col("tc") - col("su")) / (col("n") - col("nu"))
+      def pdiff(k: Int) = D(col(s"s$k")) / col(s"c$k") -
+        D(col(s"tc") - col(s"s$k")) / (col("n") - col(s"c$k"))
+      val nExtreme = (1 to 20)
+        .map(k => when(abs(pdiff(k)) >= abs(od), 1L).otherwise(0L))
+        .reduce(_ + _)
+      m.select(lit(20L).as("n_perms"),
+        Num.round(od / 100, 2).as("obs_diff"),
+        nExtreme.as("n_extreme"),
+        Num.round((nExtreme.cast("double") + 1) / lit(21L), 6).as("p_value"),
+        Num.round(greatest((1 to 20).map(k => abs(pdiff(k))): _*) / 100, 2)
+          .as("max_perm_diff"))
     },
 
     // Breusch–Pagan heteroscedasticity screen on the daily-order-count

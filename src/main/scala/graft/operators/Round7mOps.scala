@@ -99,20 +99,20 @@ object Round7mOps {
         |SELECT rn, c_custkey, c_mktsegment,
         | CAST(tot2 AS DOUBLE) / 100 AS total
         |FROM r WHERE rn <= 100 ORDER BY rn""".stripMargin) { (s, d) =>
-      // Left join + cent-sum, then one global row_number window — the
-      // rank's ORDER BY carries asc_nulls_first explicitly. The top-100
-      // cut keeps the single-partition window bounded at any scale
-      // (AQE-compatible: the window input is the customer dim, not a
-      // fact table).
+      // Left join + cent-sum, then a TakeOrdered bottom-100 (the
+      // ORDER BY carries asc_nulls_first explicitly; per-partition
+      // heads merge on the driver, so the cut is distributed even when
+      // the customer dim scales) — the rank window runs over just
+      // those 100 rows.
       val tot = Tables(s, d, "orders")
         .groupBy(col("o_custkey"))
         .agg(sum(cents(col("o_totalprice"))).as("tot2"))
       val t = Tables(s, d, "customer")
         .join(tot, col("c_custkey") === col("o_custkey"), "left")
       val w = Window.orderBy(col("tot2").asc_nulls_first, col("c_custkey").asc)
-      t.select(row_number().over(w).as("rn"), col("c_custkey"),
+      t.orderBy(col("tot2").asc_nulls_first, col("c_custkey").asc).limit(100)
+        .select(row_number().over(w).as("rn"), col("c_custkey"),
           col("c_mktsegment"), (D(col("tot2")) / 100).as("total"))
-        .filter(col("rn") <= 100)
         .orderBy("rn")
     },
 

@@ -97,12 +97,16 @@ object Round7nOps {
       val t = Tables(s, d, "customer")
         .join(lo, col("c_custkey") === col("o_custkey"), "left")
         .select(col("c_custkey"), col("last_ym"), cents(col("c_acctbal")).as("bal2"))
+      // TakeOrdered bottom-100 (per-partition heads merged on the
+      // driver — distributed even when the customer dim scales with the
+      // business); the rank window then runs over just those 100 rows
       val w = Window.orderBy(col("last_ym").desc_nulls_last,
         col("bal2").asc, col("c_custkey").asc)
-      t.select(row_number().over(w).as("rn"), col("c_custkey"),
+      t.orderBy(col("last_ym").desc_nulls_last, col("bal2").asc, col("c_custkey").asc)
+        .limit(100)
+        .select(row_number().over(w).as("rn"), col("c_custkey"),
           coalesce(col("last_ym"), lit("never")).as("last_ym"),
           (D(col("bal2")) / 100).as("bal"))
-        .filter(col("rn") <= 100)
         .orderBy("rn")
     },
 

@@ -155,12 +155,15 @@ object Round7pOps {
         |  count(*) OVER (PARTITION BY pr) AS nw
         | FROM w)
         |SELECT pr AS o_orderpriority,
-        | CAST(max(CASE WHEN rn = (nw + 1) // 2 THEN s END) AS DOUBLE) / 2 AS hl_estimate,
+        | CAST(max(CASE WHEN rn = (nw + 1) // 2 THEN s END)
+        |   + max(CASE WHEN rn = (nw + 2) // 2 THEN s END) AS DOUBLE) / 4 AS hl_estimate,
         | CAST(max(nw) AS BIGINT) AS n_walsh
         |FROM r GROUP BY pr ORDER BY pr""".stripMargin) { (s, d) =>
       // The pair space is months², ~80² per priority — bounded by the
       // CALENDAR, not the fact table, so the self-join is a dimension
-      // product at any data scale.
+      // product at any data scale. An EVEN Walsh count averages the two
+      // middle Walsh sums (standard HL pseudo-median — the r7 ADVICE
+      // fix); odd counts pick the same row twice, so nothing changes.
       val mc = Tables(s, d, "orders")
         .groupBy(col("o_orderpriority").as("pr"),
           date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
@@ -174,7 +177,9 @@ object Round7pOps {
       w.select(col("pr"), col("s"),
           row_number().over(wRn).as("rn"), count(lit(1)).over(wAll).as("nw"))
         .groupBy("pr")
-        .agg((max(when(col("rn") === expr("(nw + 1) div 2"), col("s"))).cast("double") / 2)
+        .agg(((max(when(col("rn") === expr("(nw + 1) div 2"), col("s")))
+            + max(when(col("rn") === expr("(nw + 2) div 2"), col("s"))))
+            .cast("double") / 4)
             .as("hl_estimate"),
           max(col("nw")).cast("long").as("n_walsh"))
         .select(col("pr").as("o_orderpriority"), col("hl_estimate"), col("n_walsh"))

@@ -44,18 +44,20 @@ object Round7rOps {
         |   ELSE CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS DOUBLE)
         |     * (max(nn) + 1) * (max(nn) + 1) / (4 * max(nn)) END * 1000000 + 0.5) / 1000000 AS e_ab
         |FROM s""".stripMargin) { (s, d) =>
-      // One global rank window over the two-priority slice (bounded by
-      // the filter, totally ordered by the unique money+key pair), then
-      // a single aggregate — the same shape as q_stat_4's Mann–Whitney.
+      // Global ranks over the two-priority slice (totally ordered by
+      // the unique money+key pair) come from Pipelines.exactGlobalRank
+      // — range-partitioned, never a one-task window even though the
+      // slice scales with the orders fact — then a single aggregate,
+      // the same shape as q_stat_4's Mann–Whitney.
       val p = Tables(s, d, "orders")
         .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
         .select(when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0).as("g"),
           floor(col("o_totalprice") * 100 + 0.5).cast("long").as("t2"),
           col("o_orderkey"))
-      val w = Window.orderBy(col("t2"), col("o_orderkey"))
-      val r = p.select(col("g"),
-        row_number().over(w).cast("long").as("rn"),
-        count(lit(1)).over(Window.partitionBy()).as("nn"))
+        .localCheckpoint()
+      val nTot = p.count()
+      val r = graft.api.Pipelines.exactGlobalRank(p, Seq("t2", "o_orderkey"), "rn")
+        .select(col("g"), col("rn"), lit(nTot).as("nn"))
       val sc = r.select(col("g"), col("nn"),
         least(col("rn"), col("nn") + 1 - col("rn")).as("sc"))
       sc.agg(
@@ -84,8 +86,8 @@ object Round7rOps {
         |c AS (SELECT
         |  CAST(sum(CASE WHEN (x1 < x2 AND y1 < y2) OR (x1 > x2 AND y1 > y2) THEN 1 ELSE 0 END) AS BIGINT) AS nc,
         |  CAST(sum(CASE WHEN (x1 < x2 AND y1 > y2) OR (x1 > x2 AND y1 < y2) THEN 1 ELSE 0 END) AS BIGINT) AS nd,
-        |  CAST(sum(CASE WHEN x1 = x2 AND y1 <> y2 THEN 1 ELSE 0 END) AS BIGINT) AS tx,
-        |  CAST(sum(CASE WHEN y1 = y2 AND x1 <> x2 THEN 1 ELSE 0 END) AS BIGINT) AS ty,
+        |  CAST(sum(CASE WHEN x1 = x2 THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+        |  CAST(sum(CASE WHEN y1 = y2 THEN 1 ELSE 0 END) AS BIGINT) AS ty,
         |  CAST(count(*) AS BIGINT) AS n0
         | FROM p)
         |SELECT nc, nd, tx, ty, n0,
@@ -94,6 +96,10 @@ object Round7rOps {
         |FROM c""".stripMargin) { (s, d) =>
       // y = integer-division mean cents (exact BIGINT) so tie detection
       // is integer equality on both engines, never a float comparison.
+      // Tie counts use the canonical (scipy/R) convention: tx = ALL
+      // x-tied pairs, ty = ALL y-tied pairs (both-tied pairs count in
+      // both), so τ-b matches the standard statistic under duplicate
+      // (x, y) pairs — the r7 ADVICE fix.
       val m = Tables(s, d, "orders")
         .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
         .agg(count(lit(1)).as("x"),
@@ -107,8 +113,8 @@ object Round7rOps {
           (col("x1") > col("x2") && col("y1") > col("y2")), 1L).otherwise(0L)).as("nc"),
         sum(when((col("x1") < col("x2") && col("y1") > col("y2")) ||
           (col("x1") > col("x2") && col("y1") < col("y2")), 1L).otherwise(0L)).as("nd"),
-        sum(when(col("x1") === col("x2") && col("y1") =!= col("y2"), 1L).otherwise(0L)).as("tx"),
-        sum(when(col("y1") === col("y2") && col("x1") =!= col("x2"), 1L).otherwise(0L)).as("ty"),
+        sum(when(col("x1") === col("x2"), 1L).otherwise(0L)).as("tx"),
+        sum(when(col("y1") === col("y2"), 1L).otherwise(0L)).as("ty"),
         count(lit(1)).as("n0"))
       cdf.select(col("nc"), col("nd"), col("tx"), col("ty"), col("n0"),
         Num.round(D(col("nc") - col("nd"))

@@ -67,7 +67,11 @@ object Round7uOps {
     // milli-units by construction, outcome = order finality. Every bin
     // statistic is an exact integer sum; the decomposition's three
     // terms are single IEEE expressions of those sums, 1e-6 quantized
-    // — the calibration audit for any probabilistic filter.
+    // — the calibration audit for any probabilistic filter. `brier` is
+    // the TRUE mean (p − y)² off the exact integer Σ(pm − 1000y)²
+    // (with 100 distinct milli-unit forecasts per bin the binned
+    // identity rel − res + unc is only an approximation); `resid` is
+    // the decomposition gap the binning leaves — the r7 ADVICE fix.
     Q("q_ml_15_brier",
       """WITH f AS (SELECT
         |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) % 1000 AS pm,
@@ -76,27 +80,32 @@ object Round7uOps {
         |b AS (SELECT pm // 100 AS bin, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(pm) AS BIGINT) AS sp, CAST(sum(y) AS BIGINT) AS sy
         | FROM f GROUP BY 1),
-        |t AS (SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(sy) AS BIGINT) AS syy FROM b),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS nn, CAST(sum(y) AS BIGINT) AS syy,
+        |  CAST(sum((pm - 1000 * y) * (pm - 1000 * y)) AS BIGINT) AS bq FROM f),
         |terms AS (SELECT
         |  sum(CAST(n AS DOUBLE) * (CAST(sp AS DOUBLE) / n / 1000 - CAST(sy AS DOUBLE) / n)
         |    * (CAST(sp AS DOUBLE) / n / 1000 - CAST(sy AS DOUBLE) / n)) / max(t.nn) AS rel,
         |  sum(CAST(n AS DOUBLE) * (CAST(sy AS DOUBLE) / n - CAST(t.syy AS DOUBLE) / t.nn)
         |    * (CAST(sy AS DOUBLE) / n - CAST(t.syy AS DOUBLE) / t.nn)) / max(t.nn) AS res,
         |  max(CAST(t.syy AS DOUBLE) / t.nn * (1 - CAST(t.syy AS DOUBLE) / t.nn)) AS unc,
+        |  max(CAST(t.bq AS DOUBLE) / 1000000 / t.nn) AS bt,
         |  max(t.nn) AS nn
         | FROM b, t)
         |SELECT CAST(nn AS BIGINT) AS n_scored,
         | floor(rel * 1000000 + 0.5) / 1000000 AS reliability,
         | floor(res * 1000000 + 0.5) / 1000000 AS resolution,
         | floor(unc * 1000000 + 0.5) / 1000000 AS uncertainty,
-        | floor((rel - res + unc) * 1000000 + 0.5) / 1000000 AS brier
+        | floor(bt * 1000000 + 0.5) / 1000000 AS brier,
+        | floor((bt - (rel - res + unc)) * 1000000 + 0.5) / 1000000 AS resid
         |FROM terms""".stripMargin) { (s, d) =>
       val f = Tables(s, d, "orders")
         .select((floor(col("o_totalprice") * 100 + 0.5).cast("long") % 1000).as("pm"),
           when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
       val b = f.groupBy(expr("pm div 100").as("bin"))
         .agg(count(lit(1)).as("n"), sum("pm").as("sp"), sum("y").as("sy"))
-      val t = f.agg(count(lit(1)).as("nn"), sum("y").as("syy"))
+      val t = f.agg(count(lit(1)).as("nn"), sum("y").as("syy"),
+        sum((col("pm") - lit(1000L) * col("y")) * (col("pm") - lit(1000L) * col("y")))
+          .as("bq"))
       val pbar = D(col("sp")) / col("n") / 1000
       val ybar = D(col("sy")) / col("n")
       val gbar = D(col("syy")) / col("nn")
@@ -105,12 +114,14 @@ object Round7uOps {
           (sum(D(col("n")) * (pbar - ybar) * (pbar - ybar)) / max(col("nn"))).as("rel"),
           (sum(D(col("n")) * (ybar - gbar) * (ybar - gbar)) / max(col("nn"))).as("res"),
           max(gbar * (lit(1) - gbar)).as("unc"),
+          max(D(col("bq")) / 1000000 / col("nn")).as("bt"),
           max(col("nn")).as("nn"))
       terms.select(col("nn").as("n_scored"),
         Num.round(col("rel"), 6).as("reliability"),
         Num.round(col("res"), 6).as("resolution"),
         Num.round(col("unc"), 6).as("uncertainty"),
-        Num.round(col("rel") - col("res") + col("unc"), 6).as("brier"))
+        Num.round(col("bt"), 6).as("brier"),
+        Num.round(col("bt") - (col("rel") - col("res") + col("unc")), 6).as("resid"))
     },
 
     // listagg — the ordered string aggregate (Spark 4 surface): each

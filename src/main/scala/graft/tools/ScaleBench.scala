@@ -1,0 +1,67 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Empirical scale rehearsal (VERDICT r7 item 3): run the N most
+  * expensive queries (per the committed bench_out.json) on BOTH the
+  * sf0.1 fixture and the ScaleGen-derived sf1′ fixture, and report
+  * per-query times plus the scaling exponent
+  * e = log(t₁/t₀.₁)/log(factor) — e ≈ 1 is linear, e > 1 is
+  * super-linear and gets filed as a fix. One untimed warm pass per
+  * dataset absorbs codegen/JIT; timings are min-of-two like Bench.
+  *
+  * Usage: graft.tools.ScaleBench [topN] [sf01Dir] [sf1Dir] [factor]
+  */
+object ScaleBench {
+  def main(args: Array[String]): Unit = {
+    val topN = args.lift(0).map(_.toInt).getOrElse(20)
+    val sf01 = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val sf1 = args.lift(2).getOrElse("/tmp/graft_sf1")
+    val factor = args.lift(3).map(_.toDouble).getOrElse(10.0)
+    val bench = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("bench_out.json")), "UTF-8")
+    // the per-query map is flat {"name":sec,...} — pull the topN slowest
+    val q = """"(q_[a-z0-9_]+)":([0-9.]+)""".r
+    val names = q.findAllMatchIn(bench)
+      .map(m => m.group(1) -> m.group(2).toDouble).toSeq
+      .sortBy(-_._2).take(topN).map(_._1)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(name: String, dir: String): Double = {
+      val fn = graft.SparkEntry.queries(name)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      math.min(once(), once())
+    }
+    // warm both datasets untimed
+    names.foreach { n =>
+      try { graft.SparkEntry.queries(n)(spark, sf01).count() } catch { case _: Throwable => () }
+      try { graft.SparkEntry.queries(n)(spark, sf1).count() } catch { case _: Throwable => () }
+    }
+    println(f"| query | sf0.1 s | sf1' s | ratio | exponent |")
+    println(f"|---|---|---|---|---|")
+    val rows = names.map { n =>
+      val t0 = try time(n, sf01) catch { case _: Throwable => -1.0 }
+      val t1 = try time(n, sf1) catch { case _: Throwable => -1.0 }
+      val ratio = if (t0 > 0 && t1 > 0) t1 / t0 else Double.NaN
+      val expo = math.log(ratio) / math.log(factor)
+      println(f"| $n | $t0%.2f | $t1%.2f | $ratio%.2f | $expo%.2f |")
+      (n, t0, t1, ratio, expo)
+    }
+    val bad = rows.filter(r => !r._5.isNaN && r._5 > 1.15)
+    println(s"SCALE_SUPERLINEAR ${bad.map(_._1).mkString(",")}")
+    graft.sources.SampledEdges.clear()
+    spark.stop()
+  }
+}

@@ -1,0 +1,76 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Derive an sf1-equivalent fixture from the driver's read-only sf0.1
+  * parquet by UNION-ALLing each fact table `factor` times with
+  * key-offset remapping (VERDICT r7 item 3 — empirical scale
+  * rehearsal). Every key domain shifts by i·(max+1) per replica, and
+  * FOREIGN keys shift by the SAME offsets, so join fan-outs,
+  * selectivities, and per-key cardinalities match the original —
+  * replica i is a disjoint copy of the business, exactly how a 10×
+  * bigger warehouse looks. Dimensions (region, nation) stay fixed;
+  * timestamps stay fixed (10× busier business over the same window).
+  *
+  * The derived fixture lands OUTSIDE the read-only /root/testdata
+  * (default /tmp/graft_sf1). Usage:
+  *   graft.tools.ScaleGen [srcDir] [outDir] [factor]
+  */
+object ScaleGen {
+  def main(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("/tmp/graft_sf1")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def tbl(name: String): DataFrame = graft.sources.Tables(spark, src, name)
+    def span(df: DataFrame, key: String): Long =
+      df.agg(max(col(key))).head().getLong(0) + 1
+
+    val spans = Map(
+      "cust" -> span(tbl("customer"), "c_custkey"),
+      "supp" -> span(tbl("supplier"), "s_suppkey"),
+      "part" -> span(tbl("part"), "p_partkey"),
+      "ord" -> span(tbl("orders"), "o_orderkey"),
+      "ev" -> span(tbl("events"), "event_id"),
+      "user" -> span(tbl("events"), "user_id"),
+      "doc" -> span(tbl("documents"), "doc_id"),
+      "vec" -> span(tbl("embeddings"), "vec_id"))
+
+    // per-table: (column -> key-domain) remappings; absent = copy as-is
+    val remap: Map[String, Map[String, String]] = Map(
+      "region" -> Map(),
+      "nation" -> Map(),
+      "customer" -> Map("c_custkey" -> "cust"),
+      "supplier" -> Map("s_suppkey" -> "supp"),
+      "part" -> Map("p_partkey" -> "part"),
+      "orders" -> Map("o_orderkey" -> "ord", "o_custkey" -> "cust"),
+      "lineitem" -> Map("l_orderkey" -> "ord", "l_partkey" -> "part",
+        "l_suppkey" -> "supp"),
+      "events" -> Map("event_id" -> "ev", "user_id" -> "user"),
+      "documents" -> Map("doc_id" -> "doc"),
+      "embeddings" -> Map("vec_id" -> "vec"))
+
+    remap.foreach { case (name, keys) =>
+      val base = tbl(name)
+      val scaled =
+        if (keys.isEmpty) base
+        else (0 until factor).map { i =>
+          keys.foldLeft(base) { case (df, (c, dom)) =>
+            df.withColumn(c, col(c) + lit(i * spans(dom)))
+          }
+        }.reduce(_ unionAll _)
+      scaled.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"ScaleGen: wrote $name x${if (keys.isEmpty) 1 else factor}")
+    }
+    spark.stop()
+  }
+}

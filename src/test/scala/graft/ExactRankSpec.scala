@@ -72,6 +72,43 @@ class ExactRankSpec extends SparkSpec {
     }
   }
 
+  test("prefixSum matches the single-partition running-sum window bit-exactly") {
+    val toks = graft.sources.Tables(spark, sf, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("tok"))
+    val w = Window.orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = toks.withColumn("c", sum("tok").over(w))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val got = Pipelines.prefixSum(toks, Seq("doc_id"), "tok", "c")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == ref)
+  }
+
+  test("prefixSumN carries two running sums through one shuffle, matching the windows") {
+    import spark.implicits._
+    val df = (1L to 500L).map(i => (i, i % 7, i % 3)).toDF("k", "a", "b")
+    val w = Window.orderBy("k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = df.select(col("k"), sum("a").over(w).as("ca"), sum("b").over(w).as("cb"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = Pipelines.prefixSumN(df, Seq("k"), Seq("a" -> "ca", "b" -> "cb"))
+      .select("k", "ca", "cb")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == ref)
+  }
+
+  test("adjacentPairs emits exactly the global-lead pairs, boundaries stitched") {
+    val ids = graft.sources.Tables(spark, sf, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("id")).distinct()
+    val ref = ids.withColumn("nxt", lead("id", 1).over(Window.orderBy("id")))
+      .filter(col("nxt").isNotNull)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Pipelines.adjacentPairs(ids, "id", "nxt")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == ref && got.nonEmpty)
+  }
+
   test("ntileOfRank when n < k assigns rank as bucket (builtin semantics)") {
     import spark.implicits._
     val tiny = Seq(10L, 20L, 30L).toDF("v")

@@ -10,6 +10,20 @@ import org.apache.spark.sql.Row
 class OperatorUnitSpec extends SparkSpec {
   import spark.implicits._
 
+  test("anti join emits non-matching rows on a synthetic frame (q_join_7 non-vacuity)") {
+    // q_join_7_anti is legitimately EMPTY on the fixtures (every
+    // customer has orders at every SF), so its oracle hash proves
+    // nothing about the emission branch — this synthetic frame proves
+    // the exact left_anti shape the query uses emits the right rows
+    // (tools/vacuity_lint.py waiver evidence).
+    val cust = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("c_custkey", "c_name")
+    val ords = Seq((10L, 1L), (11L, 3L)).toDF("o_orderkey", "o_custkey")
+    val got = cust.join(ords, cust("c_custkey") === ords("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name").orderBy("c_custkey")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((2L, "b"), (4L, "d")))
+  }
+
   test("csv roundtrip preserves schema and content") {
     val out = Registry.byName("q_scan_3_csv_roundtrip").fn(spark, sf)
     val src = graft.sources.Tables(spark, sf, "region").orderBy("r_regionkey")

@@ -82,6 +82,60 @@ class Pipelines11Spec extends SparkSpec {
       direct.collect().map(_.getString(0)).sorted.toSeq)
   }
 
+  test("kendallTauB matches the canonical scipy/R value under duplicate (x,y) pairs") {
+    // x=[1,1,2,3], y=[1,1,2,2]: nc=4, nd=0, tx=1 (ALL x-tied pairs,
+    // both-tied included), ty=2 → τb = 4/√(5·4) = 0.894427 (scipy
+    // kendalltau gives 0.8944271909…; the pre-r8 x-tie-only counting
+    // yielded tx=0 and a wrong τb)
+    import spark.implicits._
+    val series = Seq((1L, 1L, 1L), (2L, 1L, 1L), (3L, 2L, 2L), (4L, 3L, 2L))
+      .toDF("t", "x", "y")
+    val r = Pipelines.kendallTauB(series, "t", "x", "y").collect().head
+    assert(r.getLong(2) == 1L, "tx counts ALL x-tied pairs")
+    assert(r.getLong(3) == 2L, "ty counts ALL y-tied pairs")
+    assert(r.getDouble(5) == 0.894427, s"tau_b = ${r.getDouble(5)}")
+  }
+
+  test("hodgesLehmann averages the two middle Walsh sums for even counts") {
+    // x=[1,2,3,10] → 10 Walsh averages, sorted middles 2.5 and 3 →
+    // HL = 2.75 (the lower-median form the r7 ADVICE flagged gave 2.5)
+    import spark.implicits._
+    val series = Seq(("g", 1L, 1L), ("g", 2L, 2L), ("g", 3L, 3L), ("g", 4L, 10L))
+      .toDF("grp", "t", "x")
+    val r = Pipelines.hodgesLehmann(series, "grp", "t", "x").collect().head
+    assert(r.getLong(2) == 10L)
+    assert(r.getDouble(1) == 2.75, s"hl = ${r.getDouble(1)}")
+  }
+
+  test("brierDecomposition emits the true Brier score plus the binning residual") {
+    // two forecasts in ONE bin (pm=100 y=0, pm=180 y=1): true Brier =
+    // (0.1² + 0.82²)/2 = 0.3412; the binned identity rel−res+unc gives
+    // pbar=0.14, ybar=gbar=0.5 → 0.1296−0+0.25 = 0.3796 ≠ true
+    import spark.implicits._
+    val f = Seq((100L, 0L), (180L, 1L)).toDF("pm", "y")
+    val r = Pipelines.brierDecomposition(f, "pm", "y").collect().head
+    assert(r.getDouble(4) == 0.3412, s"brier = ${r.getDouble(4)}")
+    assert(math.abs(r.getDouble(5) - (0.3412 - 0.3796)) < 1e-9,
+      s"resid = ${r.getDouble(5)}")
+  }
+
+  test("canonicalizeUrl preserves scheme and strips utm params anywhere") {
+    import spark.implicits._
+    val in = Seq(
+      "http://www.example.com/a?utm_source=feed",
+      "http://example.com/a",
+      "https://example.com/a?utm_source=feed&page=2",
+      "https://example.com/a?page=2&utm_campaign=x",
+      "https://example.com/a?utm_source=f&utm_medium=m").toDF("u")
+    val got = in.select(Pipelines.canonicalizeUrl(col("u")).as("c"))
+      .collect().map(_.getString(0))
+    assert(got(0) == "http://example.com/a", got(0))
+    assert(got(1) == "http://example.com/a", got(1))
+    assert(got(2) == "https://example.com/a?page=2", got(2))
+    assert(got(3) == "https://example.com/a?page=2", got(3))
+    assert(got(4) == "https://example.com/a", got(4))
+  }
+
   test("canonicalizeUrl collapses the q_dedup_28 variants") {
     val pid = (col("doc_id") % 50).cast("long")
     val base = concat(lit("https://www.example.com/p/"), pid.cast("string"))

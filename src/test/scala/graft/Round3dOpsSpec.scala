@@ -259,8 +259,13 @@ class Round3dOpsSpec extends SparkSpec {
       "(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(
         Registry.byName(q).fn(spark, sf).queryExecution.explainString(
           org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))).length
-    assert(scans("q_stat_3_ks") == 1)
-    assert(scans("q_stat_4_mannwhitney") == 1)
+    // r8: ks/mannwhitney route their ECDF cumsums through
+    // Pipelines.prefixSum(N), which localCheckpoints the
+    // range-partitioned distinct-value grid — the single corpus scan
+    // happens inside that materialization, so the FINAL plan reads the
+    // checkpoint (0 parquet scans) and still cannot rescan the corpus
+    assert(scans("q_stat_3_ks") == 0)
+    assert(scans("q_stat_4_mannwhitney") == 0)
     assert(scans("q_dq_16_benford") == 1)
     assert(scans("q_agg_28_entropy") == 1)
     assert(scans("q_text_24_pmi") == 1)

@@ -45,12 +45,16 @@ class Round7uOpsSpec extends SparkSpec {
     assert(got.getDouble(1) == rnd(rel, 6))
     assert(got.getDouble(2) == rnd(res, 6))
     assert(got.getDouble(3) == rnd(unc, 6))
-    assert(got.getDouble(4) == rnd(rel - res + unc, 6))
-    // cross-check against the direct mean squared error (within quantization)
-    val direct = ord.map { case (pm, y) =>
-      val e = pm.toDouble / 1000 - y; e * e
-    }.sum / nn
-    assert(math.abs(got.getDouble(4) - direct) < 0.02,
+    // r8: `brier` is the TRUE mean (p − y)² off the exact integer
+    // Σ(pm − 1000y)², and `resid` is the gap the binned Murphy
+    // identity leaves (the r7 ADVICE fix)
+    val bq = ord.map { case (pm, y) => val e = pm - 1000L * y; e * e }.sum
+    val bt = bq.toDouble / 1000000 / nn
+    assert(got.getDouble(4) == rnd(bt, 6))
+    assert(got.getDouble(5) == rnd(bt - (rel - res + unc), 6))
+    // the binned identity approximates the true score (within-bin
+    // variance bound) — resid stays small on this fixture
+    assert(math.abs((rel - res + unc) - bt) < 0.02,
       "decomposition must approximate the direct Brier (within-bin variance bound)")
   }
 
