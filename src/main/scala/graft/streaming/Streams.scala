@@ -558,5 +558,219 @@ object Streams {
             if (10 * nNight > 3 * n) 1L else 0L)
       }
   }
+
+  // ---- round-8 twins: DAU/WAU, retention, abandonment, dwell, load ----
+
+  /** First-seen (user_id, day) activity rows — the shared streaming
+    * core behind the DAU/WAU (q_stream_20) and retention-curve
+    * (q_stream_32) twins. One stateful dedupe keyed on
+    * (user_id, day-as-event-time): the watermark on the day timestamp
+    * evicts state for days older than the lateness bound, so state is
+    * O(active users × days inside the watermark), not O(history).
+    * Append mode — each activity pair is emitted exactly once.
+    */
+  def activityStream(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        (expr("unix_micros(ts) div 86400000000") * 86400).cast("timestamp").as("dts"))
+      .withWatermark("dts", "1 day")
+      .dropDuplicates("user_id", "dts")
+      .select("user_id", "day")
+
+  /** Stateless batch finisher over the streamed activity pairs —
+    * EXACTLY the q_stream_20_dau_wau tail (each activity row
+    * contributes itself to the 7 calendar days it keeps the user
+    * weekly-active; warm-up days excluded).
+    */
+  def dauWauFinish(ud: DataFrame): DataFrame = {
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val contrib = ud.select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 6)).as("wday"))
+      .distinct()
+    val wau = contrib.groupBy(col("wday").as("day")).agg(count(lit(1)).as("wau"))
+    val d0 = ud.agg(min("day").as("d0"))
+    dau.join(wau, "day").crossJoin(broadcast(d0))
+      .filter(col("day") >= col("d0") + 6)
+      .select(col("day").cast("long").as("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
+      .orderBy("day")
+  }
+
+  /** Stateless batch finisher over the streamed activity pairs —
+    * EXACTLY the q_stream_32_retention_curve tail (cohort day-0 per
+    * user, then d+1/d+7/d+30 semi-join probes).
+    */
+  def retentionFinish(ud0: DataFrame): DataFrame = {
+    val ud = ud0.localCheckpoint()
+    val f = ud.groupBy("user_id").agg(min("day").as("d0"))
+    def activeAt(offset: Int) = {
+      val probe = ud.select(col("user_id").as(s"u$offset"), col("day").as(s"day$offset"))
+      f.join(probe, col("user_id") === col(s"u$offset")
+          && col(s"day$offset") === col("d0") + offset, "left_semi")
+        .select(col("user_id").as(s"r$offset"))
+    }
+    val base = f.agg(count(lit(1)).as("n_users"))
+    base
+      .crossJoin(activeAt(1).agg(count(lit(1)).as("d1")))
+      .crossJoin(activeAt(7).agg(count(lit(1)).as("d7")))
+      .crossJoin(activeAt(30).agg(count(lit(1)).as("d30")))
+      .select(col("n_users"), col("d1"), col("d7"), col("d30"),
+        (floor(col("d1").cast("double") / col("n_users") * 1000000 + 0.5) / 1000000)
+          .as("d1_rate"),
+        (floor(col("d7").cast("double") / col("n_users") * 1000000 + 0.5) / 1000000)
+          .as("d7_rate"))
+  }
+
+  final case class AbandonEvent(user_id: Long, ts_us: Long, event_type: String)
+  final case class AbandonVerdict(user_id: Long, c_us: Long, converted: Long, rev: Long)
+
+  /** ONLINE abandonment verdicts — the streaming twin of
+    * q_stream_31_abandonment. State per user = (max click time,
+    * purchase times later than it): a new click DROPS the purchases it
+    * overtakes (they can never follow a later last-click), so state is
+    * O(purchases since the last click), not O(history). The emitted
+    * verdict is refreshed (rev increments) whenever the user's events
+    * arrive; the LAST refinement per user equals the batch semantics —
+    * last click overall, converted iff any purchase lands in
+    * (c, c+24h] — regardless of arrival order, because max-click and
+    * the purchases-after-it set are order-insensitive merges.
+    */
+  def abandonmentStream(events: DataFrame): org.apache.spark.sql.Dataset[AbandonVerdict] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import events.sparkSession.implicits._
+    events
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      .as[AbandonEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Seq[Long], Long), AbandonVerdict](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[AbandonEvent],
+         state: GroupState[(Long, Seq[Long], Long)]) =>
+          var (c, purch, rev) = state.getOption.getOrElse((Long.MinValue, Seq.empty[Long], 0L))
+          batch.foreach { e =>
+            if (e.event_type == "click") {
+              if (e.ts_us > c) { c = e.ts_us; purch = purch.filter(_ > c) }
+            } else if (e.ts_us > c) purch = purch :+ e.ts_us
+          }
+          rev += 1
+          state.update((c, purch, rev))
+          if (c == Long.MinValue) Iterator.empty
+          else {
+            val converted = if (purch.exists(p => p <= c + 86400000000L)) 1L else 0L
+            Iterator.single(AbandonVerdict(user, c, converted, rev))
+          }
+      }
+  }
+
+  /** Batch finisher: latest verdict per user → weekday abandonment
+    * table, exactly the q_stream_31 tail.
+    */
+  def abandonmentFinish(verdicts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val last = verdicts
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("user_id").orderBy(col("rev").desc)))
+      .filter(col("__rk") === 1)
+    last.groupBy(((col("c_us") / 86400000000L).cast("long") % 7).as("weekday"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(lit(1L) - col("converted")).as("n_abandoned"),
+        (floor(sum(lit(1L) - col("converted")).cast("double") / count(lit(1)) * 1000000 + 0.5)
+          / 1000000).as("abandon_rate"))
+      .orderBy("weekday")
+  }
+
+  final case class DwellStep(user_id: Long, step: String, gap_us: Long)
+
+  /** ONLINE transition dwell times — the streaming twin of
+    * q_stream_36_dwell: the [[transitionsStream]] state machine, but
+    * each finalized consecutive pair also carries its event-time gap.
+    * Same watermark-ordered finalization, so every (step, gap) equals
+    * the batch lag-window row; same idle-TTL state eviction.
+    */
+  def dwellStream(events: DataFrame,
+      delay: String = "10 minutes",
+      idleTtlMinutes: Long = 60): org.apache.spark.sql.Dataset[DwellStep] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    val ds = events.withWatermark("ts", delay)
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+      .as[TransitionEvent]
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Option[(String, Long)], Seq[(Long, Long, String)]), DwellStep](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, events: Iterator[TransitionEvent],
+         state: GroupState[(Option[(String, Long)], Seq[(Long, Long, String)])]) =>
+          val (lastOpt0, buf0) = state.getOption.getOrElse((None, Seq.empty))
+          val incoming = events.map(e => (e.ts_us, e.event_id, e.event_type)).toList
+          val buf = (buf0 ++ incoming).sortBy(e => (e._1, e._2))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (done, open) = buf.partition(_._1 < wmUs)
+          val out = scala.collection.mutable.ArrayBuffer.empty[DwellStep]
+          var last = lastOpt0
+          done.foreach { e =>
+            last.foreach { case (a, aUs) =>
+              out += DwellStep(user, a + ">" + e._3, e._1 - aUs)
+            }
+            last = Some((e._3, e._1))
+          }
+          val idleExpired = state.hasTimedOut && incoming.isEmpty && open.isEmpty
+          if (open.isEmpty && (last.isEmpty || idleExpired)) state.remove()
+          else {
+            state.update((last, open))
+            if (open.nonEmpty)
+              state.setTimeoutTimestamp(
+                math.max(state.getCurrentWatermarkMs() + 1L, open.head._1 / 1000L + 1L))
+            else
+              state.setTimeoutTimestamp(
+                state.getCurrentWatermarkMs() + idleTtlMinutes * 60000L)
+          }
+          out.iterator
+      }
+  }
+
+  /** Batch finisher over the streamed dwell steps — the q_stream_36
+    * tail: top-10 steps by count with mean/max gaps.
+    */
+  def dwellFinish(steps: DataFrame): DataFrame =
+    steps.groupBy("step")
+      .agg(count(lit(1)).as("n"),
+        (floor(sum("gap_us").cast("double") / count(lit(1)) / 1000000 * 1000 + 0.5) / 1000)
+          .as("mean_gap_s"),
+        expr("max(gap_us) div 1000000").as("max_gap_s"))
+      .orderBy(col("n").desc, col("step")).limit(10)
+
+  /** Streaming hourly load counts (tumbling 1h windows) — the stateful
+    * core of the q_stream_42_load_percentiles twin. Complete mode for
+    * the finite-fixture test; with a watermark the same agg runs
+    * append at unbounded scale (hours are calendar-bounded state).
+    */
+  def hourlyLoadStream(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("hr"), col("n"))
+
+  /** Batch finisher: exact type-1 rank percentiles over the streamed
+    * hour table — the q_stream_42 tail (hours are calendar-bounded, so
+    * the rank window is dimension-sized).
+    */
+  def loadPercentilesFinish(h: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def D(c: org.apache.spark.sql.Column) = c.cast("double")
+    val r = h.select(col("n"),
+      row_number().over(Window.orderBy(col("n"), col("hr"))).as("rn"),
+      count(lit(1)).over(Window.partitionBy()).as("nh"))
+    r.agg(max(col("nh")).as("n_hours"),
+        max(when(col("rn") === expr("(nh + 1) div 2"), col("n"))).as("p50"),
+        max(when(col("rn") === expr("(9 * nh + 9) div 10"), col("n"))).as("p90"),
+        max(when(col("rn") === expr("(99 * nh + 99) div 100"), col("n"))).as("p99"),
+        max(col("n")).as("peak"))
+      .select(col("n_hours"), col("p50"), col("p90"), col("p99"), col("peak"),
+        graft.functions.Num.round(D(col("peak")) / col("p50"), 6).as("peak_over_p50"))
+  }
 }
 

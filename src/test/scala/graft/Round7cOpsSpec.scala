@@ -88,6 +88,13 @@ class Round7cOpsSpec extends SparkSpec {
     assert(r.getDouble(3) > 0 && r.getDouble(3) <= 1.0)
   }
 
+  test("q_stat_34_hash_perm rides one pass: no Generate/explode in the plan (r7 verdict item 2)") {
+    val plan = Registry.byName("q_stat_34_hash_perm").fn(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), plan.take(1500))
+    assert(!plan.contains("explode"), plan.take(1500))
+  }
+
   test("q_stat_35_breusch_pagan: aux R2 in [0,1]; BP = n x R2 at the declared scales") {
     val r = Registry.byName("q_stat_35_breusch_pagan").fn(spark, sf).collect().head
     val (n, r2, bp) = (r.getLong(0), r.getDouble(1), r.getDouble(2))

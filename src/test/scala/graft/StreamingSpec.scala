@@ -146,6 +146,85 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streamed activity dedupe + DAU/WAU finisher matches q_stream_20") {
+    val q = Streams.toMemorySink(
+      Streams.activityStream(Streams.eventStream(spark, inputDir)),
+      "stream_activity_dau", complete = false).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = Streams.dauWauFinish(spark.table("stream_activity_dau"))
+      .collect().map(_.toSeq).toSeq
+    val batch = Registry.byName("q_stream_20_dau_wau").fn(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
+  test("streamed activity dedupe + retention finisher matches q_stream_32") {
+    val q = Streams.toMemorySink(
+      Streams.activityStream(Streams.eventStream(spark, inputDir)),
+      "stream_activity_ret", complete = false).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = Streams.retentionFinish(spark.table("stream_activity_ret"))
+      .collect().map(_.toSeq).toSeq
+    val batch = Registry.byName("q_stream_32_retention_curve").fn(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+  }
+
+  test("online abandonment verdicts: last refinement per user matches q_stream_31") {
+    val q = Streams.toMemorySink(
+      Streams.abandonmentStream(Streams.eventStream(spark, inputDir)).toDF(),
+      "stream_abandon", complete = false).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = Streams.abandonmentFinish(spark.table("stream_abandon"))
+      .collect().map(_.toSeq).toSeq
+    val batch = Registry.byName("q_stream_31_abandonment").fn(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
+  test("incremental dwell extraction matches q_stream_36 once the watermark clears") {
+    import spark.implicits._
+    import org.apache.spark.sql.Row
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_dwell").toString
+    Streams.prepareStreamInput(spark, sf, dir)
+    val maxTsMs = spark.read.parquet(dir)
+      .agg(max(unix_millis(col("ts")))).as[Long].head()
+    def appendSentinel(eventId: Long, tsMs: Long): Unit =
+      spark.createDataFrame(
+        java.util.Arrays.asList(Row(eventId, new java.sql.Timestamp(tsMs), -1L, "sentinel", 0.0)),
+        Streams.eventSchema).write.mode("append").parquet(dir)
+    val q = Streams.dwellStream(Streams.eventStream(spark, dir)).toDF()
+      .writeStream.format("memory").queryName("stream_dwell")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      appendSentinel(-1L, maxTsMs + 3600000L)
+      q.processAllAvailable()
+      appendSentinel(-2L, maxTsMs + 7200000L)
+      q.processAllAvailable()
+      appendSentinel(-3L, maxTsMs + 10800000L)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = Streams.dwellFinish(
+        spark.table("stream_dwell").filter(col("user_id") >= 0))
+      .collect().map(_.toSeq).toSeq
+    val batch = Registry.byName("q_stream_36_dwell").fn(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
+  test("streaming hourly load + percentile finisher matches q_stream_42") {
+    val q = Streams.toMemorySink(
+      Streams.hourlyLoadStream(Streams.eventStream(spark, inputDir)),
+      "stream_load", complete = true).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = Streams.loadPercentilesFinish(spark.table("stream_load"))
+      .collect().map(_.toSeq).toSeq
+    val batch = Registry.byName("q_stream_42_load_percentiles").fn(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+  }
+
   test("online last-touch attribution matches the batch carry-forward window") {
     import spark.implicits._
     import org.apache.spark.sql.Row
