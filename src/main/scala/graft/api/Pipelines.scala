@@ -2633,16 +2633,19 @@ object Pipelines {
     * fact-sized input (where the no-partition window funnels the whole
     * table through one task).
     *
-    * Shape: range-partition on the value (one shuffle; each partition
-    * owns a contiguous value range), count rows per partition (a
-    * map-side-combinable P-row aggregate), prefix-sum the P-row
-    * histogram on the driver, then sort ONLY inside the partitions that
-    * own a requested rank — each ~N/P rows, bounded by cluster
-    * parallelism, not data size. The value at global rank r does not
-    * depend on where Spark draws the range boundaries: equal values
-    * always hash to the same range partition, so the histogram offsets
-    * identify the owning partition and local index deterministically,
-    * and the picked VALUE is unique even when ranks tie.
+    * Shape: range-partition + per-partition sort on the value (ONE
+    * shuffle; each partition owns a contiguous, locally-sorted value
+    * range), count rows per partition (a P-row driver exchange),
+    * prefix-sum the histogram, then scan only the partitions that own
+    * a requested rank for their local indices — each task ~N/P rows,
+    * bounded by cluster parallelism, not data size. Both jobs share
+    * one RDD lineage, so the shuffle map output is computed once and
+    * reused — no cache or checkpoint, nothing pinned in the block
+    * manager. The value at global rank r does not depend on where
+    * Spark draws the range boundaries: equal values always land in the
+    * same range partition, so the histogram offsets identify the
+    * owning partition and local index deterministically, and the
+    * picked VALUE is unique even when ranks tie.
     *
     * `ranksOf` receives the total row count n and returns the 1-based
     * ranks wanted (ascending value order). Returns (n, rank -> value).
@@ -2651,40 +2654,44 @@ object Pipelines {
     */
   def exactRankPick(df: DataFrame, valueCol: String,
       ranksOf: Long => Seq[Long], partitions: Int = 0): (Long, Map[Long, Long]) = {
-    import org.apache.spark.sql.expressions.Window
     val parts = if (partitions > 0) partitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val ranged = df.select(col(valueCol).cast("long").as("__v"))
+    // range-partition + local sort ONCE; the count job and the pick job
+    // share the same RDD lineage, so the shuffle map output is computed
+    // once and reused — no cache, no checkpoint, nothing to evict
+    val sorted = df.select(col(valueCol).cast("long").as("__v"))
       .repartitionByRange(parts, col("__v"))
-      .localCheckpoint()
-    val hist = ranged.groupBy(spark_partition_id().as("__pid"))
-      .agg(count(lit(1)).as("__n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      .sortWithinPartitions("__v")
+      .rdd.map(_.getLong(0))
+    val hist = sorted
+      .mapPartitionsWithIndex((pid, it) => Iterator((pid, it.size.toLong)))
+      .collect().sortBy(_._1)
     val n = hist.map(_._2).sum
     val ranks = ranksOf(n).distinct
     require(ranks.nonEmpty && ranks.forall(r => r >= 1 && r <= n),
       s"exactRankPick: ranks $ranks outside [1, $n]")
     var off = 0L
     val spans = hist.map { case (pid, cnt) => val lo = off; off += cnt; (pid, lo, off) }
-    // global rank r lives in the partition whose span (lo, hi] contains it,
-    // at local 1-based rank r - lo
+    // global rank r lives in the partition whose span (lo, hi] contains
+    // it, at local 0-based index r - lo - 1
     val wanted: Map[Int, Seq[(Long, Long)]] = ranks
       .map { r =>
         val (pid, lo, _) = spans.find { case (_, lo2, hi) => r > lo2 && r <= hi }.get
-        (pid, r, r - lo)
+        (pid, r, r - lo - 1)
       }
       .groupBy(_._1).map { case (p, xs) => p -> xs.map(x => (x._2, x._3)) }
-    val owning = wanted.keys.toSeq.map(p => lit(p))
-    val picked = ranged
-      .withColumn("__pid", spark_partition_id())
-      .filter(col("__pid").isin(owning: _*))
-      .withColumn("__lrn",
-        row_number().over(Window.partitionBy("__pid").orderBy("__v")).cast("long"))
-      .filter(wanted.toSeq.map { case (pid, rs) =>
-        col("__pid") === pid && col("__lrn").isin(rs.map(x => lit(x._2)): _*)
-      }.reduce(_ || _))
-      .select(col("__pid"), col("__lrn"), col("__v"))
-      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val picked = sorted
+      .mapPartitionsWithIndex { (pid, it) =>
+        wanted.get(pid) match {
+          case None => Iterator.empty
+          case Some(rs) =>
+            val want = rs.map(_._2).toSet
+            it.zipWithIndex.collect {
+              case (v, i) if want(i.toLong) => (pid, i.toLong, v)
+            }
+        }
+      }
+      .collect().map { case (pid, i, v) => (pid, i) -> v }.toMap
     (n, wanted.toSeq.flatMap { case (pid, rs) =>
       rs.map { case (g, l) => g -> picked((pid, l)) }
     }.toMap)
@@ -2710,27 +2717,40 @@ object Pipelines {
     * order must still be a total (unique) one.
     */
   def exactGlobalRankBy(df: DataFrame, orderCols: Seq[org.apache.spark.sql.Column],
-      rankCol: String, partitions: Int = 0): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      rankCol: String, partitions: Int = 0): DataFrame =
+    exactGlobalRankByN(df, orderCols, rankCol, partitions)._2
+
+  /** [[exactGlobalRankBy]] that ALSO returns the total row count n —
+    * free off the per-partition count pass, so ntile-style callers
+    * need no separate `df.count()` scan. The machinery is the
+    * rfmSegments shape (range-partition + local sort + per-partition
+    * offsets): the count job and the rank job share one RDD lineage,
+    * so the range shuffle is computed once and its map output reused —
+    * no cache/checkpoint, nothing pinned in the block manager.
+    */
+  def exactGlobalRankByN(df: DataFrame, orderCols: Seq[org.apache.spark.sql.Column],
+      rankCol: String, partitions: Int = 0): (Long, DataFrame) = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val parts = if (partitions > 0) partitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val ranged = df
+    val sorted = df
       .repartitionByRange(parts, orderCols: _*)
-      .localCheckpoint()
-    val hist = ranged.groupBy(spark_partition_id().as("__pid"))
-      .agg(count(lit(1)).as("__n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      .sortWithinPartitions(orderCols: _*)
+    val rdd = sorted.rdd
+    val hist = rdd
+      .mapPartitionsWithIndex((pid, it) => Iterator((pid, it.size.toLong)))
+      .collect().sortBy(_._1)
     var off = 0L
-    val offsets = hist.map { case (pid, cnt) => val lo = off; off += cnt; (pid, lo) }
-    val offDf = df.sparkSession.createDataFrame(offsets.toSeq)
-      .toDF("__pid2", "__off")
-    ranged
-      .withColumn("__pid", spark_partition_id())
-      .join(broadcast(offDf), col("__pid") === col("__pid2"))
-      .withColumn(rankCol,
-        (col("__off") + row_number().over(
-          Window.partitionBy("__pid").orderBy(orderCols: _*))).cast("long"))
-      .drop("__pid", "__pid2", "__off")
+    val offsets = hist.map { case (pid, cnt) => val lo = off; off += cnt; (pid, lo) }.toMap
+    val n = off
+    val ranked = df.sparkSession.createDataFrame(
+      rdd.mapPartitionsWithIndex { (pid, it) =>
+        val base = offsets(pid)
+        it.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ (base + i + 1)) }
+      },
+      StructType(sorted.schema.fields :+ StructField(rankCol, LongType, nullable = false)))
+    (n, ranked)
   }
 
   /** Exact running sum of a LONG column over a TOTAL order WITHOUT a
@@ -2751,42 +2771,48 @@ object Pipelines {
     */
   def prefixSumN(df: DataFrame, orderCols: Seq[String],
       valueOutCols: Seq[(String, String)], partitions: Int = 0): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
     require(valueOutCols.nonEmpty, "prefixSumN needs at least one value column")
     val parts = if (partitions > 0) partitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val ranged = df
+    val sorted = df
       .repartitionByRange(parts, orderCols.map(col): _*)
-      .localCheckpoint()
-    val hist = ranged.groupBy(spark_partition_id().as("__pid"))
-      .agg(valueOutCols.map { case (v, _) => sum(col(v).cast("long")).as(s"__s_$v") }.head,
-        valueOutCols.tail.map { case (v, _) => sum(col(v).cast("long")).as(s"__s_$v") }: _*)
-      .collect()
-      .map(r => r.getInt(0) -> valueOutCols.indices.map(i => r.getLong(i + 1)))
-      .sortBy(_._1)
-    val offs = Array.fill(valueOutCols.size)(0L)
-    val offsets = hist.map { case (pid, sums) =>
+      .sortWithinPartitions(orderCols.map(col): _*)
+    val vIdx = valueOutCols.map { case (v, _) => sorted.schema.fieldIndex(v) }
+    def longAt(r: Row, i: Int): Long = r.get(i) match {
+      case l: Long => l
+      case x: Int => x.toLong
+      case x: Short => x.toLong
+      case x: Byte => x.toLong
+      case other => throw new IllegalArgumentException(
+        s"prefixSumN: non-integral value $other")
+    }
+    val rdd = sorted.rdd
+    // pass 1: per-partition totals (the count/sum job and the cumsum
+    // job share one RDD lineage → the range shuffle computes once)
+    val hist = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val sums = Array.fill(vIdx.size)(0L)
+      it.foreach(r => vIdx.indices.foreach(i => sums(i) += longAt(r, vIdx(i))))
+      Iterator((pid, sums.toSeq))
+    }.collect().sortBy(_._1)
+    val offs = Array.fill(vIdx.size)(0L)
+    val offsets: Map[Int, Seq[Long]] = hist.map { case (pid, sums) =>
       val lo = offs.toSeq
       sums.indices.foreach(i => offs(i) += sums(i))
-      org.apache.spark.sql.Row.fromSeq(pid +: lo)
+      pid -> lo
+    }.toMap
+    // pass 2: local running sums + the exact integer partition offsets
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val run = offsets(pid).toArray
+      it.map { r =>
+        vIdx.indices.foreach(i => run(i) += longAt(r, vIdx(i)))
+        Row.fromSeq(r.toSeq ++ run.toSeq)
+      }
     }
-    val offSchema = org.apache.spark.sql.types.StructType(
-      org.apache.spark.sql.types.StructField("__pid2",
-        org.apache.spark.sql.types.IntegerType) +:
-      valueOutCols.map { case (v, _) => org.apache.spark.sql.types.StructField(
-        s"__off_$v", org.apache.spark.sql.types.LongType) })
-    val offDf = df.sparkSession.createDataFrame(
-      java.util.Arrays.asList(offsets: _*), offSchema)
-    val w = Window.partitionBy("__pid").orderBy(orderCols.map(col): _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    valueOutCols.foldLeft(
-      ranged
-        .withColumn("__pid", spark_partition_id())
-        .join(broadcast(offDf), col("__pid") === col("__pid2"))) {
-      case (acc, (v, out)) =>
-        acc.withColumn(out,
-          (col(s"__off_$v") + sum(col(v).cast("long")).over(w)).cast("long"))
-    }.drop("__pid" +: "__pid2" +: valueOutCols.map { case (v, _) => s"__off_$v" }: _*)
+    df.sparkSession.createDataFrame(out,
+      StructType(sorted.schema.fields ++
+        valueOutCols.map { case (_, o) => StructField(o, LongType, nullable = false) }))
   }
 
   /** Every adjacent pair of a totally-ordered LONG id column WITHOUT a
@@ -2800,24 +2826,33 @@ object Pipelines {
     */
   def adjacentPairs(df: DataFrame, idCol: String, nxtCol: String,
       partitions: Int = 0): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val parts = if (partitions > 0) partitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val ranged = df.select(col(idCol).cast("long").as(idCol))
+    val sorted = df.select(col(idCol).cast("long").as(idCol))
       .repartitionByRange(parts, col(idCol))
-      .localCheckpoint()
-    val bounds = ranged.groupBy(spark_partition_id().as("__pid"))
-      .agg(min(col(idCol)).as("__first"), max(col(idCol)).as("__last"))
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      .sortWithinPartitions(idCol)
+      .rdd.map(_.getLong(0))
+    // pass 1: non-empty partitions' (first, last); the boundary pairs
+    // stitch partition p's last id to the next non-empty partition's
+    // first id — a P-row driver exchange (shuffle reused by pass 2)
+    val bounds = sorted.mapPartitionsWithIndex { (pid, it) =>
+      if (it.hasNext) {
+        val first = it.next(); var last = first
+        it.foreach(last = _)
+        Iterator((pid, first, last))
+      } else Iterator.empty
+    }.collect().sortBy(_._1)
     val cross = bounds.sliding(2).collect {
       case Array((_, _, last), (_, first, _)) => (last, first)
     }.toSeq
-    val intra = ranged
-      .withColumn("__pid", spark_partition_id())
-      .withColumn(nxtCol,
-        lead(col(idCol), 1).over(Window.partitionBy("__pid").orderBy(idCol)))
-      .filter(col(nxtCol).isNotNull)
-      .select(col(idCol), col(nxtCol).cast("long").as(nxtCol))
+    import df.sparkSession.implicits._
+    val intra = sorted.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        var prev = it.next()
+        it.map { v => val p = (prev, v); prev = v; p }
+      }
+    }.toDF(idCol, nxtCol)
     if (cross.isEmpty) intra
     else intra.union(df.sparkSession.createDataFrame(cross).toDF(idCol, nxtCol))
   }

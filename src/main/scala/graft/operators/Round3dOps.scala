@@ -54,16 +54,16 @@ object Round3dOps {
           when(col("event_type") === "click", 1L).otherwise(0L).as("ia"))
       val pts = src.groupBy("v")
         .agg(sum("ia").as("c1"), (count(lit(1)) - sum("ia")).as("c2"))
-        .localCheckpoint()
       // both ECDF prefix sums share ONE range shuffle
       // (Pipelines.prefixSumN — exact integer cumsums, no one-task
-      // window even when the distinct-value grid is large); totals are
-      // a 1-row broadcast off the same materialized pts
-      val tot = pts.agg(sum("c1").cast("long").as("n1"), sum("c2").cast("long").as("n2"))
-      val cum = graft.api.Pipelines
+      // window even when the distinct-value grid is large); totals =
+      // the max of each (monotone) cumsum, a 1-row broadcast off the
+      // same shuffle — the corpus still aggregates exactly once
+      val cum0 = graft.api.Pipelines
         .prefixSumN(pts, Seq("v"), Seq("c1" -> "cum1", "c2" -> "cum2"))
         .select(col("cum1"), col("cum2"))
-        .crossJoin(broadcast(tot))
+      val tot = cum0.agg(max("cum1").as("n1"), max("cum2").as("n2"))
+      val cum = cum0.crossJoin(broadcast(tot))
       cum
         .groupBy("n1", "n2")
         .agg(max(abs(col("n2") * col("cum1") - col("n1") * col("cum2"))).as("d_num"))
@@ -290,14 +290,14 @@ object Round3dOps {
             .cast("long").as("l6"))
       val doc = sc.groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"), sum("l6").as("sum_l6"))
-        .localCheckpoint()
-      // builtin-identical ntile(3) via exactGlobalRankBy + ntileOfRank
+      // builtin-identical ntile(3) via exactGlobalRankByN + ntileOfRank
       // — range-partitioned on the (mean-l6 DESC, doc_id) total order,
-      // no one-task window over the doc-scale table
-      val nDoc = doc.count()
-      graft.api.Pipelines.exactGlobalRankBy(doc,
-          Seq((col("sum_l6").cast("double") / col("n_bigrams").cast("double")).desc,
-            col("doc_id")), "__rk")
+      // no one-task window over the doc-scale table; n rides the same
+      // per-partition count pass as the rank
+      val (nDoc, ranked) = graft.api.Pipelines.exactGlobalRankByN(doc,
+        Seq((col("sum_l6").cast("double") / col("n_bigrams").cast("double")).desc,
+          col("doc_id")), "__rk")
+      ranked
         .select(col("doc_id"), col("n_bigrams"), col("sum_l6"),
           round(exp(-(col("sum_l6").cast("double") / (col("n_bigrams").cast("double") * 1000000.0))), 4).as("ppl"),
           graft.api.Pipelines.ntileOfRank(col("__rk"), nDoc, 3).as("bucket"))

@@ -118,7 +118,6 @@ object Round5bOps {
       // sort; then everything is 5-row arithmetic.
       val c = Tables(s, d, "orders").select(col("o_orderpriority").as("prio"),
         floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
-        .localCheckpoint()
       val pts = c.groupBy("cents").agg(count(lit(1)).as("cnt"))
       val cum = graft.api.Pipelines.prefixSum(pts, Seq("cents"), "cnt", "cumc")
         .select(col("cents").as("c2c"), (col("cumc") * 2 - col("cnt") + 1).as("r2"),

@@ -350,10 +350,10 @@ object Round5cOps {
       val e = Tables(s, d, "events").select(col("event_id"),
         floor(col("value") * 100 + 0.5).cast("long").as("cents"),
         when(col("event_type") === "purchase", 1).otherwise(0).as("pos"))
-      val nE = e.count()
-      val b = graft.api.Pipelines.exactGlobalRank(e, Seq("cents", "event_id"), "__rk")
-        .select(col("cents"), col("pos"),
-          graft.api.Pipelines.ntileOfRank(col("__rk"), nE, 10).as("decile"))
+      val (nE, ranked) = graft.api.Pipelines
+        .exactGlobalRankByN(e, Seq(col("cents"), col("event_id")), "__rk")
+      val b = ranked.select(col("cents"), col("pos"),
+        graft.api.Pipelines.ntileOfRank(col("__rk"), nE, 10).as("decile"))
       b.groupBy("decile").agg(count(lit(1)).as("n"), sum("pos").cast("long").as("k"),
           sum("cents").cast("long").as("sc"))
         .select(col("decile"), col("n"), col("k"),

@@ -253,10 +253,10 @@ object Round5gOps {
       // the 10-row table, whose prefix window is decile-bounded.
       val e = Tables(s, d, "orders").select(col("o_orderkey"),
         floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
-      val nE = e.count()
-      val b = graft.api.Pipelines.exactGlobalRank(e, Seq("cents", "o_orderkey"), "__rk")
-        .select(col("cents"),
-          graft.api.Pipelines.ntileOfRank(col("__rk"), nE, 10).as("decile"))
+      val (nE, ranked) = graft.api.Pipelines
+        .exactGlobalRankByN(e, Seq(col("cents"), col("o_orderkey")), "__rk")
+      val b = ranked.select(col("cents"),
+        graft.api.Pipelines.ntileOfRank(col("__rk"), nE, 10).as("decile"))
       val g = b.groupBy("decile").agg(count(lit(1)).as("n"), sum("cents").as("s"))
       val c = g
         .withColumn("cum", sum("s").over(Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)))

@@ -165,10 +165,10 @@ object Round5kOps {
         when(col("event_type") === "purchase", 1).otherwise(0).as("pos"))
       // builtin-identical ntile via exactGlobalRank + ntileOfRank —
       // range-partitioned, no one-task window over the events fact
-      val nE = e.count()
-      val b = graft.api.Pipelines.exactGlobalRank(e, Seq("cents", "event_id"), "__rk")
-        .select(col("cents"), col("pos"),
-          graft.api.Pipelines.ntileOfRank(col("__rk"), nE, 10).as("decile"))
+      val (nE, ranked) = graft.api.Pipelines
+        .exactGlobalRankByN(e, Seq(col("cents"), col("event_id")), "__rk")
+      val b = ranked.select(col("cents"), col("pos"),
+        graft.api.Pipelines.ntileOfRank(col("__rk"), nE, 10).as("decile"))
       val g = b.groupBy("decile").agg(count(lit(1)).as("n"), sum("pos").cast("long").as("k"))
         .localCheckpoint()
       val tot = g.agg(sum("k").cast("long").as("kk"))

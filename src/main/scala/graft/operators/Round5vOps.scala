@@ -51,17 +51,20 @@ object Round5vOps {
           count(lit(1)).as("freq"),
           sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
         .localCheckpoint()
-      // builtin-identical ntile(5) per axis via exactGlobalRankBy +
-      // ntileOfRank — three range shuffles of the user table, no
-      // one-task windows even when users scale with the fact
-      val nU = u.count()
-      def score(ord: Seq[org.apache.spark.sql.Column], out: String) =
-        graft.api.Pipelines.exactGlobalRankBy(u, ord, "__rk")
-          .select(col("user_id"),
-            graft.api.Pipelines.ntileOfRank(col("__rk"), nU, 5).as(out))
-      val sc = score(Seq(col("last_us").desc, col("user_id")), "r")
-        .join(score(Seq(col("freq").desc, col("user_id")), "f"), "user_id")
-        .join(score(Seq(col("cents").desc, col("user_id")), "m"), "user_id")
+      // builtin-identical ntile(5) per axis via exactGlobalRankByN +
+      // ntileOfRank — three range shuffles of the checkpointed user
+      // table, no one-task windows even when users scale with the
+      // fact; n rides the first rank's count pass
+      val (nU, rRank) = graft.api.Pipelines
+        .exactGlobalRankByN(u, Seq(col("last_us").desc, col("user_id")), "__rk")
+      def score(ranked: org.apache.spark.sql.DataFrame, out: String) =
+        ranked.select(col("user_id"),
+          graft.api.Pipelines.ntileOfRank(col("__rk"), nU, 5).as(out))
+      val sc = score(rRank, "r")
+        .join(score(graft.api.Pipelines.exactGlobalRankBy(u,
+          Seq(col("freq").desc, col("user_id")), "__rk"), "f"), "user_id")
+        .join(score(graft.api.Pipelines.exactGlobalRankBy(u,
+          Seq(col("cents").desc, col("user_id")), "__rk"), "m"), "user_id")
       sc.groupBy(col("r").cast("long").as("r"), col("f").cast("long").as("f"),
           col("m").cast("long").as("m"))
         .agg(count(lit(1)).as("n_users"))

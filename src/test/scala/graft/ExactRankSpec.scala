@@ -46,17 +46,19 @@ class ExactRankSpec extends SparkSpec {
   }
 
   test("exactGlobalRank plan shows RangePartitioning, not a one-task sort") {
-    // the fact shuffle is the range exchange (it sits behind the
-    // localCheckpoint in the helper, so pin its shape directly)
+    // the fact shuffle is the range exchange; the helper's rank stage
+    // then maps the sorted partitions with per-partition offsets (RDD
+    // two-pass, rfmSegments' machinery) — so the ONLY wide op in the
+    // whole build is the RangePartitioning exchange, and nothing is a
+    // SinglePartition exchange of the fact
     val rangedPlan = o.repartitionByRange(8, col("cents"), col("o_orderkey"))
+      .sortWithinPartitions("cents", "o_orderkey")
       .queryExecution.executedPlan.toString
     assert(rangedPlan.toLowerCase.contains("rangepartitioning"), rangedPlan.take(2000))
-    // the downstream rank stage is pid-partitioned (parallel), never a
-    // SinglePartition exchange of the fact
+    assert(!rangedPlan.contains("SinglePartition"), rangedPlan.take(2000))
     val plan = Pipelines.exactGlobalRank(o, Seq("cents", "o_orderkey"), "rk")
       .queryExecution.executedPlan.toString
     assert(!plan.contains("SinglePartition"), plan.take(2000))
-    assert(plan.toLowerCase.contains("hashpartitioning(__pid"), plan.take(2000))
   }
 
   test("ntileOfRank matches the ntile builtin for even and ragged splits") {
