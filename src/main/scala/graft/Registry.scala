@@ -96,7 +96,8 @@ object Registry {
       Round7tOps.all ++
       Round7uOps.all ++
       Round7vOps.all ++
-      Round7wOps.all
+      Round7wOps.all ++
+      Round8Ops.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(
