@@ -1101,36 +1101,23 @@ object Pipelines {
     */
   def rfmSegments(df: DataFrame, idCol: String, tsCol: String, valueCol: String,
       quantiles: Int = 5): DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{LongType, StructField, StructType}
-    val spark = df.sparkSession
     val u = df.groupBy(idCol).agg(max(tsCol).as("__last"),
       count(lit(1)).as("__freq"), sum(valueCol).as("__mon"))
       .localCheckpoint()
-    val n = u.count()
-    // ntile(q) over n rows from a 0-based global rank: the first n%q
-    // buckets take ceil(n/q) rows, the rest floor(n/q) (Spark/SQL NTile
-    // semantics). safeBase guards the (never-selected) otherwise branch
-    // when n < q so ANSI mode can't divide by zero.
-    val base = n / quantiles
-    val rem = n % quantiles
-    val cut = rem * (base + 1)
-    val safeBase = math.max(base, 1L)
-    def bucket(idx: org.apache.spark.sql.Column) =
-      when(idx < cut, idx / (base + 1) + 1)
-        .otherwise(lit(rem) + (idx - cut) / safeBase + 1)
-    def score(keyCol: String, out: String): DataFrame = {
-      val sorted = u.select(col(idCol), col(keyCol))
-        .repartitionByRange(col(keyCol).desc, col(idCol))
-        .sortWithinPartitions(col(keyCol).desc, col(idCol))
-      val ranked = spark.createDataFrame(
-        sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
-        StructType(sorted.schema.fields :+ StructField("__idx", LongType)))
-      ranked.select(col(idCol), bucket(col("__idx")).as(out))
-    }
-    score("__last", "r")
-      .join(score("__freq", "f"), idCol)
-      .join(score("__mon", "m"), idCol)
+    // exact ntile(q) per axis off the shared range-partitioned rank
+    // machinery (exactGlobalRankByN — n rides the count pass, ranks
+    // never cross one task); ntileOfRank is the builtin-identical
+    // bucket assignment
+    val (n, lastRank) = exactGlobalRankByN(u.select(col(idCol), col("__last")),
+      Seq(col("__last").desc, col(idCol)), "__rk")
+    def score(ranked: DataFrame, out: String): DataFrame =
+      ranked.select(col(idCol), ntileOfRank(col("__rk"), n, quantiles).as(out))
+    def rankOf(keyCol: String): DataFrame =
+      exactGlobalRankBy(u.select(col(idCol), col(keyCol)),
+        Seq(col(keyCol).desc, col(idCol)), "__rk")
+    score(lastRank, "r")
+      .join(score(rankOf("__freq"), "f"), idCol)
+      .join(score(rankOf("__mon"), "m"), idCol)
       .groupBy(col("r").cast("long").as("r"), col("f").cast("long").as("f"),
         col("m").cast("long").as("m"))
       .agg(count(lit(1)).as("n"))
