@@ -981,11 +981,12 @@ object Pipelines {
       buckets: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // ntile via the range-partitioned exact rank — identical bucket
-    // assignment to the builtin, no single-partition window
-    val n = df.count()
-    val b = exactGlobalRank(df.select(col(valueCol), col(idCol)),
-        Seq(valueCol, idCol), "__rk")
-      .select(col(valueCol), ntileOfRank(col("__rk"), n, buckets).as("decile"))
+    // assignment to the builtin, no single-partition window; the total
+    // row count comes free off the rank helper's histogram pass (no
+    // separate df.count() scan)
+    val (n, ranked) = exactGlobalRankByN(df.select(col(valueCol), col(idCol)),
+      Seq(col(valueCol), col(idCol)), "__rk")
+    val b = ranked.select(col(valueCol), ntileOfRank(col("__rk"), n, buckets).as("decile"))
     val g = b.groupBy("decile").agg(count(lit(1)).as("n"), sum(valueCol).as("__s"))
     g.withColumn("__cum", sum("__s").over(
         Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)))
@@ -2589,12 +2590,15 @@ object Pipelines {
     val scheme = lower(substring_index(url, "://", 1))
     val host = split_part(url, lit("/"), lit(3))
     val rest = url.substr(length(scheme) + length(host) + 4, lit(100000))
-    // pass 1 drops utm params followed by another param (keeps the
+    // pass 1 drops utm params followed by another param (lookbehind
+    // anchors the name to its ? or & separator so a non-utm param
+    // whose name merely ends in "utm_..." is untouched; keeps the
     // leading separator for what follows); pass 2 drops a trailing utm
-    // param together with its own leading ? or &
+    // param together with its own leading ? or &, whether it ends the
+    // string or abuts a #fragment
     val noUtm = regexp_replace(
-      regexp_replace(rest, "utm_[A-Za-z_]+=[^&#]*&", ""),
-      "[?&]utm_[A-Za-z_]+=[^&#]*$", "")
+      regexp_replace(rest, "(?<=[?&])utm_[A-Za-z_]+=[^&#]*&", ""),
+      "[?&]utm_[A-Za-z_]+=[^&#]*(?=#|$)", "")
     concat(scheme, lit("://"),
       regexp_replace(lower(host), "^www\\.", ""),
       rtrim(noUtm, "/"))
@@ -2654,6 +2658,10 @@ object Pipelines {
       .mapPartitionsWithIndex((pid, it) => Iterator((pid, it.size.toLong)))
       .collect().sortBy(_._1)
     val n = hist.map(_._2).sum
+    // empty input: no order statistics exist — return (0, empty) and
+    // let callers decide (the window form this replaces yielded a
+    // null-valued row; throwing here would be a behavior change)
+    if (n == 0L) return (0L, Map.empty)
     val ranks = ranksOf(n).distinct
     require(ranks.nonEmpty && ranks.forall(r => r >= 1 && r <= n),
       s"exactRankPick: ranks $ranks outside [1, $n]")
@@ -2673,8 +2681,13 @@ object Pipelines {
           case None => Iterator.empty
           case Some(rs) =>
             val want = rs.map(_._2).toSet
-            it.zipWithIndex.collect {
-              case (v, i) if want(i.toLong) => (pid, i.toLong, v)
+            // manual Long counter, NOT zipWithIndex: its Int index
+            // wraps negative past 2^31 rows per partition — exactly
+            // the at-scale regime this helper exists for
+            var idx = -1L
+            it.flatMap { v =>
+              idx += 1
+              if (want(idx)) Iterator.single((pid, idx, v)) else Iterator.empty
             }
         }
       }
@@ -2733,8 +2746,10 @@ object Pipelines {
     val n = off
     val ranked = df.sparkSession.createDataFrame(
       rdd.mapPartitionsWithIndex { (pid, it) =>
-        val base = offsets(pid)
-        it.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ (base + i + 1)) }
+        // manual Long counter, NOT zipWithIndex (Int index wraps past
+        // 2^31 rows per partition — the at-scale regime this is for)
+        var rank = offsets(pid)
+        it.map { r => rank += 1; Row.fromSeq(r.toSeq :+ rank) }
       },
       StructType(sorted.schema.fields :+ StructField(rankCol, LongType, nullable = false)))
     (n, ranked)

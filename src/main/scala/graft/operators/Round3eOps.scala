@@ -402,23 +402,33 @@ object Round3eOps {
       // ANN candidates without score calibration. Per-list 1/(60+rank)
       // contributions are 1e-6-quantized INTEGERS, so the fusion sum
       // and its ordering are exact; both rank lists break ties by id.
-      // Each list is one corpus pass against a broadcast 1-row probe;
-      // the fusion join is id-partitioned. At 100 TB each list would be
-      // a top-K heap (q_agg_23's native aggregate), not a full sort.
+      // Each list is one corpus pass against a broadcast 1-row probe.
+      // Scale: RRF needs the FULL-list rank of every doc (a top-K
+      // truncation changes fused scores for any doc outside one list's
+      // K), so both corpus-sized ranks use the range-partitioned
+      // exactGlobalRankBy — no single-partition sort; the fusion join
+      // is id-partitioned and the final top-10 window is
+      // WindowGroupLimit-bounded (per-partition top-10 runs before the
+      // 1-partition exchange, so it sees ≤10·P rows, not the corpus).
       graft.expressions.VectorExpressions.register(s)
+      import graft.api.Pipelines.exactGlobalRankBy
       val emb = Tables(s, d, "embeddings")
       val probeV = emb.filter(col("vec_id") === 0).select(col("embedding").as("pvec"))
-      val vr = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(probeV))
-        .select(col("vec_id").as("id"),
-          expr("cosine_similarity(embedding, pvec)").as("cos"))
-        .select(col("id"), row_number().over(Window.orderBy(col("cos").desc, col("id"))).as("rv"))
+      val vr = exactGlobalRankBy(
+          emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(probeV))
+            .select(col("vec_id").as("id"),
+              expr("cosine_similarity(embedding, pvec)").as("cos")),
+          Seq(col("cos").desc, col("id")), "rv")
+        .select(col("id"), col("rv").cast("int").as("rv"))
       val docs = Tables(s, d, "documents")
       val probeT = docs.filter(col("doc_id") === 0)
         .select(array_distinct(tokens(col("text"))).as("ptok"))
-      val lr = docs.filter(col("doc_id") =!= 0).crossJoin(broadcast(probeT))
-        .select(col("doc_id").as("id"),
-          size(array_intersect(array_distinct(tokens(col("text"))), col("ptok"))).as("ov"))
-        .select(col("id"), row_number().over(Window.orderBy(col("ov").desc, col("id"))).as("rl"))
+      val lr = exactGlobalRankBy(
+          docs.filter(col("doc_id") =!= 0).crossJoin(broadcast(probeT))
+            .select(col("doc_id").as("id"),
+              size(array_intersect(array_distinct(tokens(col("text"))), col("ptok"))).as("ov")),
+          Seq(col("ov").desc, col("id")), "rl")
+        .select(col("id"), col("rl").cast("int").as("rl"))
       val fused = vr.join(lr, Seq("id"))
         .select(col("id"), col("rv"), col("rl"),
           (floor(lit(1000000.0) / (col("rv") + 60) + 0.5).cast("long")

@@ -314,18 +314,22 @@ object Round5dOps {
       // user-keyed shuffle, and the behavioral-skew complement of
       // q_dq_15's key-skew profile. All counts exact BIGINTs; the share
       // is one closed-form division. Scale: the corpus collapses to one
-      // row per user first; the global rank runs on the user table
-      // (repartitionByRange at 100 TB, same note as q_ret_5).
+      // row per user first; the user table scales with the stream, so
+      // the global rank is the range-partitioned exactGlobalRankByN
+      // (which also yields n_users off its histogram pass — no extra
+      // count), and the grand total is a 1-row map-side-combinable agg.
       val u = Tables(s, d, "events").groupBy("user_id").agg(count(lit(1)).as("cnt"))
-      val r = u.select(col("user_id"), col("cnt"),
-        row_number().over(Window.orderBy(col("cnt").desc, col("user_id"))).cast("long").as("rn"),
-        count(lit(1)).over(Window.partitionBy()).as("nu"),
-        sum("cnt").over(Window.partitionBy()).as("tot"))
-      r.filter(col("rn") <= expr("(nu + 99) div 100"))
-        .agg(max("nu").as("n_users"), count(lit(1)).as("n_top"),
-          sum("cnt").cast("long").as("events_top"), max("tot").as("events_total"),
-          round(sum("cnt").cast("double") / max("tot"), 6).as("top_share"),
+      val (nu, ranked) = graft.api.Pipelines.exactGlobalRankByN(
+        u, Seq(col("cnt").desc, col("user_id")), "rn")
+      val tot = u.agg(sum("cnt").cast("long")).first.getLong(0)
+      val k = (nu + 99L) / 100L
+      ranked.filter(col("rn") <= k)
+        .agg(count(lit(1)).as("n_top"), sum("cnt").cast("long").as("events_top"),
           min("cnt").as("min_events_top"))
+        .select(lit(nu).as("n_users"), col("n_top"), col("events_top"),
+          lit(tot).as("events_total"),
+          round(col("events_top").cast("double") / lit(tot.toDouble), 6).as("top_share"),
+          col("min_events_top"))
     }
   )
 }

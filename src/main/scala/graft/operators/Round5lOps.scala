@@ -80,16 +80,23 @@ object Round5lOps {
       // The m-ranking generalization of q_stat_10's pairwise tau and
       // q_ret_7's pairwise top-k overlap. Ranks are deterministic
       // (metric DESC, user_id); rank-sum squares are exact BIGINTs; W
-      // is one IEEE closed form. Scale: three rank windows over the
-      // user table (repartitionByRange), then a 2-number reduction.
+      // is one IEEE closed form. Scale: the user table scales with the
+      // event stream, so each ranking is the range-partitioned
+      // exactGlobalRankBy (P-row histogram + local row numbers), NOT a
+      // single-partition window — three chained rank passes, then a
+      // 2-number reduction.
       val u = Tables(s, d, "events").groupBy("user_id")
         .agg(count(lit(1)).as("cnt"),
           sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"),
           sum(when(col("event_type") === "purchase", 1).otherwise(0)).cast("long").as("np"))
-      val r = u.select(col("user_id"),
-        row_number().over(Window.orderBy(col("cents").desc, col("user_id"))).cast("long").as("r1"),
-        row_number().over(Window.orderBy(col("cnt").desc, col("user_id"))).cast("long").as("r2"),
-        row_number().over(Window.orderBy(col("np").desc, col("user_id"))).cast("long").as("r3"))
+      val r = Seq(
+        (Seq(col("cents").desc, col("user_id")), "r1"),
+        (Seq(col("cnt").desc, col("user_id")), "r2"),
+        (Seq(col("np").desc, col("user_id")), "r3"))
+        .foldLeft(u) { case (df0, (ord, rc)) =>
+          graft.api.Pipelines.exactGlobalRankBy(df0, ord, rc)
+        }
+        .select(col("user_id"), col("r1"), col("r2"), col("r3"))
       val rs = col("r1") + col("r2") + col("r3")
       val g = r.agg(count(lit(1)).as("n"), sum(rs * rs).cast("long").as("ssq"),
         sum(rs).cast("long").as("s"))

@@ -157,7 +157,7 @@ object Round7sOps {
     // reachable at nprobe ∈ {1,2,4,8}? The recall CEILING curve — the
     // table that picks nprobe for a latency budget. Truth = exact
     // brute-force top-5 (self excluded).
-    Q("q_sim_39_nprobe_sweep",
+    Q("q_sim_44_nprobe_sweep",
       s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
          |assign AS (SELECT vec_id, cid FROM (
          |  SELECT e.vec_id, c.cid,

@@ -53,8 +53,8 @@ class Round7sOpsSpec extends SparkSpec {
     got.foreach { case (pr, _, ok) => assert(ok == 1L, s"$pr estimate outside 5% band") }
   }
 
-  test("q_sim_39_nprobe_sweep: recall ceiling is monotone and complete at nprobe=8") {
-    val got = Registry.byName("q_sim_39_nprobe_sweep").fn(spark, sf).collect()
+  test("q_sim_44_nprobe_sweep: recall ceiling is monotone and complete at nprobe=8") {
+    val got = Registry.byName("q_sim_44_nprobe_sweep").fn(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(got.map(_._1).toSeq == Seq(1L, 2L, 4L, 8L))
     // candidates and reachable-truth both monotone in nprobe
@@ -66,7 +66,7 @@ class Round7sOpsSpec extends SparkSpec {
     assert(last._3 == 5L && last._4 == 1.0, "all 5 true neighbors reachable at full probe")
   }
 
-  test("q_sim_39_nprobe_sweep: truth set matches brute-force cosine top-5") {
+  test("q_sim_44_nprobe_sweep: truth set matches brute-force cosine top-5") {
     // replicate the truth selection in Scala and check reachable counts at nprobe=1
     val emb = graft.sources.Tables(spark, sf, "embeddings")
       .select("vec_id", "embedding").collect()
@@ -87,7 +87,7 @@ class Round7sOpsSpec extends SparkSpec {
       .sortBy(e => (-e._2, e._1)).take(5).map(_._1).toSet
     val reach1 = emb.filter(_._1 != 0L)
       .count(e => crank(cellOf(e._2)) <= 1 && truth(e._1)).toLong
-    val got = Registry.byName("q_sim_39_nprobe_sweep").fn(spark, sf).collect()
+    val got = Registry.byName("q_sim_44_nprobe_sweep").fn(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2)))
     assert(got.head == ((1L, reach1)))
   }
