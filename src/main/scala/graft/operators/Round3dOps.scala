@@ -583,15 +583,20 @@ object Round3dOps {
           slice(toks, lit(2), size(toks) - 1).as("w2"))).as("p"))
         .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       val lm = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      // marginals + total as windows OVER the vocab²-bounded LM table —
-      // separate rollup aggregates re-derive the corpus scan+explode
-      // (observed 4 parquet scans → 1; ReuseExchange does not fire
-      // across the differently-aggregated branches)
-      val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      // marginals as w1-/w2-PARTITIONED windows (hash exchanges, fully
+      // distributed) + the total as a broadcast 1-row aggregate of the
+      // same lm plan. The global-total WINDOW the previous form used
+      // forced the whole bigram table into ONE partition, and the w1/w2
+      // marginal windows then rode that same single partition
+      // (SinglePartition satisfies any clustering requirement) — a
+      // vocab²-sized one-task funnel. Two uses of the lm plan is the
+      // shape AQE stage reuse dedups (measured r9: pairwise diamonds
+      // reuse the shared exchange; 3+-way mixed-key diamonds do NOT),
+      // so the corpus scan+explode still runs once.
       val sc = lm
         .withColumn("c1", sum("c12").over(Window.partitionBy("w1")))
         .withColumn("c2", sum("c12").over(Window.partitionBy("w2")))
-        .withColumn("nn", sum("c12").over(wAll))
+        .crossJoin(broadcast(lm.agg(sum("c12").as("nn"))))
         .filter(col("c12") >= 20)
         .select(col("w1"), col("w2"), col("c12"),
           floor(log(col("c12").cast("double") * col("nn").cast("double")

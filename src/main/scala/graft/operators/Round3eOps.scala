@@ -528,19 +528,21 @@ object Round3eOps {
       // Vocabulary coverage curve: share of total token mass covered by
       // the top-k vocabulary (k = 5/10/25) — the readout that sizes a
       // tokenizer vocab or a stopword list ("how much of the corpus do
-      // the top-k types explain"). ONE corpus scan+explode; rank,
-      // cumulative mass, AND the total all ride the vocab-bounded
-      // frequency table as windows (the q_text_24 rollup lesson). The
-      // window-sum is HUGEINT in the oracle — CAST (the q_text_21 trap).
+      // the top-k types explain"). ONE corpus scan+explode; only the
+      // top-25 types are ever needed, so the rank/cum windows run over
+      // a TakeOrdered(25) of the frequency table (25 rows, not the
+      // vocab), and the total is a broadcast 1-row aggregate of the
+      // SAME frequency plan (ReuseExchange dedups the token exchange).
+      // The window-sum is HUGEINT in the oracle — CAST (q_text_21 trap).
       val tf = Tables(s, d, "documents")
         .select(explode(tokens(col("text"))).as("token"))
         .groupBy("token").agg(count(lit(1)).as("cnt"))
       val wRank = Window.orderBy(col("cnt").desc, col("token"))
-      val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      tf.select(
+      tf.orderBy(col("cnt").desc, col("token")).limit(25)
+        .select(
           row_number().over(wRank).cast("long").as("k"),
-          sum("cnt").over(wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"),
-          sum("cnt").over(wAll).as("total"))
+          sum("cnt").over(wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"))
+        .crossJoin(broadcast(tf.agg(sum("cnt").as("total"))))
         .filter(col("k").isin(5L, 10L, 25L))
         .select(col("k"), col("cum"), col("total"),
           (floor(col("cum").cast("double") / col("total").cast("double") * 1000000 + 0.5) / 1000000).as("coverage"))

@@ -52,15 +52,23 @@ object Round5Ops {
       // tokens the language never emits contribute 0.5·ln2·q in closed
       // form via the exact present-mass integer sl, so no lang×vocab
       // densification is needed. Scale: one corpus explode into a
-      // map-side-combinable (lang, token) agg; everything downstream is
-      // vocab-bounded.
+      // map-side-combinable (lang, token) agg; the token marginal is a
+      // token-PARTITIONED window (hash exchange, distributed), and the
+      // lang marginal + grand total ride a broadcast per-lang aggregate
+      // (≤|langs| rows; its global window is lang-dim bounded). The
+      // previous global-total window forced the whole vocab table into
+      // one partition and the lang/token marginal windows rode it
+      // (SinglePartition satisfies any clustering requirement). Two
+      // uses of the (lang, token) plan → AQE stage reuse dedups the
+      // shared exchange (measured r9), so the corpus scans once.
       val c = Tables(s, d, "documents")
         .select(col("lang"), explode(tokens(col("text"))).as("token"))
         .groupBy("lang", "token").agg(count(lit(1)).as("c"))
+      val nlnn = c.groupBy("lang").agg(sum("c").as("nl"))
+        .withColumn("nn", sum("nl").over(Window.partitionBy()))
       val withStats = c
         .withColumn("ct", sum("c").over(Window.partitionBy("token")))
-        .withColumn("nl", sum("c").over(Window.partitionBy("lang")))
-        .withColumn("nn", sum("c").over(Window.partitionBy()))
+        .join(broadcast(nlnn), "lang")
       val p = col("c").cast("double") / col("nl")
       val q = col("ct").cast("double") / col("nn")
       val m = (p + q) / 2

@@ -250,8 +250,11 @@ object Round5iOps {
       // carry) and connection pools. Boundary order (t, delta) puts
       // closings before openings at the same µs, so back-to-back
       // sessions never double-count (stated). All integers; earliest-
-      // peak tiebreak. Scale: session table is corpus-collapsed; the
-      // sweep is one global-ordered prefix window (repartitionByRange).
+      // peak tiebreak. Scale: the session table scales with the event
+      // stream (user x 30-min window), so the sweep is the
+      // range-partitioned prefixSum (per-partition totals + stitched
+      // offsets), NOT a single-partition window, and the peak pick is
+      // a TakeOrdered(1).
       val sess = Tables(s, d, "events")
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
         .agg(unix_micros(min("ts")).as("st"), unix_micros(max("ts")).as("en"))
@@ -259,10 +262,8 @@ object Round5iOps {
         .localCheckpoint()
       val pts = sess.select(col("st").as("t"), lit(1).as("delta"))
         .union(sess.select((col("en") + 1).as("t"), lit(-1).as("delta")))
-      val run = pts.withColumn("conc",
-        sum("delta").over(Window.orderBy("t", "delta").rowsBetween(Window.unboundedPreceding, 0)))
-      val mx = run.withColumn("rn", row_number().over(Window.orderBy(col("conc").desc, col("t"))))
-        .filter(col("rn") === 1)
+      val run = graft.api.Pipelines.prefixSum(pts, Seq("t", "delta"), "delta", "conc")
+      val mx = run.orderBy(col("conc").desc, col("t")).limit(1)
       val nSess = sess.agg(count(lit(1)).as("n_sessions"))
       mx.crossJoin(broadcast(nSess))
         .select(col("n_sessions"), col("conc").cast("long").as("max_concurrent"),

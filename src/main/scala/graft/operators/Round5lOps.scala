@@ -220,12 +220,17 @@ object Round5lOps {
       // curve itself is what budget decisions read). Deciles are the
       // deterministic ntile over (cents DESC, event_id); capture and
       // lift come from exact BIGINT prefix sums over the 10-row bucket
-      // table. Scale: one global order, then 10-row windows.
+      // table. Scale: the decile assignment is ntileOfRank over the
+      // range-partitioned exactGlobalRankByN (events-scaled input; a
+      // builtin ntile would funnel the fact through one task), then
+      // 10-row windows.
       val e = Tables(s, d, "events").select(col("event_id"),
         floor(col("value") * 100 + 0.5).cast("long").as("cents"),
         when(col("event_type") === "purchase", 1).otherwise(0).as("pos"))
-      val b = e.select(col("cents"), col("pos"),
-        ntile(10).over(Window.orderBy(col("cents").desc, col("event_id"))).cast("long").as("bucket"))
+      val (nE, rkd) = graft.api.Pipelines.exactGlobalRankByN(
+        e, Seq(col("cents").desc, col("event_id")), "__rk")
+      val b = rkd.select(col("cents"), col("pos"),
+        graft.api.Pipelines.ntileOfRank(col("__rk"), nE, 10).cast("long").as("bucket"))
       val g = b.groupBy("bucket").agg(count(lit(1)).as("n"), sum("pos").cast("long").as("k"))
       val prefix = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
       val all = Window.partitionBy()

@@ -131,16 +131,23 @@ object Round5pOps {
         |FROM r, supplier
         |WHERE s_suppkey = sk AND rev_cents = (SELECT max(rev_cents) FROM r)
         |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
-      // The view + scalar-max shape: one fact aggregation, max over the
-      // 100-row supplier aggregate via an unpartitioned window (no
-      // second scan), equality on exact integer cents.
+      // The view + scalar-max shape: one fact aggregation; the scalar
+      // max comes from a broadcast 1-row aggregate of the SAME supplier
+      // aggregate (ReuseExchange dedups the shared groupBy exchange, so
+      // the fact scan still runs once) rather than an unpartitioned
+      // window — the supplier aggregate scales with SF, and a window
+      // would funnel it through one task.
       val r = Tables(s, d, "lineitem")
         .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
-          && col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+          && col("l_shipdate") < lit("1997-04-01").cast("timestamp")
+          // explicit, so BOTH uses of this plan canonicalize equal —
+          // the supplier join infers isnotnull(sk) on one branch only,
+          // which otherwise blocks AQE stage reuse (measured r9)
+          && col("l_suppkey").isNotNull)
         .groupBy(col("l_suppkey").as("sk"))
         .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5)
           .cast("long")).as("rev_cents"))
-      val withMax = r.withColumn("mx", max("rev_cents").over(Window.partitionBy()))
+      val withMax = r.crossJoin(broadcast(r.agg(max("rev_cents").as("mx"))))
         .filter(col("rev_cents") === col("mx"))
       withMax.join(broadcast(Tables(s, d, "supplier").select("s_suppkey", "s_name")),
           col("sk") === col("s_suppkey"))

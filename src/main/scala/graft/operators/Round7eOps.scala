@@ -187,13 +187,15 @@ object Round7eOps {
          |FROM m""".stripMargin) { (s, d) =>
       // Gini from the exact rank-weighted sum (no sorting of floats):
       // G = (2·Σi·dᵢ − (n+1)·Σd) / (n·Σd) over degrees ranked
-      // ascending with node tie-break. One degree table, one window,
-      // one fold.
+      // ascending with node tie-break. The degree table is node-scaled,
+      // so the rank is the range-partitioned exactGlobalRankBy, not a
+      // single-partition window; then one fold.
       val e = handoffEdges(Tables(s, d, "lineitem")).distinct()
       val b = e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
       val deg = b.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-      val r = deg.select(col("deg"), col("node"),
-        row_number().over(Window.orderBy(col("deg"), col("node"))).cast("long").as("i"))
+      val r = graft.api.Pipelines.exactGlobalRankBy(
+        deg.select(col("deg"), col("node")),
+        Seq(col("deg"), col("node")), "i")
       r.agg(count(lit(1)).as("n"), sum("deg").as("sd"),
           sum(col("i") * col("deg")).as("sid"), max("deg").as("maxd"))
         .select(col("n").as("n_nodes"), col("sd").as("total_degree"),

@@ -88,8 +88,9 @@ object Round7hOps {
         .localCheckpoint()
       val thr = 40000000L
       def layout(tag: String, order: Seq[org.apache.spark.sql.Column]) = {
-        val w = Window.orderBy(order: _*)
-        o.withColumn("rn", row_number().over(w))
+        // orders-scaled input: block ids come off the range-partitioned
+        // exact rank, not a single-partition row_number window
+        graft.api.Pipelines.exactGlobalRankBy(o, order, "rn")
           .select(col("cents"), expr("(rn - 1) div 512").as("blk"))
           .groupBy("blk").agg(max("cents").as("mx"))
           .agg(count(lit(1)).as("n_blocks"),

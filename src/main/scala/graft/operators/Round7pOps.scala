@@ -220,11 +220,13 @@ object Round7pOps {
         | CAST(1 AS BIGINT) AS agree
         |FROM p WHERE nxt IS NOT NULL ORDER BY s_suppkey""".stripMargin) { (s, d) =>
       val levUdf = udf((a: String, b: String) => levScala(a, b))
-      val w = Window.orderBy(col("s_suppkey"))
-      Tables(s, d, "supplier")
-        .select(col("s_suppkey"), col("s_name"),
-          lead(col("s_name"), 1).over(w).as("nxt"))
-        .filter(col("nxt").isNotNull)
+      // supplier scales with SF, so the key-order neighbor comes from
+      // the range-partitioned exact rank + a rank->rank+1 self-join,
+      // not a single-partition lead() window
+      val rk = graft.api.Pipelines.exactGlobalRank(
+        Tables(s, d, "supplier").select(col("s_suppkey"), col("s_name")),
+        Seq("s_suppkey"), "rk")
+      rk.join(rk.select((col("rk") - 1).as("rk"), col("s_name").as("nxt")), "rk")
         .select(col("s_suppkey"),
           levUdf(col("s_name"), col("nxt")).cast("long").as("lev_udf"),
           levenshtein(col("s_name"), col("nxt")).cast("long").as("lev_builtin"))

@@ -45,11 +45,13 @@ object Round7tOps {
       val name2 = when(col("s_suppkey") % 3 === 0, upper(col("s_name")))
         .when(col("s_suppkey") % 3 === 1, lower(col("s_name")))
         .otherwise(col("s_name"))
-      val w = Window.orderBy(lower(col("name2")), col("name2"), col("s_suppkey"))
-      Tables(s, d, "supplier")
-        .select(col("s_suppkey"), name2.as("name2"))
-        .select(row_number().over(w).cast("long").as("rn"),
-          col("s_suppkey"), col("name2"))
+      // supplier scales with SF: the collation rank is the
+      // range-partitioned exactGlobalRankBy over the (ci, cs, key)
+      // expression order, not a single-partition window
+      graft.api.Pipelines.exactGlobalRankBy(
+          Tables(s, d, "supplier").select(col("s_suppkey"), name2.as("name2")),
+          Seq(lower(col("name2")), col("name2"), col("s_suppkey")), "rn")
+        .select(col("rn"), col("s_suppkey"), col("name2"))
         .orderBy("rn")
     },
 

@@ -268,8 +268,21 @@ class Round3dOpsSpec extends SparkSpec {
     assert(scans("q_stat_4_mannwhitney") == 0)
     assert(scans("q_dq_16_benford") == 1)
     assert(scans("q_agg_28_entropy") == 1)
-    assert(scans("q_text_24_pmi") == 1)
+    // r9: pmi's global total is a broadcast 1-row aggregate of the SAME
+    // lm plan (the global-total WINDOW it replaced forced the bigram
+    // table into one partition) — 2 scans in the INITIAL plan, deduped
+    // to one at runtime by AQE stage reuse, asserted below
+    assert(scans("q_text_24_pmi") == 2)
     assert(scans("q_dq_18_psi") <= 3)
+  }
+
+  test("plan contract: pmi's two lm branches dedup at runtime (AQE stage reuse)") {
+    val df = Registry.byName("q_text_24_pmi").fn(spark, sf)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert("ReusedExchange|ReusedQueryStage".r.findAllIn(finalPlan).nonEmpty,
+      "the lm exchange must be reused, not rescanned — pairwise diamonds dedup, " +
+        "3+-way mixed-key diamonds do not (r9 measurement)")
   }
 
   test("plan contracts: stat/boundary tables broadcast, no corpus merge joins") {
