@@ -39,6 +39,7 @@ object Verify {
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+        BlockCleanup(spark) // drop the query's localCheckpoint residue
       }
     }
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),

@@ -132,42 +132,101 @@ object Pipelines {
 
   /** BFS hop distances from `source` over an undirected edge list.
     * Returns (idCol, dist) for REACHABLE nodes only. Level-synchronous:
-    * each pass expands ONLY the current frontier (nodes discovered last
-    * pass) — unweighted BFS settles a node the first time it is seen,
+    * each hop expands ONLY the current frontier (nodes discovered last
+    * hop) — unweighted BFS settles a node the first time it is seen,
     * so settled distances never need re-relaxing and total work is
-    * O(E) across all passes, not O(E · eccentricity). One frontier-edge
-    * shuffle per pass, passes = source eccentricity; per-pass
-    * localCheckpoint truncates lineage exactly like
-    * [[connectedComponents]], and non-convergence within maxIters
-    * throws rather than returning truncated distances.
+    * O(E) across all hops, not O(E · eccentricity).
+    *
+    * The loop runs on CO-PARTITIONED RDDs, not DataFrames (r9, the
+    * q_graph_25 budget fix — measured on the 829-node sampled graph:
+    * the DataFrame form cost ~4–6 s per BFS pass in pure per-stage
+    * overhead — AQE replanning, broadcast builds, and fresh per-hop
+    * codegen from the `dist === h` literals — regardless of hop
+    * chunking or partition sizing; this form runs the same pass in
+    * well under a second). One HashPartitioner sized to the node count
+    * (~500k nodes per partition, so real tasks at any scale) keeps the
+    * adjacency, frontier, and visited sets co-located: per hop the
+    * adjacency⋈frontier join and the visited subtract are NARROW, and
+    * the only shuffle is the reduceByKey that dedups newly reached
+    * nodes — strictly fewer stages than the Catalyst plan, with none
+    * of its per-stage fixed cost. This is the documented RDD exception
+    * (genuine per-partition iterative state), the same machinery class
+    * as exactRankPick.
+    *
+    * Hops run in chunks of `chunk` (default 4) between checkpoint
+    * truncations, with ONE convergence count per chunk; hops past a
+    * dead frontier are no-ops (empty frontier joins to nothing), so
+    * overshooting inside a chunk cannot alter any distance.
+    * Non-convergence within maxIters hops still throws rather than
+    * returning truncated distances.
     */
   def bfsDistances(nodes: DataFrame, idCol: String,
       edges: DataFrame, srcCol: String, dstCol: String,
-      source: Long, maxIters: Int = 25): DataFrame = {
-    val bidir = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
-      .union(edges.select(col(dstCol).as("__src"), col(srcCol).as("__dst")))
-      .localCheckpoint()
-    var dist = nodes.select(col(idCol).as("__id"),
-      when(col(idCol) === source, 0L).as("dist")).localCheckpoint()
+      source: Long, maxIters: Int = 25, chunk: Int = 4): DataFrame = {
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.rdd.RDD
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    require(chunk >= 1, "bfsDistances: chunk must be >= 1")
+    val sess = nodes.sparkSession
+    val sc = sess.sparkContext
+    val nNodes = nodes.count()
+    val defaultP = sess.conf.get("spark.sql.shuffle.partitions")
+    val p = math.max(1L, math.min(defaultP.toLong, nNodes / 500000L + 1L)).toInt
+    val part = new HashPartitioner(p)
+    // adjacency pairs (node -> neighbor), both directions, materialized
+    // once and kept partitioned for the whole walk
+    val adj: RDD[(Long, Long)] = edges
+      .select(col(srcCol).cast("long"), col(dstCol).cast("long")).rdd
+      .flatMap { r => val s = r.getLong(0); val d0 = r.getLong(1)
+        Iterator((s, d0), (d0, s)) }
+      .partitionBy(part)
+    adj.localCheckpoint()
+    adj.count()
+    val init: RDD[(Long, Long)] =
+      sc.parallelize(Seq((source, 0L)), 1).partitionBy(part)
+    // visited = the union of the per-chunk frontier pieces, each one a
+    // checkpointed co-partitioned RDD — a flat partitioner-aware union
+    // (narrow), so lineage never deepens across chunks
+    var visitedParts: List[RDD[(Long, Long)]] = List(init)
+    var frontier = init
     var discovered = 1L
     var pass = 0
     while (discovered > 0 && pass < maxIters) {
-      val frontier = dist.filter(col("dist") === pass).select(col("__id").as("__fid"))
-      val reached = bidir.join(frontier, bidir("__dst") === col("__fid"))
-        .select(col("__src").as("__rid")).distinct()
-      val upd = dist.join(reached, col("__id") === col("__rid"), "left")
-        .select(col("__id"),
-          when(col("dist").isNull && col("__rid").isNotNull, lit(pass + 1).cast("long"))
-            .otherwise(col("dist")).as("dist"))
-        .localCheckpoint()
-      discovered = upd.filter(col("dist") === pass + 1).count()
-      dist = upd
-      pass += 1
+      val hops = math.min(chunk, maxIters - pass)
+      var fr = frontier
+      var newParts: List[RDD[(Long, Long)]] = Nil
+      for (_ <- 0 until hops) {
+        // fr is always the last element of visitedParts, so the union
+        // IS the full visited set
+        val vis = sc.union(visitedParts)
+        // adj⋈fr narrow (co-partitioned); the reduceByKey is the hop's
+        // single shuffle (dedups multi-parent discoveries — the dist is
+        // uniform across a hop, so keeping either copy is exact);
+        // subtract of the visited set is narrow again
+        fr = adj.join(fr)
+          .map { case (_, (nb, dd)) => (nb, dd + 1L) }
+          .reduceByKey(part, (a, _) => a)
+          .subtractByKey(vis, part)
+        visitedParts = visitedParts :+ fr
+        newParts = newParts :+ fr
+      }
+      // the chunk's hops share one lineage: mark only this chunk's new
+      // pieces (re-marking a checkpointed RDD is not allowed), then one
+      // materializing action checkpoints them all and reads the count
+      newParts.foreach(_.localCheckpoint())
+      discovered = fr.count()
+      frontier = fr
+      pass += hops
     }
     if (discovered > 0) throw new IllegalStateException(
       s"bfsDistances did not converge in $maxIters passes " +
         s"(frontier still expanding) — raise maxIters")
-    dist.filter(col("dist").isNotNull).withColumnRenamed("__id", idCol)
+    val visAll = sc.union(visitedParts)
+    sess.createDataFrame(
+      visAll.map { case (id, dd) => Row(id, dd) },
+      StructType(Seq(StructField(idCol, LongType, nullable = false),
+        StructField("dist", LongType, nullable = false))))
   }
 
   /** PageRank with dangling-node mass redistribution over a directed

@@ -71,17 +71,43 @@ object SampledEdges {
     }
   }
 
-  /** Drop every cached edge list and best-effort-free its checkpoint
-    * blocks. Harness entry points call this before `spark.stop()`.
+  /** RDD ids of the cached edge lists' checkpoint blocks — the
+    * keep-set for the harness' per-query block cleanup
+    * ([[graft.BlockCleanup]]): everything else persistent after a
+    * query finishes is that query's dead localCheckpoint residue.
     */
-  def clear(): Unit = {
+  def persistentRddIds: Set[Int] = {
+    val b = Set.newBuilder[Int]
     cache.values.forEach { f =>
       if (f.isDone && !f.isCompletedExceptionally) {
         scala.util.Try {
-          f.join().queryExecution.analyzed match {
-            case lr: org.apache.spark.sql.execution.LogicalRDD =>
-              lr.rdd.unpersist(false)
+          f.join().queryExecution.analyzed.foreach {
+            case lr: org.apache.spark.sql.execution.LogicalRDD => b += lr.rdd.id
             case _ => ()
+          }
+        }
+      }
+    }
+    b.result()
+  }
+
+  /** Drop every cached edge list and best-effort-free its checkpoint
+    * blocks. Harness entry points call this before `spark.stop()`.
+    * The "lineage has been truncated" WARN Spark logs when a locally
+    * checkpointed RDD is unpersisted is intentional here — the cache is
+    * being dropped, nothing will recompute it — so it is silenced for
+    * the duration of the sweep (it spooked a round-8 log audit).
+    */
+  def clear(): Unit = {
+    graft.BlockCleanup.silencingCheckpointWarn {
+      cache.values.forEach { f =>
+        if (f.isDone && !f.isCompletedExceptionally) {
+          scala.util.Try {
+            f.join().queryExecution.analyzed match {
+              case lr: org.apache.spark.sql.execution.LogicalRDD =>
+                lr.rdd.unpersist(false)
+              case _ => ()
+            }
           }
         }
       }

@@ -13,6 +13,16 @@ import org.apache.spark.sql.functions._
   * bigger warehouse looks. Dimensions (region, nation) stay fixed;
   * timestamps stay fixed (10× busier business over the same window).
   *
+  * Document TEXT is perturbed per replica (r9, VERDICT item 5): every
+  * token of replica i>0 gets a deterministic `r<i>x` prefix, so
+  * replicas share NO shingles with the original — without this, every
+  * doc had `factor` verbatim copies, which both made the near-dup
+  * family unrehearsable (artificial 10-way clone clusters whose
+  * within-bucket pair counts grow quadratically in the factor) and
+  * broke the "disjoint copy of the business" premise for text. The
+  * within-replica duplicate structure is preserved exactly, which is
+  * what a 10× bigger corpus looks like.
+  *
   * The derived fixture lands OUTSIDE the read-only /root/testdata
   * (default /tmp/graft_sf1). Usage:
   *   graft.tools.ScaleGen [srcDir] [outDir] [factor]
@@ -64,9 +74,14 @@ object ScaleGen {
       val scaled =
         if (keys.isEmpty) base
         else (0 until factor).map { i =>
-          keys.foldLeft(base) { case (df, (c, dom)) =>
+          val shifted = keys.foldLeft(base) { case (df, (c, dom)) =>
             df.withColumn(c, col(c) + lit(i * spans(dom)))
           }
+          if (name == "documents" && i > 0)
+            shifted.withColumn("text",
+              array_join(transform(split(col("text"), " "),
+                t => concat(lit(s"r${i}x"), t)), " "))
+          else shifted
         }.reduce(_ unionAll _)
       scaled.write.mode("overwrite").parquet(s"$out/$name.parquet")
       println(s"ScaleGen: wrote $name x${if (keys.isEmpty) 1 else factor}")
