@@ -772,5 +772,89 @@ object Streams {
       .select(col("n_hours"), col("p50"), col("p90"), col("p99"), col("peak"),
         graft.functions.Num.round(D(col("peak")) / col("p50"), 6).as("peak_over_p50"))
   }
-}
 
+  // ---- round-9 twins: rate burst, Markov transitions, attribution ----
+  // (q_stream_8's top-k twin already exists above: topkPerWindow/rankTopK)
+
+  /** Watermarked per-(minute, type) counts — the streaming core of
+    * q_stream_15_rate_burst. The z-scoring needs the type's FULL
+    * observed-minute distribution, so it lives in the batch finisher;
+    * streaming maintains only the O(open minutes × |types|) counts.
+    */
+  def minuteTypeCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(expr("unix_micros(window.start) div 60000000").as("minute_id"),
+        col("event_type"), col("n"))
+
+  /** Batch finisher over the streamed minute table — EXACTLY the
+    * q_stream_15_rate_burst tail (per-type z over observed minutes,
+    * zero-variance guard, top-10), the identical IEEE expression.
+    */
+  def rateBurstFinish(c0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byType = Window.partitionBy("event_type")
+    val c = c0
+      .withColumn("mc", count(lit(1)).over(byType))
+      .withColumn("s1", sum("n").over(byType).cast("long"))
+      .withColumn("s2", sum(col("n") * col("n")).over(byType).cast("long"))
+    val den = col("mc").cast("double") * col("s2").cast("double") -
+      col("s1").cast("double") * col("s1").cast("double")
+    c.select(col("event_type"), col("minute_id"), col("n"),
+        when(den > 0,
+          graft.functions.Num.round(
+            (col("mc").cast("double") * col("n").cast("double") - col("s1").cast("double"))
+              / sqrt(den), 6)).otherwise(0.0).as("z"))
+      .orderBy(col("z").desc, col("event_type"), col("minute_id"))
+      .limit(10)
+  }
+
+  final case class SeqEvent(user_id: Long, ts_us: Long, event_id: Long, event_type: String)
+  final case class PathTrigram(user_id: Long, ts_us: Long, event_id: Long, path: String)
+
+  /** ONLINE per-user path trigrams — the streaming twin core of
+    * q_stream_34_path_trigrams (the Markov/attribution twins above
+    * already cover the pair shapes; this is the depth-2 sequence
+    * state). State per user = the last TWO events' types, O(1); each
+    * micro-batch sorts its OWN events for the user by (ts, event_id)
+    * and stitches them onto the carried pair, emitting one "a>b>c"
+    * path per settled event — exactly the batch double-lead rows,
+    * whenever arrival order ACROSS micro-batches respects event time
+    * (any order within a micro-batch is fine — the per-batch sort
+    * restores it; a cross-batch straggler is the source's watermark
+    * discipline, as with every sequence operator).
+    */
+  def pathTrigramStream(events: DataFrame): org.apache.spark.sql.Dataset[PathTrigram] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import events.sparkSession.implicits._
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+      .as[SeqEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Seq[String], PathTrigram](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[SeqEvent], state: GroupState[Seq[String]]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          var lastTwo = state.getOption.getOrElse(Seq.empty[String])
+          val out = Seq.newBuilder[PathTrigram]
+          sorted.foreach { e =>
+            if (lastTwo.size == 2)
+              out += PathTrigram(user, e.ts_us, e.event_id,
+                s"${lastTwo.head}>${lastTwo(1)}>${e.event_type}")
+            lastTwo = (lastTwo :+ e.event_type).takeRight(2)
+          }
+          if (sorted.nonEmpty) state.update(lastTwo)
+          out.result().iterator
+      }
+  }
+
+  /** Batch finisher — EXACTLY the q_stream_34_path_trigrams tail
+    * (|types|³-bounded counts, top-10 by count then path).
+    */
+  def pathTrigramFinish(paths: DataFrame): DataFrame =
+    paths.groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path")).limit(10)
+}

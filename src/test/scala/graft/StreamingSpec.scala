@@ -482,5 +482,51 @@ class StreamingSpec extends SparkSpec {
       pinned.getLong(3), pinned.getLong(4))))
     assert(streamed.length.toLong == pinned.getLong(0))
   }
-}
 
+  // ---- round-9 twins ----
+
+  test("streamed minute counts + z finisher match q_stream_15_rate_burst") {
+    import org.apache.spark.sql.Row
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_burst").toString
+    Streams.prepareStreamInput(spark, sf, dir)
+    val maxTsMs = spark.read.parquet(dir)
+      .agg(max(unix_millis(col("ts")))).collect().head.getLong(0)
+    val q = Streams.toMemorySink(
+      Streams.minuteTypeCounts(Streams.eventStream(spark, dir)),
+      "stream_burst", complete = false).start()
+    try {
+      q.processAllAvailable()
+      // sentinel far past every real minute + the 30-min watermark →
+      // all real windows close; the sentinel's own window stays open
+      // and never reaches the sink
+      spark.createDataFrame(
+        java.util.Arrays.asList(Row(-1L,
+          new java.sql.Timestamp(maxTsMs + 7200000L), -1L, "sentinel", 0.0)),
+        Streams.eventSchema).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      spark.createDataFrame(
+        java.util.Arrays.asList(Row(-2L,
+          new java.sql.Timestamp(maxTsMs + 10800000L), -1L, "sentinel", 0.0)),
+        Streams.eventSchema).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = Streams.rateBurstFinish(
+        spark.table("stream_burst").filter(col("event_type") =!= "sentinel"))
+      .collect().map(_.toSeq).toSeq
+    val batch = Registry.byName("q_stream_15_rate_burst").fn(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
+  test("online path trigrams + finisher match q_stream_34_path_trigrams") {
+    val q = Streams.toMemorySink(
+      Streams.pathTrigramStream(Streams.eventStream(spark, inputDir)).toDF(),
+      "stream_trigram", complete = false).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = Streams.pathTrigramFinish(spark.table("stream_trigram"))
+      .collect().map(_.toSeq).toSeq
+    val batch = Registry.byName("q_stream_34_path_trigrams").fn(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+}
