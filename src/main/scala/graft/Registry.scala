@@ -97,7 +97,8 @@ object Registry {
       Round7uOps.all ++
       Round7vOps.all ++
       Round7wOps.all ++
-      Round8Ops.all
+      Round8Ops.all ++
+      Round9Ops.all
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(
