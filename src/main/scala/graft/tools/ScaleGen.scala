@@ -81,6 +81,15 @@ object ScaleGen {
             shifted.withColumn("text",
               array_join(transform(split(col("text"), " "),
                 t => concat(lit(s"r${i}x"), t)), " "))
+          else if (name == "embeddings" && i > 0)
+            // deterministic per-(replica, dim) jitter (±0.003 max, RNG
+            // free): identical replica vectors would give every ANN
+            // query 10-way distance ties — artificial at any scale
+            shifted.withColumn("embedding",
+              zip_with(col("embedding"),
+                sequence(lit(0), size(col("embedding")) - 1),
+                (x, j) => (x + ((lit(i) * 31 + j * 7) % 7 - 3)
+                  .cast("float") * lit(0.001f)).cast("float")))
           else shifted
         }.reduce(_ unionAll _)
       scaled.write.mode("overwrite").parquet(s"$out/$name.parquet")
