@@ -857,4 +857,82 @@ object Streams {
   def pathTrigramFinish(paths: DataFrame): DataFrame =
     paths.groupBy("path").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("path")).limit(10)
+
+  /** Watermarked per-(day, type) counts — the shared streaming core of
+    * the q_stream_26_volume_trend and q_stream_39_weekend_lift twins
+    * (both batch tails are pure functions of the (type, day, count)
+    * table). Day windows are epoch-aligned, so `day` matches the batch
+    * `unix_micros(ts) div 86400000000` exactly. State is O(open days ×
+    * |types|); closed days emit once.
+    */
+  def typeDayCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("y"))
+      .select(expr("unix_micros(window.start) div 86400000000").as("day"),
+        col("event_type"), col("y"))
+
+  /** Batch finisher — EXACTLY the q_stream_26_volume_trend tail (per
+    * type: OLS slope of daily count on day index + declining flag).
+    */
+  def volumeTrendFinish(dd: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val si = dd.withColumn("x",
+      (row_number().over(Window.partitionBy("event_type").orderBy("day")) - 1).cast("long"))
+    val st = si.groupBy("event_type").agg(count(lit(1)).as("n"), sum("x").as("sx"),
+      sum("y").as("sy"), sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    val cov = col("n").cast("double") * col("sxy") - col("sx").cast("double") * col("sy")
+    val vx = col("n").cast("double") * col("sxx") - col("sx").cast("double") * col("sx")
+    st.select(col("event_type"), col("n").as("n_days"),
+        graft.functions.Num.round(cov / vx, 4).as("events_per_day_trend"),
+        when(cov < 0, 1L).otherwise(0L).as("declining"))
+      .orderBy("event_type")
+  }
+
+  /** Batch finisher — EXACTLY the q_stream_39_weekend_lift tail off the
+    * streamed (day, type, count) table: weekend/weekday per-day rates
+    * and their ratio (day+4 mod 7 ∈ {0,6} ⇔ Sat/Sun, the batch rule).
+    */
+  def weekendLiftFinish(dd: DataFrame): DataFrame = {
+    val e = dd.withColumn("we",
+      when((col("day") + 4) % 7 === 0 || (col("day") + 4) % 7 === 6, 1L).otherwise(0L))
+    val days = e.agg(
+      countDistinct(when(col("we") === 1, col("day"))).as("d_we"),
+      countDistinct(when(col("we") === 0, col("day"))).as("d_wd"))
+    e.groupBy("event_type")
+      .agg(sum(col("we") * col("y")).as("n_we"),
+        sum((lit(1L) - col("we")) * col("y")).as("n_wd"))
+      .crossJoin(broadcast(days))
+      .select(col("event_type"), col("n_we"), col("n_wd"),
+        graft.functions.Num.round(col("n_we").cast("double") / col("d_we"), 4).as("weekend_rate"),
+        graft.functions.Num.round(col("n_wd").cast("double") / col("d_wd"), 4).as("weekday_rate"),
+        graft.functions.Num.round((col("n_we").cast("double") / col("d_we"))
+          / (col("n_wd").cast("double") / col("d_wd")), 6).as("lift"))
+      .orderBy("event_type")
+  }
+
+  /** Running per-user last-active day — the streaming core of the
+    * q_stream_35_churn_horizons twin: a complete-mode max aggregate
+    * keyed on user (state is one long per user — exactly the
+    * at-scale churn tracker's working set).
+    */
+  def userLastDay(events: DataFrame): DataFrame =
+    events
+      .groupBy("user_id")
+      .agg(max(expr("unix_micros(ts) div 86400000000")).as("last_day"))
+
+  /** Batch finisher — EXACTLY the q_stream_35_churn_horizons tail
+    * (3/7/14-day inactivity counts vs the corpus max day).
+    */
+  def churnHorizonsFinish(u: DataFrame): DataFrame = {
+    val mx = u.agg(max("last_day").as("maxd"))
+    u.crossJoin(broadcast(mx))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("last_day") <= col("maxd") - 3, 1L).otherwise(0L)).as("churn_3d"),
+        sum(when(col("last_day") <= col("maxd") - 7, 1L).otherwise(0L)).as("churn_7d"),
+        sum(when(col("last_day") <= col("maxd") - 14, 1L).otherwise(0L)).as("churn_14d"),
+        graft.functions.Num.round(
+          sum(when(col("last_day") <= col("maxd") - 7, 1L).otherwise(0L)).cast("double")
+            / count(lit(1)), 6).as("churn_7d_rate"))
+  }
 }

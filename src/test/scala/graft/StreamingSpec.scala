@@ -491,9 +491,11 @@ class StreamingSpec extends SparkSpec {
     Streams.prepareStreamInput(spark, sf, dir)
     val maxTsMs = spark.read.parquet(dir)
       .agg(max(unix_millis(col("ts")))).collect().head.getLong(0)
-    val q = Streams.toMemorySink(
-      Streams.minuteTypeCounts(Streams.eventStream(spark, dir)),
-      "stream_burst", complete = false).start()
+    // default trigger, NOT AvailableNow (same reason as the day-count
+    // twin: the sentinel appends must reach a live query)
+    val q = Streams.minuteTypeCounts(Streams.eventStream(spark, dir))
+      .writeStream.format("memory").queryName("stream_burst")
+      .outputMode("append").start()
     try {
       q.processAllAvailable()
       // sentinel far past every real minute + the 30-min watermark →
@@ -526,6 +528,54 @@ class StreamingSpec extends SparkSpec {
     val streamed = Streams.pathTrigramFinish(spark.table("stream_trigram"))
       .collect().map(_.toSeq).toSeq
     val batch = Registry.byName("q_stream_34_path_trigrams").fn(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
+  test("streamed (day,type) counts power volume-trend and weekend-lift finishers") {
+    import org.apache.spark.sql.Row
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_days").toString
+    Streams.prepareStreamInput(spark, sf, dir)
+    val maxTsMs = spark.read.parquet(dir)
+      .agg(max(unix_millis(col("ts")))).collect().head.getLong(0)
+    // default trigger, NOT AvailableNow: the query must stay alive
+    // across the sentinel rounds (AvailableNow terminates after the
+    // first drain and silently ignores later appends — the dwell-test
+    // lesson)
+    val q = Streams.typeDayCounts(Streams.eventStream(spark, dir))
+      .writeStream.format("memory").queryName("stream_daytype")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // two sentinels far past every real day + the 1-day watermark →
+      // every real day window closes; the sentinels' windows stay open
+      for ((id, off) <- Seq((-1L, 3L), (-2L, 5L), (-3L, 7L))) {
+        spark.createDataFrame(
+          java.util.Arrays.asList(Row(id,
+            new java.sql.Timestamp(maxTsMs + off * 86400000L), -1L, "sentinel", 0.0)),
+          Streams.eventSchema).write.mode("append").parquet(dir)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val dd = spark.table("stream_daytype").filter(col("event_type") =!= "sentinel")
+    val trendS = Streams.volumeTrendFinish(dd).collect().map(_.toSeq).toSeq
+    val trendB = Registry.byName("q_stream_26_volume_trend").fn(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(trendS.nonEmpty && trendS == trendB)
+    val liftS = Streams.weekendLiftFinish(dd).collect().map(_.toSeq).toSeq
+    val liftB = Registry.byName("q_stream_39_weekend_lift").fn(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(liftS.nonEmpty && liftS == liftB)
+  }
+
+  test("running per-user last-day + finisher match q_stream_35_churn_horizons") {
+    val q = Streams.toMemorySink(
+      Streams.userLastDay(Streams.eventStream(spark, inputDir)),
+      "stream_lastday", complete = true).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = Streams.churnHorizonsFinish(spark.table("stream_lastday"))
+      .collect().map(_.toSeq).toSeq
+    val batch = Registry.byName("q_stream_35_churn_horizons").fn(spark, sf)
       .collect().map(_.toSeq).toSeq
     assert(streamed.nonEmpty && streamed == batch)
   }
