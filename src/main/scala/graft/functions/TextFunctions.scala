@@ -83,6 +83,23 @@ object TextFunctions {
     * DuckDB oracle can mirror it without shift builtins.
     */
   def simhash32(text: Column): Column = {
+    // native single-pass expression (graft.expressions.SimHash30) —
+    // same function as the declarative nested-aggregate form below,
+    // which was fully interpreted (lambda expressions never codegen)
+    // and dominated every corpus-scan simhash query (r9 measurement;
+    // the declarative form is kept in simhash32Declarative as the
+    // cross-implementation pin TextFunctionsSpec asserts against)
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      graft.expressions.SimHash30(ColumnBridge.expression(text)))
+  }
+
+  /** The declarative higher-order-function formulation of [[simhash32]]
+    * (the original form, mirrored 1:1 by the DuckDB oracle SQL): kept
+    * as the independent cross-check the unit test pins the native
+    * expression against.
+    */
+  def simhash32Declarative(text: Column): Column = {
     val hs = tokenHashes(text)
     aggregate(sequence(lit(0L), lit(29L)), lit(0L), (acc, j) => {
       val pw = pow(lit(2.0), j).cast("long")

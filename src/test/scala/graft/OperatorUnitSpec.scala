@@ -92,6 +92,19 @@ class OperatorUnitSpec extends SparkSpec {
     assert(hs(1L) != hs(3L))
   }
 
+  test("native simhash30 equals the declarative nested-aggregate form on the fixture corpus") {
+    // the r9 native expression must be the SAME function as the
+    // original higher-order formulation the DuckDB oracle mirrors —
+    // compare them over every fixture document plus adversarial shapes
+    val docs = graft.sources.Tables(spark, sf, "documents").select(col("text"))
+      .union(Seq("", " ", "a  b", "x x x", "trailing ").toDF("text"))
+    val diff = docs.select(
+        TextFunctions.simhash32(col("text")).as("nat"),
+        TextFunctions.simhash32Declarative(col("text")).as("dec"))
+      .filter(col("nat") =!= col("dec")).count()
+    assert(diff == 0L)
+  }
+
   test("minhash LSH: exact-duplicate token sets always collide on every band") {
     val df = Seq((1L, "alpha beta gamma delta"), (2L, "delta gamma beta alpha"))
       .toDF("doc_id", "text")
