@@ -98,7 +98,25 @@ object Registry {
       Round7vOps.all ++
       Round7wOps.all ++
       Round8Ops.all ++
-      Round9Ops.all
+      Round9Ops.all ++
+      Round10Ops.all
+
+  // Uniqueness invariants, enforced at first use so EVERY entry point
+  // (Verify, Bench, tests, lints, the gate) trips on a violation — the
+  // r8/r9 verdicts' numeric-prefix hygiene criterion, retired as a
+  // class: full names must be unique (the driver's correctness key) and
+  // so must the `q_<family>_<number>` prefix (the human/waiver/PERF
+  // shorthand, which ambiguous prefixes silently mis-address).
+  locally {
+    val dupNames = all.groupBy(_.name).collect { case (n, qs) if qs.size > 1 => n }
+    require(dupNames.isEmpty, s"duplicate query names: ${dupNames.mkString(", ")}")
+    val prefix = "^(q_[a-z0-9]+_[0-9]+)_".r
+    val dupPrefixes = all.map(_.name)
+      .groupBy(n => prefix.findFirstMatchIn(n).map(_.group(1)).getOrElse(n))
+      .collect { case (p, ns) if ns.size > 1 => s"$p: ${ns.mkString("/")}" }
+    require(dupPrefixes.isEmpty,
+      s"colliding numeric prefixes: ${dupPrefixes.mkString("; ")}")
+  }
 
   def byName(name: String): Q =
     all.find(_.name == name).getOrElse(

@@ -2643,7 +2643,7 @@ object Pipelines {
     * lowercase host, strip www., drop EVERY utm_* query param wherever
     * it sits (leading `?`, middle `&`, or trailing — no dangling
     * separators left behind), trim the trailing slash (generalizes
-    * q_dedup_28_url_canonical's cleanup).
+    * q_dedup_31_url_canonical's cleanup).
     */
   def canonicalizeUrl(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val scheme = lower(substring_index(url, "://", 1))

@@ -250,7 +250,7 @@ object Round3eOps {
         .orderBy("a", "b")
     },
 
-    Q("q_time_5_acf",
+    Q("q_time_27_acf",
       """WITH day AS (SELECT CAST(date_trunc('day', ts::TIMESTAMP) AS DATE) AS dday, CAST(count(*) AS BIGINT) AS x
         |             FROM events GROUP BY 1),
         |dev AS (SELECT dday, CAST(count(*) OVER () * x - sum(x) OVER () AS BIGINT) AS d FROM day),

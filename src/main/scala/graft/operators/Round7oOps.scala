@@ -65,7 +65,7 @@ object Round7oOps {
     // but an inequality condition must also fail for every match.
     // Spark plans one left_anti hash join with the residual evaluated
     // inside the join; no correlated re-execution.
-    Q("q_join_23_anti_range",
+    Q("q_join_27_anti_range",
       """SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_slow
         |FROM orders o
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem l
@@ -91,7 +91,7 @@ object Round7oOps {
     // identical on any engine, no calendar-walking UDF. The distance is
     // SIGNED (W is antisymmetric): the fixture's ship dates are not
     // correlated with their order dates, so negative lags are real data.
-    Q("q_time_23_bizdays",
+    Q("q_time_28_bizdays",
       """WITH fs AS (SELECT l_orderkey, min(l_shipdate) AS ship0 FROM lineitem GROUP BY 1),
         |t AS (SELECT strftime(o.o_orderdate, '%Y-%m') AS ym,
         |  datediff('day', DATE '1970-01-01', o.o_orderdate) AS e1,

@@ -87,7 +87,7 @@ object Round7pOps {
     // belong to the PREVIOUS iso year (and late-December to the next) —
     // the n_boundary column counts exactly those rows, proving both
     // engines share the ISO convention, not just a week number.
-    Q("q_time_24_iso_week",
+    Q("q_time_29_iso_week",
       """SELECT CAST(date_part('isoyear', o_orderdate) AS BIGINT) AS iso_year,
         | CAST(date_part('week', o_orderdate) AS BIGINT) AS iso_week,
         | CAST(count(*) AS BIGINT) AS n_orders,

@@ -75,7 +75,7 @@ object Round7qOps {
     // declared expectation, each row carrying a match flag — schema
     // drift in a fixture regeneration fails the oracle gate instead of
     // silently shifting downstream query semantics.
-    Q("q_dq_35_schema_contract",
+    Q("q_dq_36_schema_contract",
       """SELECT * FROM (VALUES
         | (CAST(1 AS BIGINT), 'o_orderkey',      'LongType',         CAST(1 AS BIGINT)),
         | (CAST(2 AS BIGINT), 'o_custkey',       'LongType',         CAST(1 AS BIGINT)),
@@ -110,7 +110,7 @@ object Round7qOps {
     // CURRENT row — the classic silent bug — while the explicit
     // full-partition frame returns the true last. Both engines run the
     // IDENTICAL window SQL semantics here.
-    Q("q_win_28_frame_pitfall",
+    Q("q_win_32_frame_pitfall",
       """WITH t AS (SELECT o_orderpriority AS pr,
         |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS t2, o_orderkey
         | FROM orders),

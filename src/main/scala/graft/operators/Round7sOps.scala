@@ -32,7 +32,7 @@ object Round7sOps {
     // utm_* dropped, trailing slash trimmed. The first dedup stage of
     // every crawl pipeline; grouped per page so variant counts are
     // visible.
-    Q("q_dedup_28_url_canonical",
+    Q("q_dedup_31_url_canonical",
       """WITH u AS (SELECT doc_id, doc_id % 50 AS pid,
         |  CASE doc_id % 4
         |   WHEN 0 THEN 'https://www.example.com/p/' || CAST(doc_id % 50 AS VARCHAR)

@@ -37,7 +37,7 @@ class Pipelines10Spec extends SparkSpec {
     assert(api == pinned)
   }
 
-  test("weekdaysBetween reproduces q_time_23_bizdays") {
+  test("weekdaysBetween reproduces q_time_28_bizdays") {
     val fs = graft.sources.Tables(spark, sf, "lineitem")
       .groupBy(col("l_orderkey")).agg(min(col("l_shipdate")).as("ship0"))
     val api = graft.sources.Tables(spark, sf, "orders")
@@ -50,7 +50,7 @@ class Pipelines10Spec extends SparkSpec {
           .as("avg_biz_days"),
         max(col("biz")).cast("long").as("max_biz_days"))
       .orderBy("ym").collect().map(_.toSeq).toSeq
-    val pinned = Registry.byName("q_time_23_bizdays").fn(spark, sf)
+    val pinned = Registry.byName("q_time_28_bizdays").fn(spark, sf)
       .collect().map(_.toSeq).toSeq
     assert(api == pinned)
   }

@@ -40,8 +40,8 @@ class PlanContract7Spec extends SparkSpec {
       "the 5-row IN-list must broadcast, not shuffle the customer table")
   }
 
-  test("q_join_23_anti_range: one anti hash join carries the range residual") {
-    val p = planString("q_join_23_anti_range")
+  test("q_join_27_anti_range: one anti hash join carries the range residual") {
+    val p = planString("q_join_27_anti_range")
     assert(p.contains("LeftAnti"), s"expected an anti join:\n$p")
     assert(p.contains("datediff") || p.contains("date_diff"),
       "the range residual must live inside the join, not a re-executed subquery")

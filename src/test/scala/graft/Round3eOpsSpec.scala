@@ -124,8 +124,8 @@ class Round3eOpsSpec extends SparkSpec {
     }
   }
 
-  test("q_time_5_acf: lag-0 identity, symmetry of the integer core, bounded values") {
-    val rows = Registry.byName("q_time_5_acf").fn(spark, sf).collect()
+  test("q_time_27_acf: lag-0 identity, symmetry of the integer core, bounded values") {
+    val rows = Registry.byName("q_time_27_acf").fn(spark, sf).collect()
     assert(rows.map(_.getLong(0)).toSeq == (1L to 7L))
     val den = rows.head.getLong(2)
     assert(rows.forall(_.getLong(2) == den), "shared denominator")
@@ -458,7 +458,7 @@ class Round3eOpsSpec extends SparkSpec {
     // assoc/acf read parquet only while materializing their checkpointed
     // aggregates; the declared plans themselves must not rescan sources
     assert(scans("q_agg_30_assoc") == 0)
-    assert(scans("q_time_5_acf") == 0)
+    assert(scans("q_time_27_acf") == 0)
     // survival: one live pass (purchase join); the per-user stage table
     // is checkpointed. fd: one scan per audited table.
     assert(scans("q_stat_7_survival") == 1)

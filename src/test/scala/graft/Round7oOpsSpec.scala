@@ -28,7 +28,7 @@ class Round7oOpsSpec extends SparkSpec {
     assert(got.toSeq == exp.toSeq)
   }
 
-  test("q_join_23_anti_range: anti join equals NOT EXISTS brute force") {
+  test("q_join_27_anti_range: anti join equals NOT EXISTS brute force") {
     import org.apache.spark.sql.functions.{col, date_format}
     val ship = graft.sources.Tables(spark, sf, "lineitem")
       .select(col("l_orderkey"), date_format(col("l_shipdate"), "yyyy-MM-dd").as("sd"))
@@ -42,13 +42,13 @@ class Round7oOpsSpec extends SparkSpec {
     val exp = ord.filter { case (ok, od, _) =>
       !ship.getOrElse(ok, Seq.empty[String]).exists(sd => days(sd) - days(od) <= 7)
     }.groupBy(_._3).view.mapValues(_.size.toLong).toSeq.sortBy(_._1)
-    val got = Registry.byName("q_join_23_anti_range").fn(spark, sf).collect()
+    val got = Registry.byName("q_join_27_anti_range").fn(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1)))
     assert(got.toSeq == exp.toSeq)
     assert(got.map(_._2).sum < ord.length, "some orders must have a fast ship")
   }
 
-  test("q_time_23_bizdays: closed form equals a day-by-day calendar walk") {
+  test("q_time_28_bizdays: closed form equals a day-by-day calendar walk") {
     import org.apache.spark.sql.functions.{col, date_format, min => fmin}
     val fs = graft.sources.Tables(spark, sf, "lineitem")
       .groupBy(col("l_orderkey"))
@@ -78,7 +78,7 @@ class Round7oOpsSpec extends SparkSpec {
     val exp = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (ym, rs) =>
       (ym, rs.length.toLong, rnd(rs.map(_._2).sum.toDouble / rs.length, 6), rs.map(_._2).max)
     }
-    val got = Registry.byName("q_time_23_bizdays").fn(spark, sf).collect()
+    val got = Registry.byName("q_time_28_bizdays").fn(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
     assert(got.toSeq == exp.toSeq)
   }

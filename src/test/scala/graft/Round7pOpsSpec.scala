@@ -32,7 +32,7 @@ class Round7pOpsSpec extends SparkSpec {
     assert(got.map(_._4).sum > 0, "some customers must be 1995-silent")
   }
 
-  test("q_time_24_iso_week: ISO fields equal java.time WeekFields brute force") {
+  test("q_time_29_iso_week: ISO fields equal java.time WeekFields brute force") {
     val wf = java.time.temporal.WeekFields.ISO
     val exp = ord.map { o =>
       val dt = java.time.LocalDate.parse(o._3)
@@ -42,7 +42,7 @@ class Round7pOpsSpec extends SparkSpec {
     val expAgg = exp.groupBy(e => (e._1, e._2)).toSeq.sortBy(_._1).map {
       case ((iy, iw), rs) => (iy, iw, rs.length.toLong, rs.count(r => r._1 != r._3).toLong)
     }
-    val got = Registry.byName("q_time_24_iso_week").fn(spark, sf).collect()
+    val got = Registry.byName("q_time_29_iso_week").fn(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.toSeq == expAgg.toSeq)
     assert(got.map(_._4).sum > 0, "fixture must have year-boundary ISO weeks")

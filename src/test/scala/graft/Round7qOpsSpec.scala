@@ -39,8 +39,8 @@ class Round7qOpsSpec extends SparkSpec {
     got.foreach(g => assert((g._3 == g._2 * 1000) == (g._5 == 1L)))
   }
 
-  test("q_dq_35_schema_contract: every orders column matches the declared contract") {
-    val got = Registry.byName("q_dq_35_schema_contract").fn(spark, sf).collect()
+  test("q_dq_36_schema_contract: every orders column matches the declared contract") {
+    val got = Registry.byName("q_dq_36_schema_contract").fn(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
     assert(got.length == 6)
     assert(got.forall(_._4 == 1L), s"schema drift: ${got.filter(_._4 != 1L).mkString(",")}")
@@ -48,8 +48,8 @@ class Round7qOpsSpec extends SparkSpec {
       "o_totalprice", "o_orderdate", "o_orderpriority"))
   }
 
-  test("q_win_28_frame_pitfall: default frame is current row, full frame is constant") {
-    val got = Registry.byName("q_win_28_frame_pitfall").fn(spark, sf).collect()
+  test("q_win_32_frame_pitfall: default frame is current row, full frame is constant") {
+    val got = Registry.byName("q_win_32_frame_pitfall").fn(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
     assert(got.nonEmpty)
     got.foreach { case (_, n, nDef, _, const) =>

@@ -11,8 +11,8 @@ class Round7sOpsSpec extends SparkSpec {
     .select("doc_id", "lang").collect()
     .map(r => (r.getLong(0), r.getString(1)))
 
-  test("q_dedup_28_url_canonical: four variants collapse to one canonical") {
-    val got = Registry.byName("q_dedup_28_url_canonical").fn(spark, sf).collect()
+  test("q_dedup_31_url_canonical: four variants collapse to one canonical") {
+    val got = Registry.byName("q_dedup_31_url_canonical").fn(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
     val byPid = docs.map(_._1).groupBy(_ % 50)
     assert(got.length == byPid.size)

@@ -17,6 +17,8 @@ echo "== 1/4 compile =="
 sbt -batch compile | tail -1
 
 echo "== 2/4 oracle type lint + vacuity lint + plan lint =="
+# name/numeric-prefix uniqueness is enforced by Registry itself
+# (require() at init — the next line trips it before anything runs)
 java $ADD_OPENS -cp "$CP" graft.Verify --sql-only /tmp/gate_sqldump /root/testdata/sf0.001 2>/dev/null
 python3 tools/oracle_typecheck.py /tmp/gate_sqldump/oracle_sql.json
 python3 tools/vacuity_lint.py /tmp/gate_sqldump/oracle_sql.json
