@@ -450,7 +450,7 @@ object Round3Ops {
         | FROM customer),
         |cand AS (
         | SELECT v2.id2, c.c_custkey, CAST(levenshtein(c.c_name, v2.name2) AS BIGINT) AS dist
-        | FROM v2 JOIN customer c ON substr(c.c_name, length(c.c_name) - 2) = substr(v2.name2, length(v2.name2) - 2)
+        | FROM v2 CROSS JOIN customer c
         | WHERE levenshtein(c.c_name, v2.name2) <= 1)
         |SELECT id2, c_custkey AS matched_custkey, dist FROM (
         | SELECT id2, c_custkey, dist,
@@ -459,27 +459,63 @@ object Round3Ops {
       // Entity resolution across two systems (the reference domain's
       // core problem: the same entity keyed differently in each SaaS):
       // v2 is a deterministically-perturbed copy (id remapped, ~14% of
-      // names mutated), candidates are generated by BLOCKING on the
-      // name's last 3 chars — the O(n²) all-pairs collapses to
-      // O(Σ block²) with block size ~n/1000 — then edit-distance ≤ 1
-      // within a block, best match per entity by (dist, key). One
-      // shuffle on the block key; production stacks several blocking
-      // passes (prefix, phonetic, LSH) the same way.
+      // names mutated). Candidates come from DELETION-NEIGHBORHOOD
+      // blocking (r9 verdict item 1 — the previous last-3-chars block
+      // key had FIXED cardinality ~1000, so candidate pairs grew
+      // n²/1000, quadratic with a small constant; sf1' exponent 0.93):
+      // each name emits L+1 signatures — itself plus every
+      // single-character deletion. Any pair at Levenshtein ≤ 1
+      // provably shares a signature (equal → the full key; one
+      // substitution at i → both i-deletions; one indel → the shorter
+      // string IS a deletion of the longer), so the blocking is a
+      // SUPERSET-exact candidate generator for the declared dist ≤ 1
+      // semantics — never misses a true match (the last-3 key silently
+      // dropped dist-1 pairs whose edit touched the suffix). Cost is
+      // linear: L+1 ≈ 19 keys/row, and a signature's block size is
+      // bounded by the number of existing single-insertion extensions
+      // (≤ L·|Σ|, independent of n). Duplicated candidates (a dist-0
+      // pair shares all L+1 keys) are absorbed by the winner fold
+      // without a distinct pass: the (dist, custkey) order is encoded
+      // into ONE long (dist in bit 62 — custkey < 2⁶² by schema), so
+      // min() is a plain HashAggregate with map-side combine (the
+      // struct-min form planned as two SortAggregates over every
+      // candidate row — measured 3× slower). The signature join is
+      // hinted SHUFFLE_HASH: the build side is an EXPLODED fact (L+1 ×
+      // |customer| rows), which Catalyst's pre-explode size estimate
+      // would happily broadcast — fine at sf0.1, an OOM at 100 TB.
+      // levenshtein's threshold form caps per-candidate cost at
+      // O(threshold·L) (returns -1 past the threshold). Two shuffles
+      // total: the signature join + the per-id2 fold. The oracle is
+      // the SEMANTIC ground truth (all-pairs dist ≤ 1), structurally
+      // independent of the blocking.
       val c = Tables(s, d, "customer")
+      def delKeys(name: Column): Column =
+        transform(sequence(lit(0), length(name)), i =>
+          when(i === 0, name).otherwise(
+            concat(name.substr(lit(1), i - 1),
+              name.substr(i + 1, length(name)))))
       val v2 = c.select((col("c_custkey") + 1000000L).as("id2"),
         when(col("c_custkey") % 7 === 0, regexp_replace(col("c_name"), "#", "-"))
           .otherwise(col("c_name")).as("name2"))
-        .withColumn("blk", substring(col("name2"), -3, 3))
-      val v1 = c.select(col("c_custkey"), col("c_name"))
-        .withColumn("blk", substring(col("c_name"), -3, 3))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("id2").orderBy("dist", "c_custkey")
-      v2.join(v1, "blk")
-        .withColumn("dist", levenshtein(col("c_name"), col("name2")).cast("long"))
-        .filter(col("dist") <= 1)
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("id2"), col("c_custkey").as("matched_custkey"), col("dist"))
+        .select(col("id2"), col("name2"),
+          explode(delKeys(col("name2"))).as("sig"))
+        .select(col("id2"), col("name2"), xxhash64(col("sig")).as("sig"))
+      val v1 = c.select(col("c_custkey"), col("c_name"),
+        explode(delKeys(col("c_name"))).as("sig"))
+        .select(col("c_custkey"), col("c_name"), xxhash64(col("sig")).as("sig"))
+      // joining on the signature's 8-byte hash instead of the string
+      // shrinks the shuffle; a hash collision can only MERGE blocks
+      // (superset candidates), never drop a true pair — exactness
+      // stays with the levenshtein filter.
+      v2.join(v1.hint("SHUFFLE_HASH"), "sig")
+        .withColumn("dist",
+          levenshtein(col("c_name"), col("name2"), 1).cast("long"))
+        .filter(col("dist") >= 0)
+        .groupBy("id2")
+        .agg(min(shiftleft(col("dist"), 62) + col("c_custkey")).as("m"))
+        .select(col("id2"),
+          (col("m") - shiftleft(shiftright(col("m"), 62), 62)).as("matched_custkey"),
+          shiftright(col("m"), 62).as("dist"))
         .orderBy("id2")
     },
 

