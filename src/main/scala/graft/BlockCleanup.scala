@@ -7,12 +7,17 @@ import org.apache.spark.sql.SparkSession
   *
   * Many queries materialize an intermediate with `localCheckpoint()`
   * (148 operator sites); each invocation pins fresh MEMORY_AND_DISK
-  * blocks that nothing unpersists, so a 603-query bench accumulates
+  * blocks that nothing unpersists, so a 600+-query bench accumulates
   * storage blocks across its warm + two timed passes, squeezing
   * execution memory for the later queries (run2 measured +77 s over
   * run1 in BENCH_r08). Calling this after each query drops every
-  * persistent RDD except the session-scoped [[sources.SampledEdges]]
-  * cache, which the whole graph family shares by design.
+  * persistent RDD except the ones session-scoped caches have
+  * REGISTERED as keep-alive (r10, ADVICE fix: the keep-set used to
+  * hardcode [[sources.SampledEdges]] — any future cross-query cache
+  * would be silently unpersisted and, because localCheckpoint
+  * truncates lineage, its next use would fail hard with "checkpoint
+  * block not found" instead of recomputing; now caches own the
+  * coupling via [[keepAlive]]).
   *
   * Unpersisting a locally checkpointed RDD makes Spark WARN that its
   * truncated lineage cannot recompute — correct and intended here (the
@@ -20,6 +25,16 @@ import org.apache.spark.sql.SparkSession
   * that one logger for its duration.
   */
 object BlockCleanup {
+
+  private val keepIds = java.util.concurrent.ConcurrentHashMap.newKeySet[Integer]()
+
+  /** Mark a persistent RDD id as session-scoped: the per-query sweep
+    * will never unpersist it. Caches call this right after pinning
+    * their checkpoint; [[release]] undoes it when the cache is dropped.
+    */
+  def keepAlive(rddId: Int): Unit = keepIds.add(rddId)
+
+  def release(rddId: Int): Unit = keepIds.remove(rddId)
 
   /** Run `body` with the RDD-class loggers that emit the
     * "locally checkpointed … cannot be recomputed" WARN held at ERROR.
@@ -33,13 +48,21 @@ object BlockCleanup {
     try body finally Configurator.setLevel(logger, prev)
   }
 
-  /** Unpersist every persistent RDD except the shared SampledEdges
-    * cache. Cheap (async driver messages); call between queries.
+  /** Unpersist every persistent RDD not registered via [[keepAlive]].
+    * Cheap (async driver messages); call between queries. The keep-set
+    * is snapshotted AFTER the persistent-RDD listing: a cache that
+    * pins+registers concurrently is then either absent from the
+    * listing (nothing to drop) or already in the keep snapshot — the
+    * register-after-pin window is additionally covered by the harness
+    * being single-threaded between queries.
     */
   def apply(spark: SparkSession): Unit = {
-    val keep = sources.SampledEdges.persistentRddIds
-    val residue = spark.sparkContext.getPersistentRDDs
-      .filterNot { case (id, _) => keep.contains(id) }
+    val persisted = spark.sparkContext.getPersistentRDDs
+    val keep = {
+      import scala.jdk.CollectionConverters._
+      keepIds.asScala.map(_.intValue).toSet
+    }
+    val residue = persisted.filterNot { case (id, _) => keep.contains(id) }
     if (residue.nonEmpty) silencingCheckpointWarn {
       residue.foreach { case (_, rdd) => scala.util.Try(rdd.unpersist(false)) }
     }

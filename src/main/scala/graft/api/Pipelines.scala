@@ -131,7 +131,14 @@ object Pipelines {
   }
 
   /** BFS hop distances from `source` over an undirected edge list.
-    * Returns (idCol, dist) for REACHABLE nodes only. Level-synchronous:
+    * Returns (idCol, dist) for REACHABLE nodes only. Reachability is
+    * defined over `edges` ALONE: ids appearing in `edges` but not in
+    * `nodes` are returned if reached, and the source row (dist 0) is
+    * emitted unconditionally — `nodes` only sizes the partitioner
+    * (r10 doc fix: the earlier DataFrame version anchored the result
+    * to `nodes`; all in-tree callers derive nodes from edges, so the
+    * two contracts coincide — callers that need the old semantics
+    * semi-join the result with their node table). Level-synchronous:
     * each hop expands ONLY the current frontier (nodes discovered last
     * hop) — unweighted BFS settles a node the first time it is seen,
     * so settled distances never need re-relaxing and total work is

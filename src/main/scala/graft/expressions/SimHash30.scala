@@ -17,11 +17,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * codegen) — and it was the entire cost of the corpus-scan simhash
   * queries (q_dedup_15 sat at ~4.3 s, the closest query to the 5 s
   * budget). One Java loop per row replaces ~30·|tokens| interpreted
-  * expression-tree evaluations. Bit-identical on the fixture (golden
-  * digests pinned): tokens split on single spaces keeping empties,
-  * dedup by first occurrence, chars walked by code point — matching
-  * `split(text, '')` + `ascii()` on the ASCII corpus the declarative
-  * form and its DuckDB mirror are defined over.
+  * expression-tree evaluations. Bit-identical to the declarative form
+  * on ALL of Unicode, not just the ASCII fixture (r10 pin): tokens
+  * split on single spaces keeping empties, dedup by first occurrence,
+  * chars walked by CODE POINT — and the declarative mirror agrees
+  * because Spark's `split(c, "")` groups by code point (astral-plane
+  * chars stay whole) and `ascii()` returns the full code point (so
+  * does DuckDB's). OperatorUnitSpec asserts equality on
+  * Latin-1/CJK/emoji/combining rows.
   *
   * CodegenFallback like [[TokensOf]]: the per-row work is a real loop,
   * so the eval-path call is noise next to it; the operator stays a

@@ -419,7 +419,9 @@ object Round3eOps {
             .select(col("vec_id").as("id"),
               expr("cosine_similarity(embedding, pvec)").as("cos")),
           Seq(col("cos").desc, col("id")), "rv")
-        .select(col("id"), col("rv").cast("int").as("rv"))
+        .select(col("id"), col("rv")) // stays LONG through fusion (r10
+      // ADVICE fix: an int cast here silently overflows past 2^31 rows,
+      // contradicting the full-corpus-rank rationale; emission casts)
       val docs = Tables(s, d, "documents")
       val probeT = docs.filter(col("doc_id") === 0)
         .select(array_distinct(tokens(col("text"))).as("ptok"))
@@ -428,7 +430,7 @@ object Round3eOps {
             .select(col("doc_id").as("id"),
               size(array_intersect(array_distinct(tokens(col("text"))), col("ptok"))).as("ov")),
           Seq(col("ov").desc, col("id")), "rl")
-        .select(col("id"), col("rl").cast("int").as("rl"))
+        .select(col("id"), col("rl")) // long, same as rv
       val fused = vr.join(lr, Seq("id"))
         .select(col("id"), col("rv"), col("rl"),
           (floor(lit(1000000.0) / (col("rv") + 60) + 0.5).cast("long")

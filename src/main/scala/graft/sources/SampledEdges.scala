@@ -60,6 +60,10 @@ object SampledEdges {
           .filter(col("src") =!= col("dst"))
           .select("src", "dst").distinct()
           .localCheckpoint()
+        // register the pinned blocks as session-scoped so the per-query
+        // sweep keeps them (r10: caches own this coupling now, see
+        // graft.BlockCleanup.keepAlive)
+        checkpointRddId(df).foreach(graft.BlockCleanup.keepAlive)
         fresh.complete(df)
         df
       } catch {
@@ -71,25 +75,14 @@ object SampledEdges {
     }
   }
 
-  /** RDD ids of the cached edge lists' checkpoint blocks — the
-    * keep-set for the harness' per-query block cleanup
-    * ([[graft.BlockCleanup]]): everything else persistent after a
-    * query finishes is that query's dead localCheckpoint residue.
+  /** The checkpoint-backing RDD id of a cached edge list (the id
+    * registered keep-alive with [[graft.BlockCleanup]] on creation and
+    * released on [[clear]]).
     */
-  def persistentRddIds: Set[Int] = {
-    val b = Set.newBuilder[Int]
-    cache.values.forEach { f =>
-      if (f.isDone && !f.isCompletedExceptionally) {
-        scala.util.Try {
-          f.join().queryExecution.analyzed.foreach {
-            case lr: org.apache.spark.sql.execution.LogicalRDD => b += lr.rdd.id
-            case _ => ()
-          }
-        }
-      }
+  private def checkpointRddId(df: DataFrame): Option[Int] =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
     }
-    b.result()
-  }
 
   /** Drop every cached edge list and best-effort-free its checkpoint
     * blocks. Harness entry points call this before `spark.stop()`.
@@ -105,6 +98,7 @@ object SampledEdges {
           scala.util.Try {
             f.join().queryExecution.analyzed match {
               case lr: org.apache.spark.sql.execution.LogicalRDD =>
+                graft.BlockCleanup.release(lr.rdd.id)
                 lr.rdd.unpersist(false)
               case _ => ()
             }

@@ -84,12 +84,18 @@ object ScaleGen {
           else if (name == "embeddings" && i > 0)
             // deterministic per-(replica, dim) jitter (±0.003 max, RNG
             // free): identical replica vectors would give every ANN
-            // query 10-way distance ties — artificial at any scale
+            // query 10-way distance ties — artificial at any scale.
+            // Modulus 13 > factor and a dim coefficient coprime to it
+            // (r10, ADVICE fix: the old `j*7 % 7` was dim-INDEPENDENT
+            // and identically zero for replicas 1 and 8 — verbatim
+            // copies): i*131 ≡ i (mod 13) separates every replica
+            // pair, and 17 ≡ 4 (mod 13) cycles over dims so no
+            // replica's jitter vector is constant, let alone zero.
             shifted.withColumn("embedding",
               zip_with(col("embedding"),
                 sequence(lit(0), size(col("embedding")) - 1),
-                (x, j) => (x + ((lit(i) * 31 + j * 7) % 7 - 3)
-                  .cast("float") * lit(0.001f)).cast("float")))
+                (x, j) => (x + ((lit(i) * 131 + j * 17) % 13 - 6)
+                  .cast("float") * lit(0.0005f)).cast("float")))
           else shifted
         }.reduce(_ unionAll _)
       scaled.write.mode("overwrite").parquet(s"$out/$name.parquet")

@@ -96,8 +96,15 @@ class OperatorUnitSpec extends SparkSpec {
     // the r9 native expression must be the SAME function as the
     // original higher-order formulation the DuckDB oracle mirrors —
     // compare them over every fixture document plus adversarial shapes
+    // non-ASCII rows pin the full-Unicode contract (r10, ADVICE/verdict
+    // item 7): the native walk is by code point, and the declarative
+    // mirror agrees because Spark's split(c,"") groups by code point
+    // (even astral-plane emoji) and ascii() returns the full code
+    // point, not a byte — measured, now enforced: Latin-1, CJK, an
+    // astral-plane emoji, and a combining sequence must all match.
     val docs = graft.sources.Tables(spark, sf, "documents").select(col("text"))
-      .union(Seq("", " ", "a  b", "x x x", "trailing ").toDF("text"))
+      .union(Seq("", " ", "a  b", "x x x", "trailing ",
+        "café latte", "日本語 テスト", "a😀b emoji", "é combining").toDF("text"))
     val diff = docs.select(
         TextFunctions.simhash32(col("text")).as("nat"),
         TextFunctions.simhash32Declarative(col("text")).as("dec"))
