@@ -31,7 +31,7 @@ object Round6gOps {
     // diversity. The histogram (how many vectors are cited 0, 1, 2, …
     // times) is the standard readout; a heavy right tail = hubby space.
     Q("q_sim_35_hubness",
-      s"""WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0),
+      s"""WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0 AND vec_id < 2000),
          |nn AS (SELECT a.vec_id AS src, b.vec_id AS dst,
          |  row_number() OVER (PARTITION BY a.vec_id
          |    ORDER BY ${Duck.cosine("a.embedding", "b.embedding")} DESC, b.vec_id) AS rk
@@ -42,14 +42,18 @@ object Round6gOps {
          |FROM (SELECT v.vec_id, COALESCE(i.indeg, CAST(0 AS BIGINT)) AS indeg
          |      FROM v LEFT JOIN ind i ON v.vec_id = i.vec_id)
          |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-      // Brute-force pair space on the vec_id % 4 slice (the q_sim_5
-      // demonstration bound); ranking is a per-src window over the
-      // bit-exact cosine fold. At 100 TB the directed kNN graph comes
-      // from the LSH/IVF candidate generation (q_sim_4/6/8) and this
-      // becomes an O(E) in-degree aggregate — the histogram itself
-      // never materializes the quadratic space.
+      // Brute-force pair space on a CONSTANT-bounded eval slice (every
+      // 4th vector, capped at vec_id < 2000 → ≤500 sampled vectors at
+      // any SF — the q_sim_21 eval-set pattern; the old uncapped % 4
+      // slice grew with the corpus, making the all-pairs join
+      // quadratic, the r10 lint's xjoin class). Ranking is a per-src
+      // window over the bit-exact cosine fold. At 100 TB the directed
+      // kNN graph comes from the LSH/IVF candidate generation
+      // (q_sim_4/6/8) and this becomes an O(E) in-degree aggregate —
+      // the histogram itself never materializes the quadratic space.
       VectorExpressions.register(s)
-      val v = Tables(s, d, "embeddings").filter(col("vec_id") % 4 === 0)
+      val v = Tables(s, d, "embeddings")
+        .filter(col("vec_id") % 4 === 0 && col("vec_id") < 2000)
         .select(col("vec_id"), col("embedding"))
       val pairs = v.as("a").join(broadcast(v.as("b")),
           col("a.vec_id") =!= col("b.vec_id"))

@@ -1,31 +1,50 @@
 package graft.tools
 
+import scala.annotation.tailrec
+
 import org.apache.spark.sql.execution._
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, AQEShuffleReadExec}
+import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
 import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
 
-/** Plan lint (round 9, mechanizing the single-partition sweep the r7/r8
-  * verdicts ran by hand so the class is RETIRED, not chased): walk every
-  * declared query's physical plan and fail on a `WindowExec` fed by an
-  * `Exchange SinglePartition` — the one-task global sort/window that
-  * melts at fact scale — unless
+/** Plan lint (round 9; extended round 10 per the r9 verdict, item 4):
+  * walk every declared query's physical plan and fail on the
+  * scale-killer shapes —
   *
-  *   (a) the exchange's input is already limit-bounded (a partial
-  *       `WindowGroupLimitExec`, a limit, or a `TakeOrderedAndProject`
-  *       sits below it, so the one partition sees ≤ k·P rows, never the
-  *       corpus), or
-  *   (b) the query id is waived in tools/plan_lint_waivers.txt with a
-  *       justification citing the input's structural bound (calendar
-  *       days/months/hours, a ≤k-row dim, a vocab cap, ...).
+  *   - `window1p`: a `WindowExec` fed by an `Exchange SinglePartition`
+  *     — the one-task global sort/window that melts at fact scale —
+  *     unless the exchange's input is already limit-bounded (a partial
+  *     `WindowGroupLimitExec`, a limit, or a `TakeOrderedAndProject`
+  *     sits below it, so the one partition sees ≤ k·P rows).
+  *   - `xjoin` (round 10): a `CartesianProductExec` or
+  *     `BroadcastNestedLoopJoinExec` where NEITHER side is structurally
+  *     bounded below (a limit/top-k/group-limit, a zero-grouping
+  *     aggregate, or literal local data at its top) — the all-pairs
+  *     blow-up that turns 10⁸×10⁸ rows into 10¹⁶ comparisons.
+  *   - `globalsort` (round 10): a global `SortExec` (range-partitioned
+  *     total order) whose result feeds FURTHER computation with no
+  *     limit above it — the next shuffle destroys the order, so the
+  *     sort is pure wasted cost at scale; rank-by-sort patterns belong
+  *     on `exactGlobalRankBy`. A final presentation sort (only
+  *     pass-through nodes above it) is fine and expected: every
+  *     declared query ends in a total ORDER BY for the oracle compare.
+  *
+  * A hit is either fixed or waived in tools/plan_lint_waivers.txt with
+  * a justification citing the input's structural bound (calendar
+  * days/months/hours, a ≤k-row dim, a vocab cap, ...). Waivers are
+  * RULE-SCOPED (`<query>:<rule>`), so excusing a bounded window can
+  * never silently excuse a new cartesian join in the same query, and
+  * stale waivers fail the lint so each line dies with the plan shape
+  * it excuses.
   *
   * The lint plans (does not execute) each query at the given fixture,
   * so it costs seconds; wired into tools/round_gate.sh step 2.
   *
   * Usage: `java -cp … graft.tools.PlanLint [sfDir] [waiversFile]`
-  * Exit 1 on any unwaived hit, or on a stale waiver naming a query
-  * that no longer trips the lint (waivers must not outlive their bug).
+  * Exit 1 on any unwaived hit or stale waiver.
   */
 object PlanLint {
 
@@ -52,36 +71,125 @@ object PlanLint {
       case _: TakeOrderedAndProjectExec => ()
     }.isDefined
 
+  /** Strip row-count-preserving (or -reducing) wrappers off the top of
+    * a subtree: what remains is the node that determines the side's
+    * cardinality class.
+    */
+  @tailrec
+  private def stripPassThrough(p: SparkPlan): SparkPlan = p match {
+    case w: WholeStageCodegenExec => stripPassThrough(w.child)
+    case i: InputAdapter => stripPassThrough(i.child)
+    case pr: ProjectExec => stripPassThrough(pr.child)
+    case f: FilterExec => stripPassThrough(f.child)
+    case s: SortExec => stripPassThrough(s.child)
+    case e: ShuffleExchangeExec => stripPassThrough(e.child)
+    case b: BroadcastExchangeExec => stripPassThrough(b.child)
+    case c: CoalesceExec => stripPassThrough(c.child)
+    case a: AQEShuffleReadExec => stripPassThrough(a.child)
+    case other => other
+  }
+
+  /** A join side is structurally bounded when its top (through
+    * pass-through nodes) is a limit/top-k, a zero-grouping aggregate
+    * (exactly 1 row), or literal local data. A keyed aggregate is NOT
+    * accepted — its cardinality is its key domain's, which only a
+    * human can certify (waiver).
+    */
+  private def sideBounded(p: SparkPlan): Boolean = stripPassThrough(p) match {
+    case _: BaseLimitExec | _: TakeOrderedAndProjectExec | _: WindowGroupLimitExec => true
+    case _: LocalTableScanExec => true
+    // literal row count fixed at plan time (s.range(...) grids)
+    case _: RangeExec => true
+    case a: HashAggregateExec => a.groupingExpressions.isEmpty
+    case a: ObjectHashAggregateExec => a.groupingExpressions.isEmpty
+    case a: SortAggregateExec => a.groupingExpressions.isEmpty
+    case _ => false
+  }
+
   private def unwrap(p: SparkPlan): SparkPlan = p match {
     case a: AdaptiveSparkPlanExec => a.executedPlan
     case other => other
   }
 
-  /** All offending window nodes in one query's plan, as one-line
-    * descriptions (empty = clean).
+  /** Nodes that may sit ABOVE a final presentation sort without making
+    * it "feed computation": projections, codegen plumbing, and row
+    * emission. Anything else consuming a global sort's output means
+    * the total order is being used (or destroyed) downstream.
     */
-  def offenders(plan: SparkPlan): Seq[String] = {
+  private def presentationOnly(ancestors: List[SparkPlan]): Boolean =
+    ancestors.forall {
+      case _: ProjectExec | _: WholeStageCodegenExec | _: InputAdapter |
+          _: CoalesceExec => true
+      case _ => false
+    }
+
+  private def limitAbove(ancestors: List[SparkPlan]): Boolean =
+    ancestors.exists {
+      case _: BaseLimitExec | _: CollectLimitExec |
+          _: TakeOrderedAndProjectExec | _: WindowGroupLimitExec => true
+      case _ => false
+    }
+
+  /** All offending nodes in one query's plan as (rule, description)
+    * pairs (empty = clean).
+    */
+  def offenders(plan: SparkPlan): Seq[(String, String)] = {
     val root = unwrap(plan)
-    root.collect {
+
+    val window1p = root.collect {
       case w: WindowExec =>
         feedingExchange(w.child) match {
           case Some(e) if e.outputPartitioning == SinglePartition
               && !limitBoundedBelow(e.child) =>
-            Some(s"Window[${w.windowExpression.map(_.sql).mkString(", ").take(120)}] over Exchange SinglePartition")
+            Some("window1p" ->
+              s"Window[${w.windowExpression.map(_.sql).mkString(", ").take(120)}] over Exchange SinglePartition")
           case _ => None
         }
     }.flatten
+
+    val xjoin = root.collect {
+      case j: CartesianProductExec
+          if !sideBounded(j.left) && !sideBounded(j.right) =>
+        "xjoin" -> s"CartesianProduct with no bounded side (cond=${j.condition.map(_.sql).getOrElse("none").take(80)})"
+      case j: BroadcastNestedLoopJoinExec
+          if !sideBounded(j.left) && !sideBounded(j.right) =>
+        "xjoin" -> s"BroadcastNestedLoopJoin[${j.joinType}] with no bounded side (cond=${j.condition.map(_.sql).getOrElse("none").take(80)})"
+    }
+
+    // Global sorts feeding non-final consumers: walk with ancestors.
+    def walk(p: SparkPlan, ancestors: List[SparkPlan]): Seq[(String, String)] = {
+      val here = p match {
+        case s: SortExec if s.global
+            && !presentationOnly(ancestors) && !limitAbove(ancestors) =>
+          val consumer = ancestors.find {
+            case _: ProjectExec | _: WholeStageCodegenExec | _: InputAdapter => false
+            case _ => true
+          }.map(_.nodeName).getOrElse("?")
+          Seq("globalsort" ->
+            s"global Sort[${s.sortOrder.map(_.sql).mkString(", ").take(80)}] feeding $consumer without a limit")
+        case _ => Seq.empty
+      }
+      here ++ p.children.flatMap(c => walk(c, p :: ancestors))
+    }
+    val globalsort = walk(root, Nil)
+
+    window1p ++ xjoin ++ globalsort
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val waiversFile = args.lift(1).getOrElse("tools/plan_lint_waivers.txt")
+    // waiver key: "<query>:<rule>"; a bare "<query>" line is accepted as
+    // "<query>:window1p" for continuity with the round-9 file format.
     val waivers: Map[String, String] = {
       val f = new java.io.File(waiversFile)
       if (!f.exists()) Map.empty
       else scala.io.Source.fromFile(f, "UTF-8").getLines()
         .filterNot(l => l.trim.isEmpty || l.startsWith("#"))
-        .map { l => val Array(n, why) = l.split("\t", 2); n -> why }
+        .map { l =>
+          val Array(n, why) = l.split("\t", 2)
+          (if (n.contains(":")) n else s"$n:window1p") -> why
+        }
         .toMap
     }
     val spark = LocalSession()
@@ -92,12 +200,13 @@ object PlanLint {
       val hits =
         try offenders(q.fn(spark, sfDir).queryExecution.executedPlan)
         catch { case e: Throwable =>
-          Seq(s"PLANNING FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          Seq("planning" -> s"PLANNING FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
         }
       planned += 1
-      if (hits.nonEmpty) {
-        if (waivers.contains(q.name)) waivedHits += q.name
-        else unwaived ::= (q.name, hits)
+      for ((rule, desc) <- hits) {
+        val key = s"${q.name}:$rule"
+        if (waivers.contains(key)) waivedHits += key
+        else unwaived ::= (key, Seq(desc))
       }
     }
     val stale = waivers.keySet -- waivedHits
