@@ -947,7 +947,7 @@ object Round3cOps {
     */
   final case class PHashRow(doc_id: Long, ph_lo: Long, ph_hi: Long)
 
-  private[operators] def phashOf(id: Long, text: String): PHashRow = {
+  private[graft] def phashOf(id: Long, text: String): PHashRow = {
     val img = new java.awt.image.BufferedImage(
       16, 16, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     val raster = img.getRaster

@@ -22,7 +22,8 @@ object Round5kOps {
 
   // q_mm_5's synthetic-raster phash CTE chain, reused verbatim so the
   // probe-radius query and the pair query can never drift.
-  private val duckPhash: String =
+  // shared with Round10Ops (q_mm_14_phash_bands reuses the byte-exact hash CTE)
+  val duckPhash: String =
     """px AS (SELECT doc_id, i, ascii(substring(text, (i % len(text)) + 1, 1)) % 256 AS v
       |  FROM documents, (SELECT unnest(range(0, 256)) AS i)
       |  WHERE doc_id < 100 AND len(text) > 0),

@@ -22,9 +22,12 @@ echo "== 2/4 oracle type lint + vacuity lint + plan lint =="
 java $ADD_OPENS -cp "$CP" graft.Verify --sql-only /tmp/gate_sqldump /root/testdata/sf0.001 2>/dev/null
 python3 tools/oracle_typecheck.py /tmp/gate_sqldump/oracle_sql.json
 python3 tools/vacuity_lint.py /tmp/gate_sqldump/oracle_sql.json
-# plan lint: fail on any unwaived Window over Exchange SinglePartition
+# plan lint: fail on any unwaived Window-over-SinglePartition, unbounded
+# Cartesian/BroadcastNestedLoop join, or global sort feeding computation
 # (tools/plan_lint_waivers.txt must cite each waived input's bound)
 java $ADD_OPENS -Xmx8g -cp "$CP" graft.tools.PlanLint /root/testdata/sf0.001 tools/plan_lint_waivers.txt 2>/dev/null
+# INDEX.md freshness (id -> file:line; regenerate via tools/gen_index.py)
+python3 tools/gen_index.py --check
 
 echo "== 3/4 sf0.01 oracle gate =="
 bash tools/run_verify.sh /root/testdata/sf0.01 /tmp/gate_verify | tail -1
