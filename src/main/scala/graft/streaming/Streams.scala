@@ -911,6 +911,101 @@ object Streams {
       .orderBy("event_type")
   }
 
+  // ---- round-10 twins: peak load, session concurrency, lifecycle ----
+
+  /** Watermarked per-minute counts — the streaming core of the
+    * q_stream_21_peak_load twin (q_stream_15's minuteTypeCounts
+    * without the type key). Minute windows are epoch-aligned, so
+    * `minute` matches the batch `unix_micros(ts) div 60000000`
+    * exactly. State is O(open minutes); closed minutes emit once.
+    */
+  def minuteCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 minute"))
+      .agg(count(lit(1)).as("n"))
+      .select(expr("unix_micros(window.start) div 60000000").as("minute"), col("n"))
+
+  /** Batch finisher — EXACTLY the q_stream_21_peak_load tail off the
+    * streamed minute table (top-5 minutes by count with the
+    * earliest-minute tiebreak, load factor vs the mean ACTIVE-minute
+    * rate; the rank runs over the minute table, calendar-bounded).
+    */
+  def peakLoadFinish(m: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val r = m.select(col("minute"), col("n"),
+      row_number().over(Window.orderBy(col("n").desc, col("minute"))).cast("long").as("rnk"),
+      count(lit(1)).over(Window.partitionBy()).as("nm"),
+      sum("n").over(Window.partitionBy()).as("tot"))
+    r.filter(col("rnk") <= 5)
+      .select(col("rnk"), col("minute").cast("long").as("minute"), col("n"),
+        col("nm").as("n_minutes"),
+        graft.functions.Num.round(
+          col("n").cast("double") / (col("tot").cast("double") / col("nm")), 4).as("load_factor"))
+      .orderBy("rnk")
+  }
+
+  /** Per-user session SPANS (30min gap) — the streaming core of the
+    * q_stream_22_concurrency twin: the same watermarked
+    * `session_window` aggregate as [[sessionCounts]], emitting each
+    * session's [min, max] event-time micros instead of its count
+    * (the sweep-line's interval endpoints).
+    */
+  def sessionSpans(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(unix_micros(min("ts")).as("st"), unix_micros(max("ts")).as("en"))
+      .select(col("st"), col("en"))
+
+  /** Batch finisher — EXACTLY the q_stream_22_concurrency tail off the
+    * streamed session spans: +1/−1 boundary points (closings sort
+    * before openings at the same µs), range-partitioned prefix sum,
+    * TakeOrdered(1) peak — never a single-partition window.
+    */
+  def concurrencyFinish(sess0: DataFrame): DataFrame = {
+    val sess = sess0.localCheckpoint()
+    val pts = sess.select(col("st").as("t"), lit(1).as("delta"))
+      .union(sess.select((col("en") + 1).as("t"), lit(-1).as("delta")))
+    val run = graft.api.Pipelines.prefixSum(pts, Seq("t", "delta"), "delta", "conc")
+    val mx = run.orderBy(col("conc").desc, col("t")).limit(1)
+    val nSess = sess.agg(count(lit(1)).as("n_sessions"))
+    mx.crossJoin(broadcast(nSess))
+      .select(col("n_sessions"), col("conc").cast("long").as("max_concurrent"),
+        col("t").cast("long").as("at_us"))
+  }
+
+  /** Batch finisher — EXACTLY the q_stream_23_lifecycle tail off the
+    * streamed first-seen (user, day) purchase-activity pairs (feed it
+    * [[activityStream]] over the purchase-filtered stream): per day,
+    * every active buyer classified new / retained / resurrected by a
+    * per-user lag window + broadcast first-day table, churn as the
+    * shifted-day anti-join. The streaming core carries the dedupe
+    * state; this tail is a pure function of the settled pair table.
+    */
+  def lifecycleFinish(uw0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val uw = uw0.localCheckpoint()
+    val f = uw.groupBy("user_id").agg(min("day").as("first_day"))
+    val lagw = uw.withColumn("prev_active",
+      lag("day", 1).over(Window.partitionBy("user_id").orderBy("day")))
+    val cls = lagw.join(f, "user_id")
+      .select(col("day"),
+        when(col("day") === col("first_day"), "new")
+          .when(col("prev_active") === col("day") - 1, "retained")
+          .otherwise("resurrected").as("status"))
+    val act = cls.groupBy("day").agg(
+      sum(when(col("status") === "new", 1).otherwise(0)).cast("long").as("n_new"),
+      sum(when(col("status") === "retained", 1).otherwise(0)).cast("long").as("n_retained"),
+      sum(when(col("status") === "resurrected", 1).otherwise(0)).cast("long").as("n_resurrected"))
+    val next = uw.select(col("user_id"), (col("day") - 1).as("day"))
+    val churn = uw.join(next, Seq("user_id", "day"), "left_anti")
+      .groupBy((col("day") + 1).as("day")).agg(count(lit(1)).as("n_churned"))
+    act.join(churn, Seq("day"), "left")
+      .select(col("day").cast("long").as("day"), col("n_new"), col("n_retained"),
+        col("n_resurrected"), coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+      .orderBy("day")
+  }
+
   /** Running per-user last-active day — the streaming core of the
     * q_stream_35_churn_horizons twin: a complete-mode max aggregate
     * keyed on user (state is one long per user — exactly the

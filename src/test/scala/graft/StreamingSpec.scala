@@ -579,4 +579,41 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(streamed.nonEmpty && streamed == batch)
   }
+
+  test("streamed minute counts + finisher match q_stream_21_peak_load") {
+    val q = Streams.toMemorySink(
+      Streams.minuteCounts(Streams.eventStream(spark, inputDir)),
+      "stream_minutes", complete = true).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = Streams.peakLoadFinish(spark.table("stream_minutes"))
+      .collect().map(_.toSeq).toSeq
+    val batch = Registry.byName("q_stream_21_peak_load").fn(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
+  test("streamed session spans + sweep-line finisher match q_stream_22_concurrency") {
+    val q = Streams.toMemorySink(
+      Streams.sessionSpans(Streams.eventStream(spark, inputDir)),
+      "stream_spans", complete = true).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = Streams.concurrencyFinish(spark.table("stream_spans"))
+      .collect().map(_.toSeq).toSeq
+    val batch = Registry.byName("q_stream_22_concurrency").fn(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
+  test("streamed purchase activity + lifecycle finisher match q_stream_23_lifecycle") {
+    val q = Streams.toMemorySink(
+      Streams.activityStream(
+        Streams.eventStream(spark, inputDir).filter(col("event_type") === "purchase")),
+      "stream_activity_life", complete = false).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = Streams.lifecycleFinish(spark.table("stream_activity_life"))
+      .collect().map(_.toSeq).toSeq
+    val batch = Registry.byName("q_stream_23_lifecycle").fn(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
 }
