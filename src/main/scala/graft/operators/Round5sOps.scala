@@ -152,10 +152,20 @@ object Round5sOps {
       // (part, supplier) relation is one dedup shuffle of two keys. At
       // 100 TB the per-part supplier fan-in is catalog-bounded, so the
       // quadratic stays per-part-local.
+      // No checkpoint: the two join inputs are the IDENTICAL distinct
+      // subtree, so Catalyst plans ONE exchange and a ReusedExchange
+      // for the other side (r10 — the old localCheckpoint erased the
+      // partitioning, forcing both sides through fresh exchanges and
+      // holding the 2-key relation in block-manager memory for no
+      // reuse benefit). SHUFFLE_HASH pins the wedge join away from the
+      // sort-merge path: per-pk groups are catalog-bounded (max
+      // fan-in 52 at every rehearsal scale), so the build side is
+      // small per partition and the sort of the full relation bought
+      // nothing.
       val ps = Tables(s, d, "lineitem")
         .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk")).distinct()
-        .localCheckpoint()
-      ps.as("a").join(ps.as("b"), col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
+      ps.as("a").hint("SHUFFLE_HASH")
+        .join(ps.as("b"), col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
         .groupBy(col("a.sk").as("s1"), col("b.sk").as("s2"))
         .agg(count(lit(1)).as("shared_parts"))
         .orderBy(col("shared_parts").desc, col("s1"), col("s2")).limit(20)

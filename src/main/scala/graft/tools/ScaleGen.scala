@@ -77,7 +77,22 @@ object ScaleGen {
           val shifted = keys.foldLeft(base) { case (df, (c, dom)) =>
             df.withColumn(c, col(c) + lit(i * spans(dom)))
           }
-          if (name == "documents" && i > 0)
+          if (name == "customer" && i > 0)
+            // c_name is key-DERIVED in the fixture (Customer#<key>) —
+            // a 30x bigger warehouse has 30x more DISTINCT customer
+            // names, not 30 verbatim copies of each (r10: verbatim
+            // replication made every deletion-signature block grow
+            // with the factor, so entity resolution read QUADRATIC at
+            // the sf3' point — a fixture artifact, the c_name sibling
+            // of r9's document-text perturbation). Rebuild the name
+            // from the shifted key, TPC-H's own rule.
+            shifted.withColumn("c_name",
+              concat(lit("Customer#"), lpad(col("c_custkey").cast("string"), 9, "0")))
+          else if (name == "supplier" && i > 0)
+            // same key-derived rule for Supplier#<key>
+            shifted.withColumn("s_name",
+              concat(lit("Supplier#"), lpad(col("s_suppkey").cast("string"), 9, "0")))
+          else if (name == "documents" && i > 0)
             shifted.withColumn("text",
               array_join(transform(split(col("text"), " "),
                 t => concat(lit(s"r${i}x"), t)), " "))
