@@ -44,6 +44,23 @@ object TextFunctions {
     */
   def shingles(text: Column, n: Int): Column = shinglesOf(split(text, " "), n)
 
+  /** Deletion neighborhood of a string: itself plus every
+    * single-character deletion (L+1 signatures). Any pair of strings
+    * at Levenshtein ≤ 1 provably shares a signature (equal → the full
+    * key; one substitution at i → both i-deletions coincide; one
+    * indel → the shorter string IS a deletion of the longer), so
+    * exploding this column gives a SUPERSET-exact candidate generator
+    * for dist ≤ 1 matching — the linear, bucketed replacement for
+    * fixed-cardinality blocking keys (r10; q_dedup_9_entity's plan,
+    * block sizes profiled by q_dedup_32_deletion_blocks). Shared by
+    * both so the operator pair cannot drift.
+    */
+  def deletionNeighborhood(name: Column): Column =
+    transform(sequence(lit(0), length(name)), i =>
+      when(i === 0, name).otherwise(
+        concat(name.substr(lit(1), i - 1),
+          name.substr(i + 1, length(name)))))
+
   /** [[shingles]] over an ALREADY-SPLIT token-array column — feed it a
     * materialized column when the caller scans many rows: the text form
     * re-evaluates the split per element access inside codegen, which

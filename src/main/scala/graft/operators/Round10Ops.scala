@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.Q
 import graft.sources.Tables
-import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Round-10 surface additions (SURVEY §2.11ca): the round's machinery
@@ -15,17 +14,6 @@ import org.apache.spark.sql.functions._
   * pick).
   */
 object Round10Ops {
-
-  /** Each name's deletion neighborhood: itself plus every
-    * single-character deletion (L+1 signatures). Mirrors
-    * q_dedup_9_entity's generator (Round3Ops.scala) — any
-    * Levenshtein ≤ 1 pair provably shares a signature.
-    */
-  private def delKeys(name: Column): Column =
-    transform(sequence(lit(0), length(name)), i =>
-      when(i === 0, name).otherwise(
-        concat(name.substr(lit(1), i - 1),
-          name.substr(i + 1, length(name)))))
 
   val all: Seq[Q] = Seq(
 
@@ -53,7 +41,7 @@ object Round10Ops {
       // keyed aggregates. Scale: linear in names, no pair is ever
       // materialized — the profile COUNTS pairs arithmetically.
       val sigs = Tables(s, d, "customer")
-        .select(col("c_custkey"), explode(delKeys(col("c_name"))).as("sig"))
+        .select(col("c_custkey"), explode(graft.functions.TextFunctions.deletionNeighborhood(col("c_name"))).as("sig"))
       val b = sigs.groupBy("sig").agg(count(lit(1)).as("bs"))
       b.groupBy("bs").agg(count(lit(1)).as("n_blocks"),
           sum(expr("bs * (bs - 1) div 2")).cast("long").as("n_pairs"))

@@ -489,11 +489,10 @@ object Round3Ops {
       // the SEMANTIC ground truth (all-pairs dist ≤ 1), structurally
       // independent of the blocking.
       val c = Tables(s, d, "customer")
+      // shared generator: graft.functions.TextFunctions.deletionNeighborhood
+      // (q_dedup_32_deletion_blocks profiles exactly these blocks)
       def delKeys(name: Column): Column =
-        transform(sequence(lit(0), length(name)), i =>
-          when(i === 0, name).otherwise(
-            concat(name.substr(lit(1), i - 1),
-              name.substr(i + 1, length(name)))))
+        graft.functions.TextFunctions.deletionNeighborhood(name)
       val v2 = c.select((col("c_custkey") + 1000000L).as("id2"),
         when(col("c_custkey") % 7 === 0, regexp_replace(col("c_name"), "#", "-"))
           .otherwise(col("c_name")).as("name2"))
