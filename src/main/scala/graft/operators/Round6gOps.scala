@@ -75,7 +75,8 @@ object Round6gOps {
     // are the trustworthy ones); a low mutual share flags asymmetric
     // neighborhoods — exactly what hubness produces.
     Q("q_sim_36_mutual_knn",
-      s"""WITH v AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 4 = 0),
+      s"""WITH v AS (SELECT vec_id, label, embedding FROM embeddings
+         |           WHERE vec_id % 4 = 0 AND vec_id < 2000),
          |nn AS (SELECT a.vec_id AS src, a.label AS lab, b.vec_id AS dst,
          |  row_number() OVER (PARTITION BY a.vec_id
          |    ORDER BY ${Duck.cosine("a.embedding", "b.embedding")} DESC, b.vec_id) AS rk
@@ -87,11 +88,17 @@ object Round6gOps {
          |   / count(*) * 1000000 + 0.5) / 1000000 AS mutual_share
          |FROM top t LEFT JOIN top m ON t.src = m.dst AND t.dst = m.src
          |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-      // Same pair machinery as q_sim_35; the reciprocity test is a
-      // self-join of the top-5 edge set on the swapped key — edge-set
-      // sized (5n rows), broadcastable at any corpus scale.
+      // Same pair machinery as q_sim_35 INCLUDING its vec_id < 2000
+      // cap (r11: the checkpoint-capture lint showed this query had
+      // q_sim_35's pair join without its r10 bound — ≤500 vectors at
+      // any SF; the cap binds nothing at the shipped fixtures). The
+      // reciprocity test is a self-join of the top-5 edge set on the
+      // swapped key — edge-set sized (5n rows), broadcastable at any
+      // corpus scale; the kNN graph itself at scale comes from LSH/IVF
+      // candidates, not this brute-force eval slice.
       VectorExpressions.register(s)
-      val v = Tables(s, d, "embeddings").filter(col("vec_id") % 4 === 0)
+      val v = Tables(s, d, "embeddings")
+        .filter(col("vec_id") % 4 === 0 && col("vec_id") < 2000)
         .select(col("vec_id"), col("label"), col("embedding"))
       val pairs = v.as("a").join(broadcast(v.as("b")),
           col("a.vec_id") =!= col("b.vec_id"))

@@ -4,7 +4,6 @@ import graft.Q
 import graft.functions.Num
 import graft.sources.Tables
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-7 continuation (SURVEY §2.11be): graph-structure additions —
@@ -65,17 +64,17 @@ object Round7eOps {
          |   / (CAST(ea.e2 AS DOUBLE) / (n.n * (n.n - 1))) * 10000 + 0.5) / 10000 AS rich_club_ratio
          |FROM n, nh, eh, ea""".stripMargin) { (s, d) =>
       // Degree table once, hub set as a broadcast semi-join on BOTH
-      // endpoints; densities divide exact directed-edge counts. At
-      // scale the decile threshold comes from approx_percentile over
-      // the degree table instead of a global rank window.
+      // endpoints; densities divide exact directed-edge counts. The
+      // hub pick is the range-partitioned exactGlobalRankBy — the
+      // degree table is entity-scaled, so a global rank window would
+      // plan Exchange SinglePartition over it (the r10-verdict shape).
       val b = bidirSampled(Tables(s, d, "lineitem"), 20).localCheckpoint()
       val deg = b.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
         .localCheckpoint()
       val n = deg.count()
       val nHubs = math.max(n / 10, 2L)
-      val hubs = deg
-        .select(col("node"), row_number()
-          .over(Window.orderBy(col("deg").desc, col("node"))).as("rn"))
+      val hubs = graft.api.Pipelines.exactGlobalRankBy(
+          deg, Seq(col("deg").desc, col("node")), "rn")
         .filter(col("rn") <= nHubs).select("node").localCheckpoint()
       val e2 = b.count()
       val eh2 = b.join(broadcast(hubs), b("src") === hubs("node"), "left_semi")
@@ -140,9 +139,9 @@ object Round7eOps {
       val nodes = b.select(col("src").as("node")).distinct().localCheckpoint()
       val n = nodes.count()
       val nHubs = math.max(n / 100, 1L)
-      val hubs = b.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-        .select(col("node"), row_number()
-          .over(Window.orderBy(col("deg").desc, col("node"))).as("rn"))
+      val hubs = graft.api.Pipelines.exactGlobalRankBy(
+          b.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")),
+          Seq(col("deg").desc, col("node")), "rn")
         .filter(col("rn") <= nHubs).select("node").localCheckpoint()
       def summarize(tag: String, ns: DataFrame, es: DataFrame): DataFrame = {
         val cc = graft.api.Pipelines.connectedComponents(ns, "node", es, "src", "dst")

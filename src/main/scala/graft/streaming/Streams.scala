@@ -1030,4 +1030,140 @@ object Streams {
           sum(when(col("last_day") <= col("maxd") - 7, 1L).otherwise(0L)).cast("double")
             / count(lit(1)), 6).as("churn_7d_rate"))
   }
+
+  // ── streaming twins, tranche 4 (round 11) ───────────────────────────
+
+  /** Batch finisher — EXACTLY the q_stream_43_conc_profile tail off the
+    * streamed session spans ([[sessionSpans]], the same core as the
+    * q_stream_22 twin): boundaries collapse to DISTINCT timestamps (net
+    * delta per µs), the running level is the range-partitioned
+    * prefixSum, interval lengths come from the exactGlobalRank rank+1
+    * self-join (never a one-task lead window), and the level histogram
+    * is bounded by max concurrency. The streaming core carries the
+    * session state; this tail is a pure function of the settled spans.
+    */
+  def concProfileFinish(sess0: DataFrame): DataFrame = {
+    val sess = sess0.localCheckpoint()
+    val pts = sess.select(col("st").as("t"), lit(1L).as("delta"))
+      .union(sess.select((col("en") + 1).as("t"), lit(-1L).as("delta")))
+    val net = pts.groupBy("t").agg(sum("delta").as("net"))
+    val run = graft.api.Pipelines.prefixSum(net, Seq("t"), "net", "conc")
+    val (_, rk) = graft.api.Pipelines.exactGlobalRankByN(run, Seq(col("t")), "rk")
+    val nxt = rk.select((col("rk") - 1).as("rk"), col("t").as("tn"))
+    val lv = rk.join(nxt, "rk")
+      .groupBy("conc").agg(sum(col("tn") - col("t")).as("total_us"))
+    val tot = lv.agg(sum("total_us").as("w"))
+    lv.crossJoin(broadcast(tot))
+      .select(col("conc").cast("long").as("concurrency"),
+        col("total_us").cast("long").as("total_us"),
+        (floor(col("total_us").cast("double") / col("w") * 1000000 + 0.5) / 1000000)
+          .as("share"))
+      .orderBy("concurrency")
+  }
+
+  /** Streaming OHLC resampling — twin of q_time_3_ohlc: 6h tumbling
+    * bars per event type with open/close as `min_by`/`max_by` over the
+    * (ts, event_id) total order. min_by/max_by are DECLARATIVE
+    * aggregates (mergeable (value, key) state), so they combine across
+    * micro-batches into exactly the rows the batch query's rn_a=1/rn_d=1
+    * rank picks select — the fixture guarantees the tie-break key is
+    * unique, so both forms are deterministic.
+    */
+  def ohlcBars(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("event_type"), window(col("ts"), "6 hours"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open_raw"),
+        max("value").as("high_raw"), min("value").as("low_raw"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close_raw"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"), col("window.start").as("bar"),
+        col("open_raw"), col("high_raw"), col("low_raw"), col("close_raw"), col("n"))
+
+  /** Presentation tail for [[ohlcBars]] — q_time_3's rounding + order. */
+  def ohlcFinish(bars: DataFrame): DataFrame =
+    bars.select(col("event_type"), col("bar"),
+        round(col("open_raw"), 2).as("open"), round(col("high_raw"), 2).as("high"),
+        round(col("low_raw"), 2).as("low"), round(col("close_raw"), 2).as("close"),
+        col("n"))
+      .orderBy("event_type", "bar")
+
+  final case class AnomEvent(user_id: Long, ts: java.sql.Timestamp,
+      ts_us: Long, event_id: Long, vc: Long)
+  final case class AnomFlag(user_id: Long, event_id: Long, vc: Long, s: Long, n: Long)
+
+  /** INCREMENTAL rolling 3σ anomaly screen — the streaming twin of
+    * q_dq_10_rolling_anomaly's 20-row sliding window. State per user =
+    * the ring of the last ≤20 FINALIZED cent values (the batch frame
+    * `ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING`) plus the buffer of
+    * events still above the watermark; each micro-batch merges its
+    * events in (ts, event_id) order and finalizes the below-watermark
+    * prefix — a future event has ts ≥ watermark, so it can never sort
+    * into the finalized stream and every flag decision sees exactly the
+    * 20-row history the batch window sees. The σ test is the same
+    * division-free integer form, so the flagged row SET is identical.
+    *
+    * Scale note: one shuffle on user_id; state is a bounded 20-long
+    * ring + the watermark-delay buffer per key, evicted after
+    * `idleTtlMinutes` of event-time inactivity (the
+    * [[transitionsStream]] TTL discipline — an evicted key restarts
+    * its history cold, trading a warm-up window for bounded state).
+    */
+  def rollingAnomalyStream(events: DataFrame,
+      delay: String = "10 minutes",
+      idleTtlMinutes: Long = 60): org.apache.spark.sql.Dataset[AnomFlag] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    val ds = events.withWatermark("ts", delay)
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+      .as[AnomEvent]
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Seq[Long], Seq[(Long, Long, Long)]), AnomFlag](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, events: Iterator[AnomEvent],
+         state: GroupState[(Seq[Long], Seq[(Long, Long, Long)])]) =>
+          val (ring0, buf0) = state.getOption.getOrElse((Seq.empty, Seq.empty))
+          val incoming = events.map(e => (e.ts_us, e.event_id, e.vc)).toList
+          val buf = (buf0 ++ incoming).sortBy(e => (e._1, e._2))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (done, open) = buf.partition(_._1 < wmUs)
+          val out = scala.collection.mutable.ArrayBuffer.empty[AnomFlag]
+          var ring = ring0.toVector
+          done.foreach { case (_, eid, vc) =>
+            val n = ring.length.toLong
+            if (n >= 10) {
+              val s = ring.sum
+              val sq = ring.map(v => v * v).sum
+              // cents ≤ ~10^6, n ≤ 20 ⇒ every term < 2^63 (same bound
+              // argument as the batch integer test)
+              if ((n * vc - s) * (n * vc - s) * (n - 1) > 9L * n * (n * sq - s * s))
+                out += AnomFlag(user, eid, vc, s, n)
+            }
+            ring = (ring :+ vc).takeRight(20)
+          }
+          val idleExpired = state.hasTimedOut && incoming.isEmpty && open.isEmpty
+          if (open.isEmpty && (ring.isEmpty || idleExpired)) state.remove()
+          else {
+            state.update((ring, open))
+            if (open.nonEmpty)
+              state.setTimeoutTimestamp(
+                math.max(state.getCurrentWatermarkMs() + 1L, open.head._1 / 1000L + 1L))
+            else
+              state.setTimeoutTimestamp(
+                state.getCurrentWatermarkMs() + idleTtlMinutes * 60000L)
+          }
+          out.iterator
+      }
+  }
+
+  /** Presentation tail for [[rollingAnomalyStream]] — q_dq_10's
+    * derived columns and total order off the raw (vc, s, n) flags.
+    */
+  def rollingAnomalyFinish(flags: DataFrame): DataFrame =
+    flags.select(col("event_id"), col("user_id"),
+        round(col("vc").cast("double") / 100, 2).as("value"),
+        round(col("s").cast("double") / col("n") / 100, 2).as("mu"))
+      .orderBy("user_id", "event_id")
 }

@@ -58,6 +58,10 @@ object PlanLint {
     case f: FilterExec => feedingExchange(f.child)
     case w: WindowExec => feedingExchange(w.child)
     case w: WindowGroupLimitExec => feedingExchange(w.child)
+    // EXECUTED plans (captured checkpoint actions) carry per-stage
+    // codegen wrappers that planned-only trees lack (r11)
+    case w: WholeStageCodegenExec => feedingExchange(w.child)
+    case i: InputAdapter => feedingExchange(i.child)
     case _ => None
   }
 
@@ -111,6 +115,22 @@ object PlanLint {
     case other => other
   }
 
+  /** Inline AQE's leaf wrappers so the rules can see through them.
+    * A PLANNED query's tree is plain Exchange/Sort/Window nodes — but a
+    * captured EXECUTED plan (a checkpoint action) has materialized
+    * `QueryStageExec` leaves whose sub-plans `collect` never enters, so
+    * an offending window below the first shuffle would be invisible.
+    * Recursion handles nested stages; `ReusedExchangeExec` re-inlines
+    * the original exchange (dedup keeps a reused offender to one hit).
+    */
+  private def expandStages(p: SparkPlan): SparkPlan = p.transformUp {
+    case a: AdaptiveSparkPlanExec => expandStages(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      expandStages(q.plan)
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+      expandStages(r.child)
+  }
+
   /** Nodes that may sit ABOVE a final presentation sort without making
     * it "feed computation": projections, codegen plumbing, and row
     * emission. Anything else consuming a global sort's output means
@@ -131,10 +151,18 @@ object PlanLint {
     }
 
   /** All offending nodes in one query's plan as (rule, description)
-    * pairs (empty = clean).
+    * pairs (empty = clean). Round 11: also walks subquery plans
+    * (`subqueriesAll`) — a scalar/IN-subquery's global sort or
+    * cartesian join was previously invisible because the rules only
+    * traversed children.
     */
   def offenders(plan: SparkPlan): Seq[(String, String)] = {
-    val root = unwrap(plan)
+    val top = expandStages(unwrap(plan))
+    (top +: top.subqueriesAll.map(p => expandStages(unwrap(p))))
+      .distinct.flatMap(offendersOne)
+  }
+
+  private def offendersOne(root: SparkPlan): Seq[(String, String)] = {
 
     val window1p = root.collect {
       case w: WindowExec =>
@@ -176,6 +204,62 @@ object PlanLint {
     window1p ++ xjoin ++ globalsort
   }
 
+  /** Round 11: the localCheckpoint blind spot. An eager
+    * `df.localCheckpoint()` EXECUTES its sub-plan at Q-construction
+    * time and hands the rest of the query a materialized scan — so the
+    * final plan the lint walks never contains the checkpointed
+    * sub-plan, and a single-partition window hidden below a checkpoint
+    * (the r10-verdict q_graph_21/22 shape) reports 0 hits. Every
+    * Dataset action — localCheckpoint included — fires
+    * `QueryExecutionListener.onSuccess` with its own QueryExecution,
+    * so a capturing listener sees exactly the plans the final plan
+    * hides, with no change to the 200+ checkpoint call sites.
+    *
+    * Delivery is async (the shared listener bus), so each query's
+    * drain first waits for bus quiescence via
+    * `LiveListenerBus.waitUntilEmpty` (private[spark] ⇒ public in
+    * bytecode ⇒ reachable by reflection).
+    */
+  private val captured =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, SparkPlan)]()
+
+  private final class CapturingListener
+      extends org.apache.spark.sql.util.QueryExecutionListener {
+    override def onSuccess(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+      captured.add(funcName -> qe.executedPlan)
+    override def onFailure(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+  }
+
+  private def waitForListenerBus(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val sc = spark.sparkContext
+    val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+    bus.getClass.getMethod("waitUntilEmpty", java.lang.Long.TYPE)
+      .invoke(bus, java.lang.Long.valueOf(60000L))
+  }
+
+  /** Lint one query INCLUDING the plans of any actions (checkpoints,
+    * counts, collects) it executes while being constructed. Returns
+    * deduplicated (rule, description) hits; descriptions of hits found
+    * only in an action's plan are tagged with the action name.
+    */
+  def offendersWithActions(spark: org.apache.spark.sql.SparkSession,
+      build: => org.apache.spark.sql.DataFrame): Seq[(String, String)] = {
+    val listener = new CapturingListener
+    spark.listenerManager.register(listener)
+    try {
+      captured.clear()
+      val finalHits = offenders(build.queryExecution.executedPlan)
+      waitForListenerBus(spark)
+      val actionHits = Iterator.continually(captured.poll()).takeWhile(_ != null)
+        .flatMap { case (fn, p) =>
+          offenders(p).map { case (rule, desc) => rule -> s"[in $fn action] $desc" }
+        }.toSeq
+      (finalHits ++ actionHits).distinct
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val waiversFile = args.lift(1).getOrElse("tools/plan_lint_waivers.txt")
@@ -198,7 +282,7 @@ object PlanLint {
     var planned = 0
     for (q <- graft.Registry.all) {
       val hits =
-        try offenders(q.fn(spark, sfDir).queryExecution.executedPlan)
+        try offendersWithActions(spark, q.fn(spark, sfDir))
         catch { case e: Throwable =>
           Seq("planning" -> s"PLANNING FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
         }

@@ -17,16 +17,25 @@ import org.apache.spark.sql.SparkSession
   * from one point can't squeeze the next (the r9 drift lesson).
   *
   * Usage:
-  *   graft.tools.ScaleBench3 <q1,q2,...> <dir0:f0> <dir1:f1> [dir2:f2 ...]
+  *   graft.tools.ScaleBench3 [--solo] <q1,q2,...> <dir0:f0> <dir1:f1> [dir2:f2 ...]
   * e.g.
   *   graft.tools.ScaleBench3 q_dedup_9_entity,q_graph_14_bipartite \
   *     /root/testdata/sf0.1:1 /tmp/graft_sf1:10 /tmp/graft_sf3:30
+  *
+  * `--solo` (round 11, VERDICT r10 item 6): re-exec each query in its
+  * OWN child JVM (inheriting this JVM's --add-opens/-XX:/-Xmx flags
+  * and environment) so one query's JIT state, block-manager residue,
+  * or GC pressure cannot pollute another's floor — the mechanized
+  * form of the PERF protocol's "solo minima" note.
   */
 object ScaleBench3 {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 3, "usage: ScaleBench3 <q1,q2,...> <dir:factor> <dir:factor> [...]")
-    val names = args(0).split(",").toSeq
-    val points = args.drop(1).toSeq.map { a =>
+    val solo = args.contains("--solo")
+    val rest = args.filterNot(_ == "--solo")
+    require(rest.length >= 3, "usage: ScaleBench3 [--solo] <q1,q2,...> <dir:factor> <dir:factor> [...]")
+    val names = rest(0).split(",").toSeq
+    if (solo) { runSolo(names, rest.drop(1).toSeq); return }
+    val points = rest.drop(1).toSeq.map { a =>
       val Array(dir, f) = a.split(":"); (dir, f.toDouble)
     }
     val spark = SparkSession.builder()
@@ -79,20 +88,32 @@ object ScaleBench3 {
     println("|---|" + points.map(_ => "---|").mkString + "---|---|")
     var bad = List.empty[String]
     for (n <- names) {
+      // (input factor, work axis, wall s); work = input factor unless
+      // the query is output-bound, in which case the probe's failure is
+      // LOUD (r10 ADVICE: a silent fallback mixes per-output and
+      // per-input axes in one fit and can mask real superlinearity)
       val ts = points.map { case (dir, f) =>
         val work =
           if (outputBound.contains(n))
-            try workUnits(n, dir) catch { case _: Throwable => f }
+            try workUnits(n, dir) catch { case e: Throwable =>
+              println(s"WARN $n @ $dir: work-units probe threw " +
+                s"${e.getClass.getSimpleName} — substituting the INPUT factor; " +
+                "this row's exponent mixes axes, re-run before trusting it")
+              f
+            }
           else f
-        (work, try time(n, dir) catch { case _: Throwable => -1.0 })
+        (f, work, try time(n, dir) catch { case _: Throwable => -1.0 })
       }
-      val ok = ts.filter(_._2 > 0)
-      val pairwise = ok.sliding(2).collect { case Seq((f0, t0), (f1, t1)) =>
-        math.log(t1 / t0) / math.log(f1 / f0)
+      val ok = ts.filter(_._3 > 0)
+      // label each pairwise exponent with the ACTUAL input-factor pair
+      // it spans (r10 ADVICE: when a middle point fails, an unlabeled
+      // sequence silently reads 1x->30x as an adjacent step)
+      val pairwise = ok.sliding(2).collect { case Seq((if0, f0, t0), (if1, f1, t1)) =>
+        (if0, if1, math.log(t1 / t0) / math.log(f1 / f0))
       }.toSeq
-      // least-squares slope of log t over log f across all points
-      val xs = ok.map { case (f, _) => math.log(f) }
-      val ys = ok.map { case (_, t) => math.log(t) }
+      // least-squares slope of log t over log work across OK points
+      val xs = ok.map { case (_, f, _) => math.log(f) }
+      val ys = ok.map { case (_, _, t) => math.log(t) }
       val nP = xs.length
       val slope =
         if (nP >= 2) {
@@ -101,18 +122,57 @@ object ScaleBench3 {
           val den = xs.map(x => (x - mx) * (x - mx)).sum
           num / den
         } else Double.NaN
-      val tCols = ts.map { case (_, t) => f"$t%.2f" }.mkString(" | ")
-      val pw = pairwise.map(e => f"$e%.2f").mkString(" / ")
+      val tCols = ts.map { case (_, _, t) =>
+        if (t > 0) f"$t%.2f" else "FAIL" }.mkString(" | ")
+      val pw = pairwise.map { case (a, b, e) => f"$a%.0f→$b%.0fx $e%.2f" }.mkString(" / ")
       val tag = if (outputBound.contains(n))
-        f" (per-output, work ×${ts.last._1 / ts.head._1}%.0f)" else ""
+        f" (per-output, work ×${ts.last._2 / ts.head._2}%.0f)" else ""
       println(f"| $n$tag | $tCols | $pw | $slope%.2f |")
       // the last pairwise step is the discriminator: a small-constant
       // quadratic shows its true slope only once n² dominates
-      if (pairwise.nonEmpty && pairwise.last > 1.15) bad ::= n
+      if (pairwise.nonEmpty && pairwise.last._3 > 1.15) bad ::= n
       if (!slope.isNaN && slope > 1.15) bad ::= n
+      if (ok.length < ts.length) bad ::= n // a failed point is never a pass
     }
     println(s"SCALE_SUPERLINEAR ${bad.distinct.sorted.mkString(",")}")
     graft.sources.SampledEdges.clear()
     spark.stop()
+  }
+
+  /** One child JVM per query: same classpath, the parent's
+    * --add-opens/--add-exports/-XX:/-Xmx/-Xss flags, inherited
+    * environment (so SPARK_GRAFT_* knobs propagate). Child rows are
+    * relayed verbatim; the final SCALE_SUPERLINEAR line is the union
+    * of the children's, plus any child that exits non-zero.
+    */
+  private def runSolo(names: Seq[String], pointArgs: Seq[String]): Unit = {
+    import scala.jdk.CollectionConverters._
+    val inherited = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.filter(a =>
+        a.startsWith("--add-opens") || a.startsWith("--add-exports") ||
+        a.startsWith("-XX:") || a.startsWith("-Xmx") || a.startsWith("-Xss"))
+      .toSeq
+    val javaBin = new java.io.File(new java.io.File(
+      System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+    var bad = List.empty[String]
+    for (n <- names) {
+      println(s"SOLO $n")
+      val cmd = Seq(javaBin) ++ inherited ++
+        Seq("-cp", System.getProperty("java.class.path"),
+          "graft.tools.ScaleBench3", n) ++ pointArgs
+      val proc = new ProcessBuilder(cmd.asJava).redirectErrorStream(true).start()
+      val out = scala.io.Source.fromInputStream(proc.getInputStream, "UTF-8")
+        .getLines().toList
+      val code = proc.waitFor()
+      for (l <- out if !l.startsWith("SCALE_SUPERLINEAR")) println(s"  $l")
+      out.reverseIterator.find(_.startsWith("SCALE_SUPERLINEAR")) match {
+        case Some(l) =>
+          bad :::= l.stripPrefix("SCALE_SUPERLINEAR").trim
+            .split(",").toList.filter(_.nonEmpty)
+        case None => bad ::= n // child died before verdict
+      }
+      if (code != 0) { println(s"  CHILD EXIT $code"); bad ::= n }
+    }
+    println(s"SCALE_SUPERLINEAR ${bad.distinct.sorted.mkString(",")}")
   }
 }

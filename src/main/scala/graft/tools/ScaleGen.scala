@@ -55,6 +55,18 @@ object ScaleGen {
       "doc" -> span(tbl("documents"), "doc_id"),
       "vec" -> span(tbl("embeddings"), "vec_id"))
 
+    // lpad TRUNCATES past the target width (r10 ADVICE): a shifted
+    // key >= 1e9 would lose digits in the rebuilt Customer#/Supplier#
+    // names below, silently COLLIDING distinct entities — the exact
+    // artifact class the name rebuild exists to prevent. Fail loudly
+    // at the factor where the 9-digit TPC-H name rule stops fitting.
+    for ((dom, nm) <- Seq("cust" -> "c_custkey", "supp" -> "s_suppkey")) {
+      val maxShifted = spans(dom) - 1 + (factor - 1).toLong * spans(dom)
+      require(maxShifted < 1000000000L,
+        s"$nm at factor $factor reaches $maxShifted — exceeds the 9-digit " +
+          "TPC-H name pad; widen the pad (and the oracle) before scaling this far")
+    }
+
     // per-table: (column -> key-domain) remappings; absent = copy as-is
     val remap: Map[String, Map[String, String]] = Map(
       "region" -> Map(),

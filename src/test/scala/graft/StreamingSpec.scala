@@ -604,6 +604,64 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streamed session spans + time-weighted finisher match q_stream_43_conc_profile") {
+    val q = Streams.toMemorySink(
+      Streams.sessionSpans(Streams.eventStream(spark, inputDir)),
+      "stream_spans_prof", complete = true).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = Streams.concProfileFinish(spark.table("stream_spans_prof"))
+      .collect().map(_.toSeq).toSeq
+    val batch = Registry.byName("q_stream_43_conc_profile").fn(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
+  test("streamed min_by/max_by OHLC bars match q_time_3_ohlc") {
+    val q = Streams.toMemorySink(
+      Streams.ohlcBars(Streams.eventStream(spark, inputDir)),
+      "stream_ohlc", complete = true).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = Streams.ohlcFinish(spark.table("stream_ohlc"))
+      .collect().map(_.toSeq).toSeq
+    val batch = Registry.byName("q_time_3_ohlc").fn(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
+  test("incremental rolling 3-sigma screen matches q_dq_10_rolling_anomaly once the watermark clears") {
+    import org.apache.spark.sql.Row
+    // own input dir — the sentinel rows that advance the watermark must
+    // not pollute the shared-stream tests
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_anom").toString
+    Streams.prepareStreamInput(spark, sf, dir)
+    val real = spark.read.parquet(dir)
+    val maxTsMs = real.agg(max(unix_millis(col("ts")))).collect()(0).getLong(0)
+    def appendSentinel(eventId: Long, tsMs: Long): Unit =
+      spark.createDataFrame(
+        java.util.Arrays.asList(Row(eventId, new java.sql.Timestamp(tsMs), -1L, "sentinel", 0.0)),
+        Streams.eventSchema).write.mode("append").parquet(dir)
+
+    val q = Streams.rollingAnomalyStream(Streams.eventStream(spark, dir)).toDF()
+      .writeStream.format("memory").queryName("stream_anom")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable() // watermark still 0 — everything buffered
+      appendSentinel(-1L, maxTsMs + 3600000L)
+      q.processAllAvailable() // watermark = max(real) - delay
+      appendSentinel(-2L, maxTsMs + 7200000L)
+      q.processAllAvailable() // watermark > max(real): every row finalizes
+      appendSentinel(-3L, maxTsMs + 10800000L)
+      q.processAllAvailable() // fire timeouts registered during the prior batch
+    } finally q.stop()
+
+    val streamed = Streams.rollingAnomalyFinish(
+        spark.table("stream_anom").filter(col("user_id") >= 0))
+      .collect().map(_.toSeq).toSeq
+    val batch = Registry.byName("q_dq_10_rolling_anomaly").fn(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streamed purchase activity + lifecycle finisher match q_stream_23_lifecycle") {
     val q = Streams.toMemorySink(
       Streams.activityStream(

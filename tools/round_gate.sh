@@ -37,4 +37,22 @@ SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 java $ADD_OPENS -XX:ReservedCodeCacheSiz
   graft.Bench 2>&1 | grep -E '^BENCH|^\{' | tail -3
 python3 tools/bench_diff.py --gate HEAD bench_out.json
 
+# Gate artifacts must be COMMITTED with the gate (r11, VERDICT r10 item
+# 4): a dirty bench_out.json left in the tree makes next round's
+# `bench_diff --gate HEAD` compare against the wrong floor, and a dirty
+# LEAKCHECK.json misreports the leak state the gate certified. The gate
+# just regenerated bench_out.json above, so by construction it is dirty
+# NOW — the check is that the FINAL round commit stages them; refuse to
+# declare the gate green unless the caller will commit them (we stage
+# them here so the round commit cannot silently drop them).
+for f in bench_out.json LEAKCHECK.json; do
+  if [ -f "$f" ] && ! git diff --quiet -- "$f"; then
+    git add "$f"
+    echo "GATE: staged dirty $f for the round commit"
+  fi
+done
+if ! git diff --cached --quiet -- bench_out.json LEAKCHECK.json 2>/dev/null; then
+  echo "GATE: bench_out.json/LEAKCHECK.json are STAGED — include them in the round commit"
+fi
+
 echo "ROUND GATE GREEN"
