@@ -99,7 +99,8 @@ object Registry {
       Round7wOps.all ++
       Round8Ops.all ++
       Round9Ops.all ++
-      Round10Ops.all
+      Round10Ops.all ++
+      Round11Ops.all
 
   // Uniqueness invariants, enforced at first use so EVERY entry point
   // (Verify, Bench, tests, lints, the gate) trips on a violation — the

@@ -21,11 +21,11 @@ object Round7eOps {
   import Round2Ops.handoffEdges
 
   /** Sampled symmetrized distinct handoff edges + its DuckDB mirror. */
-  private def bidirSampled(li: DataFrame, mod: Int): DataFrame = {
+  private[operators] def bidirSampled(li: DataFrame, mod: Int): DataFrame = {
     val e = handoffEdges(li.filter(col("l_orderkey") % mod === 0)).distinct()
     e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
   }
-  private def duckBidir(mod: Int): String =
+  private[operators] def duckBidir(mod: Int): String =
     s"""SELECT src, dst FROM (
        | SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
        | FROM lineitem a JOIN lineitem b

@@ -41,7 +41,7 @@ object TextOps {
     * MinHash(16) signatures for doc_id<100, split into 4 bands × 4 rows,
     * each band keyed by an md5 digest. Mirror of `lshBandKeys` below.
     */
-  private val duckLshBands: String =
+  private[operators] val duckLshBands: String =
     s"""sigs AS (
        | SELECT doc_id, $duckMinhashSig AS sig
        | FROM documents WHERE doc_id < 100),
@@ -54,7 +54,7 @@ object TextOps {
     * are near-dup candidates. Per-row computation (no shuffle) — the
     * band-key groupBy/join that consumers do is the only shuffle.
     */
-  private def lshBandKeys(docs: DataFrame): DataFrame =
+  private[operators] def lshBandKeys(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), minhashSignature(col("text"), 16).as("sig"))
       .select(col("doc_id"), explode(sequence(lit(0L), lit(3L))).as("j"), col("sig"))
       .select(col("doc_id"), col("j"),
