@@ -25,13 +25,19 @@ import org.apache.spark.sql.functions._
   *
   * The derived fixture lands OUTSIDE the read-only /root/testdata
   * (default /tmp/graft_sf1). Usage:
-  *   graft.tools.ScaleGen [srcDir] [outDir] [factor]
+  *   graft.tools.ScaleGen [srcDir] [outDir] [factor] [tables]
+  * `tables` (r11): optional comma-list restricting which tables are
+  * written — a factor-100 DOCUMENTS-ONLY fixture for the q_mm fourth
+  * scale point costs seconds instead of replicating the whole
+  * warehouse (queries against a partial fixture must only touch the
+  * written tables).
   */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/tmp/graft_sf1")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val only: Option[Set[String]] = args.lift(3).map(_.split(",").toSet)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -81,7 +87,7 @@ object ScaleGen {
       "documents" -> Map("doc_id" -> "doc"),
       "embeddings" -> Map("vec_id" -> "vec"))
 
-    remap.foreach { case (name, keys) =>
+    remap.filter(t => only.forall(_.contains(t._1))).foreach { case (name, keys) =>
       val base = tbl(name)
       val scaled =
         if (keys.isEmpty) base
