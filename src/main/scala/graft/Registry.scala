@@ -100,7 +100,8 @@ object Registry {
       Round8Ops.all ++
       Round9Ops.all ++
       Round10Ops.all ++
-      Round11Ops.all
+      Round11Ops.all ++
+      Round11bOps.all
 
   // Uniqueness invariants, enforced at first use so EVERY entry point
   // (Verify, Bench, tests, lints, the gate) trips on a violation — the

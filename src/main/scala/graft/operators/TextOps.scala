@@ -34,7 +34,7 @@ object TextOps {
     s"list_transform(list_distinct(string_split(text, ' ')), t -> ${duckCharHash("t")})"
 
   /** DuckDB mirror of TextFunctions.minhashSignature(text, 16). */
-  private val duckMinhashSig: String =
+  private[operators] val duckMinhashSig: String =
     s"list_transform(range(0, 16), i -> list_min(list_transform($duckTokenHashes, h -> (h * (i * 2 + 3) + (i * 5 + 7)) % 1000000007)))"
 
   /** Shared CTE prefix (sigs + bands) of the LSH family oracles:

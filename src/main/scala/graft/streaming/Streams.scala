@@ -1081,6 +1081,27 @@ object Streams {
       .select(col("event_type"), col("window.start").as("bar"),
         col("open_raw"), col("high_raw"), col("low_raw"), col("close_raw"), col("n"))
 
+  /** Batch finisher — EXACTLY the q_time_30_bar_gaps tail off the
+    * streamed [[ohlcBars]] output: per-row cents off the raw
+    * open/close picks, then the previous-close → next-open lag over
+    * the calendar-bounded bar table. One streaming core, two batch
+    * readouts (OHLC bars and the gap series) — the twin pattern's
+    * fan-out case.
+    */
+  def barGapsFinish(bars: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wl = Window.partitionBy("event_type").orderBy("bar")
+    bars.select(col("event_type"), col("bar"),
+        floor(col("open_raw") * 100 + 0.5).cast("long").as("open_c"),
+        floor(col("close_raw") * 100 + 0.5).cast("long").as("close_c"))
+      .withColumn("prev_close", lag("close_c", 1).over(wl))
+      .filter(col("prev_close").isNotNull)
+      .select(col("event_type"), col("bar"),
+        (col("open_c") - col("prev_close")).as("gap_cents"),
+        ((col("open_c") - col("prev_close")).cast("double") / 100).as("gap"))
+      .orderBy("event_type", "bar")
+  }
+
   /** Presentation tail for [[ohlcBars]] — q_time_3's rounding + order. */
   def ohlcFinish(bars: DataFrame): DataFrame =
     bars.select(col("event_type"), col("bar"),

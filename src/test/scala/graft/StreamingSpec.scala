@@ -628,6 +628,18 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streamed OHLC bars + gap finisher match q_time_30_bar_gaps") {
+    val q = Streams.toMemorySink(
+      Streams.ohlcBars(Streams.eventStream(spark, inputDir)),
+      "stream_ohlc_gaps", complete = true).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = Streams.barGapsFinish(spark.table("stream_ohlc_gaps"))
+      .collect().map(_.toSeq).toSeq
+    val batch = Registry.byName("q_time_30_bar_gaps").fn(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("incremental rolling 3-sigma screen matches q_dq_10_rolling_anomaly once the watermark clears") {
     import org.apache.spark.sql.Row
     // own input dir — the sentinel rows that advance the watermark must
