@@ -95,19 +95,30 @@ object Pipelines {
     // edge set (min is deterministic), so goldens are unchanged.
     // large-star: for every node n, connect each strictly-larger
     // neighbor to min(Γ(n) ∪ {n}); emitted (v, m) keeps v > m
+    // SHUFFLE_HASH on the edges⋈mins join: both sides arrive
+    // partitioned on u (the groupBy's exchange is reused), the mins
+    // side is node-sized ≤ the edge side, and a sort-merge join would
+    // re-sort BOTH relations every round for nothing; AQE's skew
+    // splitter handles shuffled-hash joins the same as sort-merge.
+    // largeStar emits WITHOUT a distinct: its consumer is always
+    // smallStar, whose min-aggregate is duplicate-insensitive (the
+    // map-side combine collapses repeats before the wire) and whose
+    // own final distinct dedups the round's output — the intermediate
+    // dedup exchange bought nothing but a stage per round (r11; the
+    // fixpoint stats only ever read smallStar's deduped output, so
+    // convergence and results are byte-identical).
     def largeStar(es: DataFrame): DataFrame = {
       val nbrs = es.union(es.select(col("v").as("u"), col("u").as("v")))
       val mins = nbrs.groupBy("u").agg(least(min("v"), col("u")).as("m"))
-      nbrs.join(mins, "u")
+      nbrs.join(mins.hint("shuffle_hash"), "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
     }
     // small-star (input already oriented u > v): connect every smaller
     // neighbor AND the node itself to min(Γ(n)); orientation preserved
     def smallStar(es: DataFrame): DataFrame = {
       val mins = es.groupBy("u").agg(min("v").as("m"))
-      val withM = es.join(mins, "u")
+      val withM = es.join(mins.hint("shuffle_hash"), "u")
       withM.filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .union(withM.select(col("u"), col("m").as("v")))
