@@ -285,8 +285,12 @@ object Pipelines {
     * (silent non-convergence would return plausible-but-wrong ranks).
     *
     * At 100 TB: edges shuffle once at checkpoint time; ranks/outdeg are
-    * node-sized (≪ edges) and broadcast; each round is one shuffle on
-    * dst. The checkpoint is the difference between O(iters) and
+    * node-sized (≪ edges) but NOT force-broadcast — at 10⁸–10⁹ nodes a
+    * forced broadcast is a hard failure (8 GB cap / driver OOM), so the
+    * joins carry no hint and AQE picks broadcast vs shuffle from the
+    * measured post-checkpoint sizes; only the provably 1-row totals
+    * (node count, dangling mass) are hinted. Each round is one shuffle
+    * on dst. The checkpoint is the difference between O(iters) and
     * O(iters²) fact-table scans.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
@@ -309,7 +313,7 @@ object Pipelines {
       val dm = prev.join(outdeg, prev("node") === outdeg("__src"), "left_anti")
         .agg(coalesce(sum("rank"), lit(0.0)).as("__dm"))
       val contrib = e.join(prev, col("__src") === col("node"))
-        .join(broadcast(outdeg), Seq("__src"))
+        .join(outdeg, Seq("__src"))
         .groupBy(col("__dst")).agg(sum(col("rank") / col("__outdeg")).as("__inr"))
       rank = nodes.crossJoin(broadcast(nn)).crossJoin(broadcast(dm))
         .join(contrib, col("node") === col("__dst"), "left")
@@ -1230,15 +1234,17 @@ object Pipelines {
         .select(col("__n"),
           floor(col("__v").cast("double") / col("__tot") * 1000000 + 0.5).cast("long").as("__v"))
     }
+    // Score tables are node-scaled — never force-broadcast them (hard
+    // failure at 10⁸⁺ nodes); AQE picks broadcast vs shuffle per join.
     var hub = l1(e.groupBy(col("__src").as("__n")).agg(count(lit(1)).as("__v")))
-    var auth = l1(e.join(broadcast(hub), col("__src") === col("__n"))
+    var auth = l1(e.join(hub, col("__src") === col("__n"))
       .groupBy(col("__dst").as("__n2")).agg(sum("__v").as("__v"))
       .withColumnRenamed("__n2", "__n"))
     for (_ <- 2 to iters) {
-      hub = l1(e.join(broadcast(auth), col("__dst") === col("__n"))
+      hub = l1(e.join(auth, col("__dst") === col("__n"))
         .groupBy(col("__src").as("__n2")).agg(sum("__v").as("__v"))
         .withColumnRenamed("__n2", "__n")).localCheckpoint()
-      auth = l1(e.join(broadcast(hub), col("__src") === col("__n"))
+      auth = l1(e.join(hub, col("__src") === col("__n"))
         .groupBy(col("__dst").as("__n2")).agg(sum("__v").as("__v"))
         .withColumnRenamed("__n2", "__n")).localCheckpoint()
     }
@@ -1271,9 +1277,10 @@ object Pipelines {
         throw new IllegalStateException(s"kCore($k) did not converge in $maxIters peels")
       val keep = cur.groupBy(col("__src").as("__node")).agg(count(lit(1)).as("__dg"))
         .filter(col("__dg") >= k).select("__node")
+      // keep is node-scaled — no broadcast hint (AQE sizes the semi-joins)
       val next = cur
-        .join(broadcast(keep), col("__src") === col("__node"), "left_semi")
-        .join(broadcast(keep.withColumnRenamed("__node", "__node2")),
+        .join(keep, col("__src") === col("__node"), "left_semi")
+        .join(keep.withColumnRenamed("__node", "__node2"),
           col("__dst") === col("__node2"), "left_semi")
         .localCheckpoint()
       val n2 = next.count()

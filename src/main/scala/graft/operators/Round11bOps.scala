@@ -136,20 +136,23 @@ object Round11bOps {
         |g AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(vq) AS BIGINT) AS s, CAST(sum(vq * vq) AS BIGINT) AS sq FROM x GROUP BY 1),
         |v AS (SELECT dim, n,
-        |  CAST(floor((CAST(n AS DOUBLE) * sq - CAST(s AS DOUBLE) * s)
+        |  CAST(floor(CAST(CAST(n AS HUGEINT) * sq - CAST(s AS HUGEINT) * s AS DOUBLE)
         |    / (CAST(n AS DOUBLE) * n) / 100000000 * 1000000 + 0.5) AS BIGINT) AS var6 FROM g),
         |tot AS (SELECT CAST(sum(var6) AS BIGINT) AS tv FROM v)
         |SELECT CAST(dim AS BIGINT) AS dim, n AS n_vectors,
         | CAST(var6 AS DOUBLE) / 1000000 AS variance,
         | floor(CAST(var6 AS DOUBLE) / tot.tv * 1000000 + 0.5) / 1000000 AS variance_share
         |FROM v, tot ORDER BY dim""".stripMargin) { (s, d) =>
-      // Values quantize to a 1e-4 integer grid per element (fixture
-      // embeddings are O(1), so vq² ≤ ~3e7 and n·Σvq² stays deep
-      // inside Long through the 30× rehearsal); per-dim variance is
-      // the division-cleared (n·Σv² − (Σv)²)/n² over exact sums,
-      // quantized 1e-6 BEFORE the share division. posexplode is a
-      // per-row flatMap (64 rows per vector, map-side); one dim-keyed
-      // agg — 64 groups at any corpus size.
+      // Values quantize to a 1e-4 integer grid per element; the
+      // variance numerator n·Σvq² − (Σvq)² is computed EXACTLY in
+      // 128-bit integers (decimal(38,0) here, HUGEINT in the oracle —
+      // r11 ADVICE: in doubles it loses exactness past n·Σvq² ≈ 9e15,
+      // plausible at large corpora, leaving cross-engine agreement to
+      // IEEE op ordering). The single exact-int→double cast is
+      // correctly rounded on both engines, and the subsequent /n²
+      // and 1e-6 quantize are the same IEEE sequence both sides.
+      // posexplode is a per-row flatMap (64 rows per vector,
+      // map-side); one dim-keyed agg — 64 groups at any corpus size.
       val x = Tables(s, d, "embeddings")
         .select(posexplode(col("embedding")).as(Seq("dim", "v")))
         .select(col("dim").cast("long").as("dim"),
@@ -157,7 +160,8 @@ object Round11bOps {
       val g = x.groupBy("dim").agg(count(lit(1)).as("n"),
         sum("vq").as("s"), sum(col("vq") * col("vq")).as("sq"))
       val v = g.select(col("dim"), col("n"),
-        floor((col("n").cast("double") * col("sq") - col("s").cast("double") * col("s"))
+        floor((col("n").cast("decimal(38,0)") * col("sq")
+          - col("s").cast("decimal(38,0)") * col("s")).cast("double")
           / (col("n").cast("double") * col("n")) / 100000000L * 1000000L + 0.5)
           .cast("long").as("var6"))
       val tot = v.agg(sum("var6").as("tv"))

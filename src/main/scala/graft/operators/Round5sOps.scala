@@ -65,16 +65,18 @@ object Round5sOps {
          |ORDER BY round""".stripMargin) { (s, d) =>
       // Each peel is degree-filter → left_semi both endpoints — pure
       // integer set algebra, no floats anywhere. The bidir edge list
-      // checkpoints once; each round's survivor set is aggregate-sized
-      // (≤ |V|), so the three semi-joins broadcast at any scale.
+      // checkpoints once. The survivor set is node-scaled (≤ |V|), so
+      // the semi-joins carry NO broadcast hint: at 10⁸⁺ nodes a forced
+      // broadcast is a hard failure (8 GB cap / driver OOM), while AQE
+      // picks broadcast vs shuffle from the measured size at runtime.
       val b = bidir(Tables(s, d, "lineitem").filter(col("l_orderkey") % 100 === 0))
         .localCheckpoint()
       def peel(edges: DataFrame): (DataFrame, DataFrame) = {
         val keep = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("dg"))
           .filter(col("dg") >= 3).select("node")
         val e2 = edges
-          .join(broadcast(keep), col("src") === col("node"), "left_semi")
-          .join(broadcast(keep.withColumnRenamed("node", "node2")),
+          .join(keep, col("src") === col("node"), "left_semi")
+          .join(keep.withColumnRenamed("node", "node2"),
             col("dst") === col("node2"), "left_semi")
         (keep, e2)
       }
@@ -110,8 +112,11 @@ object Round5sOps {
          |ORDER BY a2n.v DESC, a2n.node LIMIT 10""".stripMargin) { (s, d) =>
       // Each half-step is one edge join + integer sum; the L1
       // normalization is int/int quantized 1e-6, so the next half-step
-      // consumes exact integers again. The edge list checkpoints once;
-      // score tables are |V|-sized broadcasts.
+      // consumes exact integers again. The edge list checkpoints once.
+      // Score tables are |V|-sized, so the half-step joins carry NO
+      // broadcast hint (a forced broadcast of a node-scaled table is a
+      // hard failure at 10⁸⁺ nodes; AQE sizes it at runtime). Only the
+      // 1-row L1 total is hinted.
       val e = handoffEdges(Tables(s, d, "lineitem")).distinct().localCheckpoint()
       def l1norm(df: DataFrame): DataFrame = {
         val tot = df.agg(sum("v").as("tot"))
@@ -120,13 +125,13 @@ object Round5sOps {
             floor(col("v").cast("double") / col("tot") * 1000000 + 0.5).cast("long").as("v"))
       }
       val h1 = l1norm(e.groupBy(col("src").as("node")).agg(count(lit(1)).as("v")))
-      val a1 = l1norm(e.join(broadcast(h1), col("src") === col("node"))
+      val a1 = l1norm(e.join(h1, col("src") === col("node"))
         .groupBy(col("dst").as("node2")).agg(sum("v").as("v"))
         .withColumnRenamed("node2", "node"))
-      val h2 = l1norm(e.join(broadcast(a1), col("dst") === col("node"))
+      val h2 = l1norm(e.join(a1, col("dst") === col("node"))
         .groupBy(col("src").as("node2")).agg(sum("v").as("v"))
         .withColumnRenamed("node2", "node"))
-      val a2 = l1norm(e.join(broadcast(h2), col("src") === col("node"))
+      val a2 = l1norm(e.join(h2, col("src") === col("node"))
         .groupBy(col("dst").as("node2")).agg(sum("v").as("v"))
         .withColumnRenamed("node2", "node"))
       a2.select(col("node"), col("v"))

@@ -119,7 +119,9 @@ object Round6hOps {
         .select(col("x.src").as("a"), col("y.src").as("bb"), col("x.dst").as("z"))
         .join(b.select(col("src").as("ea"), col("dst").as("eb")),
           col("a") === col("ea") && col("bb") === col("eb"), "left_anti")
-        .join(broadcast(w), col("z") === col("node"))
+        // w is node-scaled — no broadcast hint (forced broadcast fails
+        // at 10⁸⁺ nodes; AQE picks broadcast vs shuffle from its size)
+        .join(w, col("z") === col("node"))
         .groupBy("a", "bb")
         .agg(count(lit(1)).as("n_common"), sum("wz").as("score6"))
       // TakeOrdered top-20 over the candidate-pair table (which scales
@@ -164,12 +166,14 @@ object Round6hOps {
       val com = Tables(s, d, "supplier")
         .select(col("s_suppkey").as("node"), col("s_nationkey").as("c"))
       val m2 = b.agg(count(lit(1)).as("m2"))
+      // com is one row per node — never force-broadcast a node-scaled
+      // table (hard failure at 10⁸⁺ nodes); AQE sizes these joins.
       val within = b
-        .join(broadcast(com.select(col("node").as("na"), col("c").as("ca"))), col("src") === col("na"))
-        .join(broadcast(com.select(col("node").as("nb"), col("c").as("cb"))), col("dst") === col("nb"))
+        .join(com.select(col("node").as("na"), col("c").as("ca")), col("src") === col("na"))
+        .join(com.select(col("node").as("nb"), col("c").as("cb")), col("dst") === col("nb"))
         .filter(col("ca") === col("cb"))
         .groupBy(col("ca").as("c")).agg(count(lit(1)).as("dir_within"))
-      val degsum = b.join(broadcast(com), col("src") === col("node"))
+      val degsum = b.join(com, col("src") === col("node"))
         .groupBy("c").agg(count(lit(1)).as("deg_sum"))
       val nation = Tables(s, d, "nation")
         .select(col("n_nationkey"), col("n_name"))

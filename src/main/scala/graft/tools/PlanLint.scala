@@ -220,11 +220,13 @@ object PlanLint {
     * `LiveListenerBus.waitUntilEmpty` (private[spark] ⇒ public in
     * bytecode ⇒ reachable by reflection).
     */
-  private val captured =
-    new java.util.concurrent.ConcurrentLinkedQueue[(String, SparkPlan)]()
-
+  // Per-instance queue (r11 ADVICE): two concurrent offendersWithActions
+  // calls on one JVM (parallel test execution) each drain only their own
+  // listener's captures instead of cross-attributing via a global queue.
   private final class CapturingListener
       extends org.apache.spark.sql.util.QueryExecutionListener {
+    val captured =
+      new java.util.concurrent.ConcurrentLinkedQueue[(String, SparkPlan)]()
     override def onSuccess(funcName: String,
         qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
       captured.add(funcName -> qe.executedPlan)
@@ -233,10 +235,22 @@ object PlanLint {
   }
 
   private def waitForListenerBus(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val sc = spark.sparkContext
-    val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
-    bus.getClass.getMethod("waitUntilEmpty", java.lang.Long.TYPE)
-      .invoke(bus, java.lang.Long.valueOf(60000L))
+    // Reflects into private[spark] SparkContext.listenerBus /
+    // LiveListenerBus.waitUntilEmpty(long) — pinned to the Spark this
+    // repo builds against. If an upgrade renames either, fall back to a
+    // short sleep (r11 ADVICE): capture becomes best-effort-but-sound
+    // (a missed late delivery can only UNDER-report action hits for
+    // that run, never crash every lint run).
+    try {
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethod("waitUntilEmpty", java.lang.Long.TYPE)
+        .invoke(bus, java.lang.Long.valueOf(60000L))
+    } catch {
+      case _: NoSuchMethodException | _: IllegalAccessException |
+           _: java.lang.reflect.InvocationTargetException =>
+        Thread.sleep(2000L)
+    }
   }
 
   /** Lint one query INCLUDING the plans of any actions (checkpoints,
@@ -249,10 +263,9 @@ object PlanLint {
     val listener = new CapturingListener
     spark.listenerManager.register(listener)
     try {
-      captured.clear()
       val finalHits = offenders(build.queryExecution.executedPlan)
       waitForListenerBus(spark)
-      val actionHits = Iterator.continually(captured.poll()).takeWhile(_ != null)
+      val actionHits = Iterator.continually(listener.captured.poll()).takeWhile(_ != null)
         .flatMap { case (fn, p) =>
           offenders(p).map { case (rule, desc) => rule -> s"[in $fn action] $desc" }
         }.toSeq

@@ -51,27 +51,24 @@ object ScaleGen {
     def span(df: DataFrame, key: String): Long =
       df.agg(max(col(key))).head().getLong(0) + 1
 
-    val spans = Map(
-      "cust" -> span(tbl("customer"), "c_custkey"),
-      "supp" -> span(tbl("supplier"), "s_suppkey"),
-      "part" -> span(tbl("part"), "p_partkey"),
-      "ord" -> span(tbl("orders"), "o_orderkey"),
-      "ev" -> span(tbl("events"), "event_id"),
-      "user" -> span(tbl("events"), "user_id"),
-      "doc" -> span(tbl("documents"), "doc_id"),
-      "vec" -> span(tbl("embeddings"), "vec_id"))
-
-    // lpad TRUNCATES past the target width (r10 ADVICE): a shifted
-    // key >= 1e9 would lose digits in the rebuilt Customer#/Supplier#
-    // names below, silently COLLIDING distinct entities — the exact
-    // artifact class the name rebuild exists to prevent. Fail loudly
-    // at the factor where the 9-digit TPC-H name rule stops fitting.
-    for ((dom, nm) <- Seq("cust" -> "c_custkey", "supp" -> "s_suppkey")) {
-      val maxShifted = spans(dom) - 1 + (factor - 1).toLong * spans(dom)
-      require(maxShifted < 1000000000L,
-        s"$nm at factor $factor reaches $maxShifted — exceeds the 9-digit " +
-          "TPC-H name pad; widen the pad (and the oracle) before scaling this far")
-    }
+    // Key-domain spans are computed LAZILY and only for domains the
+    // selected tables actually remap (r11 ADVICE: a documents-only
+    // fixture must not scan — or be blocked by checks on — the seven
+    // source tables it never writes).
+    val spanSource = Map(
+      "cust" -> ("customer", "c_custkey"),
+      "supp" -> ("supplier", "s_suppkey"),
+      "part" -> ("part", "p_partkey"),
+      "ord" -> ("orders", "o_orderkey"),
+      "ev" -> ("events", "event_id"),
+      "user" -> ("events", "user_id"),
+      "doc" -> ("documents", "doc_id"),
+      "vec" -> ("embeddings", "vec_id"))
+    val spanCache = scala.collection.mutable.Map.empty[String, Long]
+    def spans(dom: String): Long = spanCache.getOrElseUpdate(dom, {
+      val (t, k) = spanSource(dom)
+      span(tbl(t), k)
+    })
 
     // per-table: (column -> key-domain) remappings; absent = copy as-is
     val remap: Map[String, Map[String, String]] = Map(
@@ -87,7 +84,26 @@ object ScaleGen {
       "documents" -> Map("doc_id" -> "doc"),
       "embeddings" -> Map("vec_id" -> "vec"))
 
-    remap.filter(t => only.forall(_.contains(t._1))).foreach { case (name, keys) =>
+    val selected = remap.filter(t => only.forall(_.contains(t._1)))
+
+    // lpad TRUNCATES past the target width (r10 ADVICE): a shifted
+    // key >= 1e9 would lose digits in the rebuilt Customer#/Supplier#
+    // names below, silently COLLIDING distinct entities — the exact
+    // artifact class the name rebuild exists to prevent. Fail loudly
+    // at the factor where the 9-digit TPC-H name rule stops fitting.
+    // Scoped to the tables actually being written (r11 ADVICE): a
+    // documents-only fixture at an extreme factor must not be blocked
+    // by a check on names it never rebuilds.
+    for ((table, dom, nm) <- Seq(("customer", "cust", "c_custkey"),
+                                 ("supplier", "supp", "s_suppkey"))
+         if selected.contains(table)) {
+      val maxShifted = spans(dom) - 1 + (factor - 1).toLong * spans(dom)
+      require(maxShifted < 1000000000L,
+        s"$nm at factor $factor reaches $maxShifted — exceeds the 9-digit " +
+          "TPC-H name pad; widen the pad (and the oracle) before scaling this far")
+    }
+
+    selected.foreach { case (name, keys) =>
       val base = tbl(name)
       val scaled =
         if (keys.isEmpty) base

@@ -1,14 +1,38 @@
 #!/usr/bin/env python3
-"""Compare two graft.Bench JSON records and flag per-query regressions.
+"""Compare a graft.Bench JSON record against the committed per-query
+FLOOR and flag regressions.
 
 Usage: python3 tools/bench_diff.py [--gate] <old.json> <new.json>
-       python3 tools/bench_diff.py HEAD <new.json>   # old = bench_out.json at HEAD
+       python3 tools/bench_diff.py HEAD <new.json>   # old = min-merged floor
+       python3 tools/bench_diff.py --selftest        # prove the floor properties
+
+`HEAD` does NOT mean "the single bench_out.json at HEAD" (the r11
+lesson: one noisy session committed a uniformly ~1.3x-slower record,
+permanently inflating the floor by ~28% and hiding that much of every
+future real regression). Instead it means the per-query MINIMUM across
+the last FLOOR_DEPTH committed bench_out.json revisions — the same
+min-merge trick graft.Bench itself uses across its two in-process runs,
+extended across sessions. Because the floor is now a cross-session
+MINIMUM while any single session can run uniformly 1.2-1.6x hot (the
+PERF.md load-neighbor measurements: same-cell spreads up to 2.8x on
+sub-second queries), the per-query test normalizes by the SUITE-MEDIAN
+drift m = median(new/floor), clamped to [1.0, MAX_DRIFT]: a query fails
+only when it is >1.5x slower than m * floor AND >0.5s above m * floor —
+i.e. it regressed relative to how the whole suite moved this session.
+The clamp keeps the gate honest against a REAL uniform slowdown (a
+global config regression): drift past MAX_DRIFT is not normalized away.
+Properties (proven by --selftest):
+  * monotone: committing a noisy record never raises the floor;
+  * noise-immune: a uniformly 1.3x-noisy rerun passes the gate;
+  * sensitive: a single-query >1.5x & >0.5s regression still fails,
+    even inside a noisy session;
+  * bounded: a uniform 2.5x slowdown (past MAX_DRIFT) still fails.
 
 Exits 2 with usage on bad invocation; exits 1 when --gate is passed
 and any query regressed past the threshold (the round exit gate), else
-0 (informational). Prints queries whose steady time
-changed by >1.5x AND >0.5s absolute (filters JIT/VM noise on the
-sub-second majority), plus added/removed queries and the total delta.
+0 (informational). Prints queries whose steady time changed by >1.5x
+AND >0.5s absolute (filters JIT/VM noise on the sub-second majority),
+plus added/removed queries and the total delta.
 The per-round discipline: run after any operator rework, BEFORE
 committing bench_out.json — a correct-but-slower plan shows up here
 first, not in the judge's table.
@@ -17,41 +41,128 @@ import json
 import subprocess
 import sys
 
+FLOOR_DEPTH = 5  # committed bench_out.json revisions to min-merge
+MAX_DRIFT = 1.6  # session drift normalized away at most this far
+
+
+def _committed_records(depth: int):
+    """Parse up to `depth` most recent committed revisions of
+    bench_out.json (revisions that fail to parse are skipped)."""
+    shas = subprocess.run(
+        ["git", "rev-list", "-n", str(depth * 2), "HEAD", "--", "bench_out.json"],
+        capture_output=True, text=True, check=True).stdout.split()
+    records = []
+    for sha in shas:
+        if len(records) >= depth:
+            break
+        show = subprocess.run(["git", "show", f"{sha}:bench_out.json"],
+                              capture_output=True, text=True)
+        if show.returncode != 0:
+            continue
+        try:
+            records.append(json.loads(show.stdout))
+        except json.JSONDecodeError:
+            continue
+    return records
+
+
+def min_merge(records):
+    """Per-query minimum across records; total = min of totals over
+    records carrying the LATEST query set (so retired queries don't
+    deflate it). Floor membership = the newest record's query set —
+    queries absent there are retired and dropped from the floor."""
+    if not records:
+        raise SystemExit("bench_diff: no committed bench_out.json to diff against")
+    newest = records[0]
+    floor_q = {}
+    for name in newest["queries"]:
+        floor_q[name] = min(r["queries"][name] for r in records if name in r.get("queries", {}))
+    same_set = [r for r in records if set(r.get("queries", {})) == set(newest["queries"])]
+    total = min(r["value"] for r in same_set) if same_set else newest["value"]
+    return {"value": total, "queries": floor_q}
+
 
 def load(ref: str) -> dict:
     if ref == "HEAD":
-        out = subprocess.run(["git", "show", "HEAD:bench_out.json"],
-                             capture_output=True, text=True, check=True).stdout
-        return json.loads(out)
+        return min_merge(_committed_records(FLOOR_DEPTH))
     with open(ref) as f:
         return json.load(f)
 
 
-def main(old_ref: str, new_ref: str, gate: bool = False) -> int:
-    old, new = load(old_ref), load(new_ref)
+def _median(xs):
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
+def diff(old: dict, new: dict, quiet: bool = False):
+    """Return flagged regressions [(delta, name, floor_s, new_s)] after
+    normalizing by the clamped suite-median drift."""
     oq, nq = old["queries"], new["queries"]
-    print(f"total: {old['value']:.1f}s ({len(oq)} queries) -> "
-          f"{new['value']:.1f}s ({len(nq)} queries)")
-    for name in sorted(set(nq) - set(oq)):
-        print(f"  ADDED   {name:34s} {nq[name]:6.2f}s")
-    for name in sorted(set(oq) - set(nq)):
-        print(f"  REMOVED {name:34s} (was {oq[name]:.2f}s)")
+    shared = sorted(set(oq) & set(nq))
+    ratios = [nq[n] / oq[n] for n in shared if oq[n] > 0]
+    m = min(max(_median(ratios), 1.0), MAX_DRIFT) if ratios else 1.0
+    if not quiet:
+        print(f"total: {old['value']:.1f}s ({len(oq)} queries floor) -> "
+              f"{new['value']:.1f}s ({len(nq)} queries); "
+              f"suite-median drift {_median(ratios):.2f}x, normalizing by {m:.2f}x")
+        for name in sorted(set(nq) - set(oq)):
+            print(f"  ADDED   {name:34s} {nq[name]:6.2f}s")
+        for name in sorted(set(oq) - set(nq)):
+            print(f"  REMOVED {name:34s} (was {oq[name]:.2f}s)")
     flagged = []
-    for name in sorted(set(oq) & set(nq)):
-        a, b = oq[name], nq[name]
+    for name in shared:
+        a, b = oq[name] * m, nq[name]
         if b > a * 1.5 and b - a > 0.5:
-            flagged.append((b - a, name, a, b))
-        elif a > b * 1.5 and a - b > 0.5:
-            print(f"  faster  {name:34s} {a:6.2f}s -> {b:6.2f}s")
-    for delta, name, a, b in sorted(flagged, reverse=True):
-        print(f"  SLOWER  {name:34s} {a:6.2f}s -> {b:6.2f}s  (+{delta:.2f}s)")
-    if not flagged:
-        print("no regressions past the 1.5x/0.5s gate")
-        return 0
-    return 1 if gate else 0
+            flagged.append((b - a, name, oq[name], b))
+        elif a > b * 1.5 and a - b > 0.5 and not quiet:
+            print(f"  faster  {name:34s} {oq[name]:6.2f}s -> {b:6.2f}s")
+    if not quiet:
+        for delta, name, a, b in sorted(flagged, reverse=True):
+            print(f"  SLOWER  {name:34s} floor {a:6.2f}s -> {b:6.2f}s  "
+                  f"(+{delta:.2f}s past the {m:.2f}x-drift allowance)")
+        if not flagged:
+            print(f"no regressions past the 1.5x/0.5s gate (drift-normalized {m:.2f}x)")
+    return flagged
+
+
+def main(old_ref: str, new_ref: str, gate: bool = False) -> int:
+    flagged = diff(load(old_ref), load(new_ref))
+    return 1 if (flagged and gate) else 0
+
+
+def selftest() -> int:
+    """Prove the three floor properties on synthetic records."""
+    base = {"value": 10.0, "queries": {"q_a": 1.0, "q_b": 0.2, "q_c": 4.0}}
+    noisy = {"value": 13.0, "queries": {k: v * 1.3 for k, v in base["queries"].items()}}
+    # 1. monotone: min-merge(noisy committed after base) == base per-query
+    floor = min_merge([noisy, base])  # newest first
+    assert floor["queries"] == base["queries"], floor
+    # 2. noise-immune: uniformly-1.3x rerun passes the gate vs that floor
+    assert diff(floor, noisy, quiet=True) == [], "noisy rerun must pass"
+    # 3. sensitive: single-query regression (q_c 4.0 -> 8.0) fails even
+    #    inside a session that is otherwise 1.3x noisy (median drift 1.3
+    #    is normalized away; q_c's 2.0x ratio stands out past it)
+    regressed = {"value": 14.0,
+                 "queries": {"q_a": 1.3, "q_b": 0.26, "q_c": 8.0}}
+    flags = diff(floor, regressed, quiet=True)
+    assert [f[1] for f in flags] == ["q_c"], flags
+    # 4. bounded: a uniform 2.5x slowdown exceeds MAX_DRIFT and fails
+    uniform = {"value": 25.0, "queries": {k: v * 2.5 for k, v in base["queries"].items()}}
+    flags = diff(floor, uniform, quiet=True)
+    assert any(f[1] == "q_c" for f in flags), flags  # 4.0 -> 10.0 vs 1.6x allowance
+    # 5. retired queries drop from the floor; new queries don't block
+    newer = {"value": 9.0, "queries": {"q_a": 1.1, "q_d": 2.0}}
+    floor2 = min_merge([newer, noisy, base])
+    assert set(floor2["queries"]) == {"q_a", "q_d"}, floor2
+    assert floor2["queries"]["q_a"] == 1.0  # min across records survives
+    print("bench_diff selftest: floor is monotone, noise-immune, sensitive, bounded — OK")
+    return 0
 
 
 if __name__ == "__main__":
+    if "--selftest" in sys.argv:
+        sys.exit(selftest())
     argv = [a for a in sys.argv[1:] if a != "--gate"]
     if len(argv) != 2:
         print(__doc__)

@@ -26,7 +26,16 @@ python3 tools/vacuity_lint.py /tmp/gate_sqldump/oracle_sql.json
 # Cartesian/BroadcastNestedLoop join, or global sort feeding computation
 # (tools/plan_lint_waivers.txt must cite each waived input's bound)
 java $ADD_OPENS -Xmx8g -cp "$CP" graft.tools.PlanLint /root/testdata/sf0.001 tools/plan_lint_waivers.txt 2>/dev/null
-# INDEX.md freshness (id -> file:line; regenerate via tools/gen_index.py)
+# broadcast-in-loop lint (r12, VERDICT r11 #3): no forced broadcast of a
+# possibly-growing relation inside an iterative loop — waivers must cite
+# a constant bound (tools/broadcast_waivers.txt)
+python3 tools/broadcast_lint.py
+# INDEX.md: REGENERATE and stage, then check — regenerating here (not
+# just checking) closes the r11 gate-ordering hole where a post-gate
+# source edit left the committed INDEX.md stale by one line. The final
+# round commit picks up the staged refresh automatically.
+python3 tools/gen_index.py
+git add INDEX.md
 python3 tools/gen_index.py --check
 
 echo "== 3/4 sf0.01 oracle gate =="
