@@ -575,6 +575,10 @@ object Round3cOps {
     // same §2.12.5 reason as training (iterative greedy argmax feeds the
     // encoder); pinned by the golden digest + unit tests including the
     // lossless round-trip (concat of output symbols == input token).
+    // r12: runs the PRODUCTION encoder (Bpe.encodeFast — one projection
+    // at any merge-table size, the q_text_20 promise); the golden digest
+    // is unchanged from the fold-form rounds, byte-for-byte evidence of
+    // the equivalence BpeSpec property-tests.
     Q.noOracle("q_text_20_bpe_encode") { (s, d) =>
       val trainCorpus = Tables(s, d, "documents").filter(col("doc_id") < 120)
         .select(explode(tokens(col("text"))).as("tok"))
@@ -584,7 +588,7 @@ object Round3cOps {
         .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
         .select(col("doc_id"), split(col("tok"), "").as("syms"))
         .select(col("doc_id"), size(col("syms")).as("n0"),
-          size(graft.functions.Bpe.encode(col("syms"), merges)).as("n1"))
+          size(graft.functions.Bpe.encodeFast(col("syms"), merges)).as("n1"))
         .groupBy("doc_id")
         .agg(sum("n0").cast("long").as("n_sym"),
           sum("n1").cast("long").as("n_bpe"),
