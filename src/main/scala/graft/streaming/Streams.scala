@@ -1164,7 +1164,14 @@ object Streams {
             }
             ring = (ring :+ vc).takeRight(20)
           }
-          val idleExpired = state.hasTimedOut && incoming.isEmpty && open.isEmpty
+          // idle ⟺ the FIRING timeout was the idle one: nothing was
+          // buffered at entry (buf0). A finalization timeout (armed to
+          // open.head+1 to flush buffered events) also arrives with no
+          // incoming data, but it must finalize and RE-ARM the idle
+          // TTL, not evict — treating it as idle (the r12 bug found by
+          // the ADVICE-requested TTL test) cold-restarted history on
+          // the very next batch instead of after idleTtlMinutes.
+          val idleExpired = state.hasTimedOut && incoming.isEmpty && buf0.isEmpty
           if (open.isEmpty && (ring.isEmpty || idleExpired)) state.remove()
           else {
             state.update((ring, open))
@@ -1187,4 +1194,151 @@ object Streams {
         round(col("vc").cast("double") / 100, 2).as("value"),
         round(col("s").cast("double") / col("n") / 100, 2).as("mu"))
       .orderBy("user_id", "event_id")
+
+  // ── streaming twins, tranche 5 (round 12) ───────────────────────────
+
+  final case class PurchaseEvent(user_id: Long, ts_us: Long, cents: Long)
+  final case class RfmState(user_id: Long, last_us: Long, freq: Long,
+      cents: Long, rev: Long)
+
+  /** ONLINE per-user RFM sufficient statistics — the streaming half of
+    * q_stream_27_rfm. State per user is exactly three mergeable exact
+    * integers (max purchase micros, purchase count, cent sum) — O(1)
+    * per user regardless of history, and every merge is commutative +
+    * associative, so the LAST refinement per user equals the batch
+    * aggregate under ANY arrival order. The quintile CUT itself is a
+    * corpus-wide ranking and cannot be finalized online (one more
+    * purchase anywhere can move every ntile boundary), so it lives in
+    * the stateless [[rfmFinish]] — the same split as dauWauFinish.
+    */
+  def rfmStream(events: DataFrame): org.apache.spark.sql.Dataset[RfmState] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import events.sparkSession.implicits._
+    events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .as[PurchaseEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Long, Long), RfmState](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[PurchaseEvent],
+         state: GroupState[(Long, Long, Long, Long)]) =>
+          var (last, freq, cents, rev) =
+            state.getOption.getOrElse((Long.MinValue, 0L, 0L, 0L))
+          batch.foreach { e =>
+            if (e.ts_us > last) last = e.ts_us
+            freq += 1
+            cents += e.cents
+          }
+          rev += 1
+          state.update((last, freq, cents, rev))
+          Iterator.single(RfmState(user, last, freq, cents, rev))
+      }
+  }
+
+  /** Stateless batch finisher over the latest per-user RFM statistics —
+    * EXACTLY the q_stream_27_rfm tail: three exact global rankings
+    * (micros desc / count desc / cents desc, user_id tie-break) cut
+    * into quintiles, then the composite-segment population.
+    */
+  def rfmFinish(states: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = states
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("user_id").orderBy(col("rev").desc)))
+      .filter(col("__rk") === 1)
+      .select("user_id", "last_us", "freq", "cents")
+      .localCheckpoint()
+    val (nU, rRank) = graft.api.Pipelines
+      .exactGlobalRankByN(u, Seq(col("last_us").desc, col("user_id")), "__rk")
+    def score(ranked: DataFrame, out: String) =
+      ranked.select(col("user_id"),
+        graft.api.Pipelines.ntileOfRank(col("__rk"), nU, 5).as(out))
+    val sc = score(rRank, "r")
+      .join(score(graft.api.Pipelines.exactGlobalRankBy(u,
+        Seq(col("freq").desc, col("user_id")), "__rk"), "f"), "user_id")
+      .join(score(graft.api.Pipelines.exactGlobalRankBy(u,
+        Seq(col("cents").desc, col("user_id")), "__rk"), "m"), "user_id")
+    sc.groupBy(col("r").cast("long").as("r"), col("f").cast("long").as("f"),
+        col("m").cast("long").as("m"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("r", "f", "m")
+  }
+
+  final case class TouchEvent(user_id: Long, ts_us: Long, event_type: String)
+  final case class FunnelTouch(user_id: Long, t_view: Long, t_click: Long,
+      t_buy: Long, rev: Long)
+
+  /** ONLINE per-user funnel first-touch times — the streaming half of
+    * q_stream_30_funnel_time. State per user = three mergeable exact
+    * MIN timestamps (first view / first click / first purchase),
+    * Long.MaxValue until seen — O(1) per user, order-insensitive, so
+    * the last refinement per user equals the batch first-touch row.
+    * The hop percentiles are corpus-wide order statistics and finalize
+    * in the stateless [[funnelTimeFinish]].
+    */
+  def funnelTouchStream(events: DataFrame): org.apache.spark.sql.Dataset[FunnelTouch] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import events.sparkSession.implicits._
+    events
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      .as[TouchEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Long, Long), FunnelTouch](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[TouchEvent],
+         state: GroupState[(Long, Long, Long, Long)]) =>
+          var (tv, tc, tb, rev) = state.getOption.getOrElse(
+            (Long.MaxValue, Long.MaxValue, Long.MaxValue, 0L))
+          batch.foreach { e =>
+            e.event_type match {
+              case "view"     => if (e.ts_us < tv) tv = e.ts_us
+              case "click"    => if (e.ts_us < tc) tc = e.ts_us
+              case _          => if (e.ts_us < tb) tb = e.ts_us
+            }
+          }
+          rev += 1
+          state.update((tv, tc, tb, rev))
+          Iterator.single(FunnelTouch(user, tv, tc, tb, rev))
+      }
+  }
+
+  /** Stateless batch finisher over the latest per-user first-touch
+    * times — EXACTLY the q_stream_30_funnel_time tail: per-hop gaps
+    * where both touches exist and are ordered, then the exact
+    * order-statistic median/p90 picks truncated to minutes.
+    */
+  def funnelTimeFinish(touches: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val never = Long.MaxValue
+    val f = touches
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("user_id").orderBy(col("rev").desc)))
+      .filter(col("__rk") === 1)
+      .select(col("user_id"),
+        when(col("t_view") =!= never, col("t_view")).as("t_view"),
+        when(col("t_click") =!= never, col("t_click")).as("t_click"),
+        when(col("t_buy") =!= never, col("t_buy")).as("t_buy"))
+    val hops = f.filter(col("t_view").isNotNull && col("t_click").isNotNull
+        && col("t_click") >= col("t_view"))
+      .select(lit("view_to_click").as("hop"), (col("t_click") - col("t_view")).as("gap_us"))
+      .union(f.filter(col("t_click").isNotNull && col("t_buy").isNotNull
+          && col("t_buy") >= col("t_click"))
+        .select(lit("click_to_purchase").as("hop"), (col("t_buy") - col("t_click")).as("gap_us")))
+    val w = Window.partitionBy("hop").orderBy("gap_us")
+    val r = hops
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("hop")))
+    r.groupBy("hop")
+      .agg(max("n").as("n_users"),
+        (max(when(col("rn") === floor((col("n") + 1) / lit(2.0)).cast("long"), col("gap_us")))
+          / 60000000L).cast("long").as("median_minutes"),
+        (max(when(col("rn") === floor((lit(9) * col("n") + 9) / lit(10.0)).cast("long"),
+          col("gap_us"))) / 60000000L).cast("long").as("p90_minutes"))
+      .orderBy("hop")
+  }
 }

@@ -686,4 +686,86 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(streamed.nonEmpty && streamed == batch)
   }
+
+  test("rolling anomaly idle TTL: history survives finalization, evicts after the TTL, restarts cold") {
+    import org.apache.spark.sql.Row
+    // Synthetic-only input dir; minute-grained event times. Pins the
+    // three timeout behaviors the shared-stream row-equality test never
+    // reaches (r11 ADVICE): (1) a finalization timeout flushes buffered
+    // events WITHOUT evicting the ring (user 7 flags at m10 against the
+    // m0-m9 warm-up), (2) after 60 event-time minutes of inactivity the
+    // idle timeout evicts, (3) the next event restarts COLD — user 7's
+    // m150 outlier does NOT flag (a warm ring of ten 1.00s would have
+    // flagged it, as user 8's control proves).
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_ttl").toString
+    val m = 60000L // one minute in ms
+    var nextId = 1L
+    def write(rows: (Long, Long, Double)*): Unit = { // (user, minute, value)
+      val data = rows.map { case (u, min, v) =>
+        val id = nextId; nextId += 1
+        // +1000 min base: an event at exactly epoch 0 == the INITIAL
+        // watermark value and is filtered as late before the state op
+        Row(id, new java.sql.Timestamp((1000 + min) * m), u, if (u < 0) "sentinel" else "purchase", v)
+      }
+      spark.createDataFrame(java.util.Arrays.asList(data: _*), Streams.eventSchema)
+        .write.mode("append").parquet(dir)
+    }
+    write((0 until 10).map(i => (7L, i.toLong, 1.0)) :+ ((7L, 10L, 99.0)): _*)
+
+    val q = Streams.rollingAnomalyStream(Streams.eventStream(spark, dir)).toDF()
+      .writeStream.format("memory").queryName("stream_ttl")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()              // wm 0: all buffered
+      write((-1L, 60L, 0.0)); q.processAllAvailable() // after: wm=m50
+      write((-1L, 70L, 0.0)); q.processAllAvailable() // finalization timeout
+      // fires at wm m50: m0-m10 flush, m10 flags, ring kept, idle TTL
+      // re-arms to m50+60=m110
+      write((-1L, 130L, 0.0)); q.processAllAvailable() // batch wm m60 < m110: no fire; after: wm=m120
+      write((-1L, 140L, 0.0)); q.processAllAvailable() // batch wm m120 > m110: idle EVICTION
+      // post-gap: user 7 outlier first (cold -> must NOT flag); user 8
+      // is the warm control (ten 1.00s then an outlier -> must flag)
+      write(((7L, 150L, 99.0) +: (0 until 10).map(i => (8L, (150 + i).toLong, 1.0))) :+ ((8L, 160L, 99.0)): _*)
+      q.processAllAvailable()
+      write((-1L, 300L, 0.0)); q.processAllAvailable()
+      write((-1L, 310L, 0.0)); q.processAllAvailable() // finalize post-gap events
+      write((-1L, 320L, 0.0)); q.processAllAvailable() // fire trailing timeouts
+    } finally q.stop()
+
+    val flags = spark.table("stream_ttl").select("user_id", "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val m10Id = 11L // user 7's phase-A outlier (11th row written)
+    assert(flags.contains((7L, m10Id)),
+      s"warm phase-A outlier must flag through the finalization timeout; got $flags")
+    assert(flags.count(_._1 == 7L) == 1,
+      s"user 7's post-eviction outlier must NOT flag (cold restart); got $flags")
+    assert(flags.count(_._1 == 8L) == 1,
+      s"user 8's warm outlier must flag exactly once (control); got $flags")
+  }
+
+  // ── tranche 5 (round 12) ─────────────────────────────────────────────
+
+  test("online RFM state + quintile finisher match q_stream_27_rfm") {
+    val q = Streams.toMemorySink(
+      Streams.rfmStream(Streams.eventStream(spark, inputDir)).toDF(),
+      "stream_rfm", complete = false).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = Streams.rfmFinish(spark.table("stream_rfm"))
+      .collect().map(_.toSeq).toSeq
+    val batch = Registry.byName("q_stream_27_rfm").fn(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
+  test("online funnel first-touch state + percentile finisher match q_stream_30") {
+    val q = Streams.toMemorySink(
+      Streams.funnelTouchStream(Streams.eventStream(spark, inputDir)).toDF(),
+      "stream_funnel_touch", complete = false).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = Streams.funnelTimeFinish(spark.table("stream_funnel_touch"))
+      .collect().map(_.toSeq).toSeq
+    val batch = Registry.byName("q_stream_30_funnel_time").fn(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
 }
