@@ -32,7 +32,10 @@ object ScaleBench3 {
   def main(args: Array[String]): Unit = {
     val solo = args.contains("--solo")
     val rest = args.filterNot(_ == "--solo")
-    require(rest.length >= 3, "usage: ScaleBench3 [--solo] <q1,q2,...> <dir:factor> <dir:factor> [...]")
+    // >= 2 points for an exponent fit; a SINGLE point is also accepted
+    // (r12) — that's the solo-floor mode: one child JVM per query on
+    // one dataset prints the clean per-query minimum with no exponent.
+    require(rest.length >= 2, "usage: ScaleBench3 [--solo] <q1,q2,...> <dir:factor> [dir:factor ...]")
     val names = rest(0).split(",").toSeq
     if (solo) { runSolo(names, rest.drop(1).toSeq); return }
     val points = rest.drop(1).toSeq.map { a =>

@@ -47,7 +47,12 @@ MAX_DRIFT = 1.6  # session drift normalized away at most this far
 
 def _committed_records(depth: int):
     """Parse up to `depth` most recent committed revisions of
-    bench_out.json (revisions that fail to parse are skipped)."""
+    bench_out.json (revisions that fail to parse are skipped), plus the
+    committed bench_floor.json if present — per-query SOLO minima
+    (ScaleBench3 --solo, one child JVM per query) for the heavy tail,
+    where suite records carry load-neighbor noise (r11 VERDICT item 6).
+    The solo record participates only in the per-query min, never in
+    query-set membership or the total."""
     shas = subprocess.run(
         ["git", "rev-list", "-n", str(depth * 2), "HEAD", "--", "bench_out.json"],
         capture_output=True, text=True, check=True).stdout.split()
@@ -63,6 +68,13 @@ def _committed_records(depth: int):
             records.append(json.loads(show.stdout))
         except json.JSONDecodeError:
             continue
+    solo = subprocess.run(["git", "show", "HEAD:bench_floor.json"],
+                          capture_output=True, text=True)
+    if solo.returncode == 0:
+        try:
+            records.append({"__solo__": True, **json.loads(solo.stdout)})
+        except json.JSONDecodeError:
+            pass
     return records
 
 
@@ -71,13 +83,15 @@ def min_merge(records):
     records carrying the LATEST query set (so retired queries don't
     deflate it). Floor membership = the newest record's query set —
     queries absent there are retired and dropped from the floor."""
-    if not records:
+    suite = [r for r in records if not r.get("__solo__")]
+    if not suite:
         raise SystemExit("bench_diff: no committed bench_out.json to diff against")
-    newest = records[0]
+    newest = suite[0]
     floor_q = {}
     for name in newest["queries"]:
         floor_q[name] = min(r["queries"][name] for r in records if name in r.get("queries", {}))
-    same_set = [r for r in records if set(r.get("queries", {})) == set(newest["queries"])]
+    same_set = [r for r in suite
+                if set(r.get("queries", {})) == set(newest["queries"]) and "value" in r]
     total = min(r["value"] for r in same_set) if same_set else newest["value"]
     return {"value": total, "queries": floor_q}
 
@@ -156,6 +170,13 @@ def selftest() -> int:
     floor2 = min_merge([newer, noisy, base])
     assert set(floor2["queries"]) == {"q_a", "q_d"}, floor2
     assert floor2["queries"]["q_a"] == 1.0  # min across records survives
+    # 6. a solo-floor record lowers per-query floors but never defines
+    #    membership or the total
+    solo = {"__solo__": True, "queries": {"q_a": 0.8, "q_zz": 9.9}}
+    floor3 = min_merge([newer, solo, base])
+    assert set(floor3["queries"]) == {"q_a", "q_d"}, floor3
+    assert floor3["queries"]["q_a"] == 0.8, floor3
+    assert floor3["value"] == 9.0, floor3
     print("bench_diff selftest: floor is monotone, noise-immune, sensitive, bounded — OK")
     return 0
 
