@@ -54,7 +54,7 @@ object TextOps {
     * are near-dup candidates. Per-row computation (no shuffle) — the
     * band-key groupBy/join that consumers do is the only shuffle.
     */
-  private[operators] def lshBandKeys(docs: DataFrame): DataFrame =
+  private[graft] def lshBandKeys(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), minhashSignature(col("text"), 16).as("sig"))
       .select(col("doc_id"), explode(sequence(lit(0L), lit(3L))).as("j"), col("sig"))
       .select(col("doc_id"), col("j"),
