@@ -135,7 +135,10 @@ def diff(old: dict, new: dict, quiet: bool = False):
         for delta, name, a, b in sorted(flagged, reverse=True):
             print(f"  SLOWER  {name:34s} floor {a:6.2f}s -> {b:6.2f}s  "
                   f"(+{delta:.2f}s past the {m:.2f}x-drift allowance)")
-        if not flagged:
+        if flagged:
+            # machine-readable line for round_gate's solo-recheck escalation
+            print("FLAGGED " + ",".join(name for _, name, _, _ in flagged))
+        else:
             print(f"no regressions past the 1.5x/0.5s gate (drift-normalized {m:.2f}x)")
     return flagged
 

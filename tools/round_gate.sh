@@ -44,7 +44,23 @@ bash tools/run_verify.sh /root/testdata/sf0.01 /tmp/gate_verify | tail -1
 echo "== 4/4 sf0.1 bench + regression diff =="
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 java $ADD_OPENS -XX:ReservedCodeCacheSize=1g -Xmx16g -cp "$CP" \
   graft.Bench 2>&1 | grep -E '^BENCH|^\{' | tail -3
-python3 tools/bench_diff.py --gate HEAD bench_out.json
+# Suite diff = cheap detector; its per-query floors are the luckiest of
+# 5 sessions, so tail flags happen on noise alone (r12: four flags on a
+# zero-regression tree, median drift 0.98). Flagged queries escalate to
+# a SOLO recheck (2 passes, child JVM per query) — noise doesn't
+# reproduce quiet, a real regression does (tools/solo_recheck.py rules).
+python3 tools/bench_diff.py --gate HEAD bench_out.json > /tmp/gate_bench_diff.txt 2>&1 \
+  && GATE_OK=1 || GATE_OK=0
+cat /tmp/gate_bench_diff.txt
+if [ "$GATE_OK" = "0" ]; then
+  FLAGGED=$(grep '^FLAGGED ' /tmp/gate_bench_diff.txt | cut -d' ' -f2)
+  echo "== 4b/4 solo recheck of suite-flagged queries: $FLAGGED =="
+  java $ADD_OPENS -XX:ReservedCodeCacheSize=1g -Xmx16g -cp "$CP" \
+    graft.tools.ScaleBench3 --solo "$FLAGGED" \
+    /root/testdata/sf0.1:1 /root/testdata/sf0.1:1 2>/dev/null > /tmp/gate_solo.txt
+  cat /tmp/gate_solo.txt
+  python3 tools/solo_recheck.py "$FLAGGED" /tmp/gate_solo.txt
+fi
 
 # Gate artifacts must be COMMITTED with the gate (r11, VERDICT r10 item
 # 4): a dirty bench_out.json left in the tree makes next round's
@@ -54,14 +70,14 @@ python3 tools/bench_diff.py --gate HEAD bench_out.json
 # NOW — the check is that the FINAL round commit stages them; refuse to
 # declare the gate green unless the caller will commit them (we stage
 # them here so the round commit cannot silently drop them).
-for f in bench_out.json LEAKCHECK.json; do
+for f in bench_out.json LEAKCHECK.json bench_floor.json; do
   if [ -f "$f" ] && ! git diff --quiet -- "$f"; then
     git add "$f"
     echo "GATE: staged dirty $f for the round commit"
   fi
 done
-if ! git diff --cached --quiet -- bench_out.json LEAKCHECK.json 2>/dev/null; then
-  echo "GATE: bench_out.json/LEAKCHECK.json are STAGED — include them in the round commit"
+if ! git diff --cached --quiet -- bench_out.json LEAKCHECK.json bench_floor.json 2>/dev/null; then
+  echo "GATE: bench_out.json/LEAKCHECK.json/bench_floor.json are STAGED — include them in the round commit"
 fi
 
 echo "ROUND GATE GREEN"
