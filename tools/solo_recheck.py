@@ -18,7 +18,10 @@ the flagged queries, a fresh `ScaleBench3 --solo` output over them
     re-introduce the false-positive class this arbiter exists to kill;
   * no solo-floor entry yet: bootstrap against the SUITE floor with
     the same 2.0x allowance (driver-loop queries also pay up to ~2x
-    cold-JIT solo penalty vs a suite-warm JVM) AND +0.5s.
+    cold-JIT solo penalty vs a suite-warm JVM) AND +1.0s;
+  * the absolute guard is 1.0s in both branches — the cold-child-JVM
+    noise floor (healthy sub-second queries measure 1.4-1.6s solo on a
+    post-bench machine, 0.7-0.8s idle).
 
 Queries that pass have their fresh solo min MERGED into
 bench_floor.json (min with any existing entry — the floor stays
@@ -54,12 +57,12 @@ def main():
         floor_path = sys.argv[sys.argv.index("--floor") + 1]
 
     solo = {}
-    row = re.compile(r"\|\s*(q_\w+)\s*\|\s*([0-9.]+)\s*\|(?:\s*([0-9.]+)\s*\|)?")
+    row = re.compile(r"\|\s*(q_\w+)\s*\|((?:\s*[0-9.]+\s*\|)+)")
     with open(solo_path) as f:
         for line in f:
             m = row.search(line)
             if m:
-                ts = [float(m.group(2))] + ([float(m.group(3))] if m.group(3) else [])
+                ts = [float(x) for x in re.findall(r"[0-9.]+", m.group(2))]
                 solo[m.group(1)] = min(min(ts), solo.get(m.group(1), float("inf")))
 
     try:
@@ -85,7 +88,11 @@ def main():
             print(f"SOLO_RECHECK {n}: new query, solo {t:.2f}s recorded")
             solo_floors[n] = t
             continue
-        if t > base * mult and t - base > 0.5:
+        # 1.0s absolute guard, not 0.5: the cold-child-JVM noise floor —
+        # healthy sub-second queries measured 1.4-1.6s solo on a
+        # post-bench machine and 0.7-0.8s idle (r12); a regression that
+        # matters at scale clears +1s solo easily
+        if t > base * mult and t - base > 1.0:
             print(f"SOLO_RECHECK FAIL {n}: solo {t:.2f}s > {mult}x {kind} {base:.2f}s — reproduces, REAL")
             real.append(n)
         else:
