@@ -55,11 +55,16 @@ cat /tmp/gate_bench_diff.txt
 if [ "$GATE_OK" = "0" ]; then
   FLAGGED=$(grep '^FLAGGED ' /tmp/gate_bench_diff.txt | cut -d' ' -f2)
   echo "== 4b/4 solo recheck of suite-flagged queries: $FLAGGED =="
-  # cool-down: a recheck started seconds after the 450s suite bench
-  # measured healthy sub-second queries at 1.4-1.6s (r12); one minute
-  # of settle + three measurement points (6 timed passes per query)
-  # gets the min back to the true floor
-  sleep 60
+  # cool-down: a recheck started after the ~900s suite bench measured
+  # healthy sub-second queries at 1.4-2.2s where the settled machine
+  # reads 0.6-0.9s (r12 — a fixed 60s was NOT enough). Wait for the
+  # 1-minute load average to actually drop, up to 10 minutes.
+  for _ in $(seq 60); do
+    LOAD1=$(cut -d' ' -f1 /proc/loadavg)
+    awk "BEGIN{exit !($LOAD1 < 1.5)}" && break
+    sleep 10
+  done
+  echo "recheck starting at load $(cut -d' ' -f1-3 /proc/loadavg)"
   java $ADD_OPENS -XX:ReservedCodeCacheSize=1g -Xmx16g -cp "$CP" \
     graft.tools.ScaleBench3 --solo "$FLAGGED" \
     /root/testdata/sf0.1:1 /root/testdata/sf0.1:1 /root/testdata/sf0.1:1 2>/dev/null > /tmp/gate_solo.txt
