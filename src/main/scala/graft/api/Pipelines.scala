@@ -2850,6 +2850,260 @@ object Pipelines {
     (n, ranked)
   }
 
+  /** Per-GROUP exact 1-based rank + per-group row count WITHOUT a
+    * constant-width window sort — the grouped sibling of
+    * [[exactGlobalRankByN]] (r12 verdict item 1). The window form
+    * `row_number().over(Window.partitionBy(g).orderBy(o))` creates ONE
+    * task per distinct g; when g has 2-25 values over a row-scaled
+    * input that is a straggler pair each sorting a corpus-sized slice.
+    * Here the data is range-partitioned by (groupCols, orderCols) —
+    * every task ~N/P rows regardless of the group cardinality — then a
+    * per-(partition, group) histogram (P×G rows, driver-bounded: G is
+    * constant-cardinality by the caller's contract) supplies each
+    * partition's starting rank within its groups, and a second pass
+    * over the SAME shuffle output adds local row numbers to those
+    * offsets. The count/rank jobs share one RDD lineage, so the range
+    * shuffle computes once — no cache, nothing pinned.
+    *
+    * Returns the input columns plus `rankCol` (1-based rank within the
+    * group, ordered by orderCols) and `nCol` (the group's row count) —
+    * the exact pair the window form produced. Ties in (groupCols,
+    * orderCols) land in one range partition and take consecutive
+    * arbitrary ranks, so either make the order total (unique key) or
+    * pick only VALUES at ranks (a rank-pick of a tied value is the
+    * same value whichever tie holds the rank — exactRankPick's
+    * argument).
+    */
+  def exactGroupRankCount(df: DataFrame, groupCols: Seq[String],
+      orderCols: Seq[org.apache.spark.sql.Column], rankCol: String,
+      nCol: String, partitions: Int = 0): DataFrame =
+    groupRankPrefix(df, groupCols, orderCols, rankCol, nCol, Nil, partitions)
+
+  /** The general per-group order machinery behind
+    * [[exactGroupRankCount]]: one range shuffle on (groupCols,
+    * orderCols) carries the per-group 1-based rank (`rankCol`), the
+    * group's row count (`nCol`), and — per `valueOutCols` entry
+    * (value, runningOut, totalOut) — the inclusive per-group running
+    * sum of an integral column plus (when totalOut is non-empty) the
+    * group's total. This is the grouped sibling of both
+    * [[exactGlobalRankByN]] and [[prefixSumN]] in a single pass: the
+    * per-(partition, group) histogram (counts AND sums — P×G rows,
+    * driver-bounded when G is constant-cardinality) supplies each
+    * partition's starting rank/sums within its groups, and the second
+    * pass over the SAME shuffle output adds local row numbers and
+    * running sums to those offsets. Integer sums are order-insensitive,
+    * so running sums are bit-identical to the window form under any
+    * tie order (the ranks need a total order, or value-only picks —
+    * see exactGroupRankCount's doc).
+    */
+  def groupRankPrefix(df: DataFrame, groupCols: Seq[String],
+      orderCols: Seq[org.apache.spark.sql.Column], rankCol: String,
+      nCol: String, valueOutCols: Seq[(String, String, String)],
+      partitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    require(groupCols.nonEmpty, "groupRankPrefix needs group columns")
+    val parts = if (partitions > 0) partitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val sortCols = groupCols.map(col) ++ orderCols
+    val sorted = df
+      .repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val gIdx = groupCols.map(sorted.schema.fieldIndex).toList
+    val vIdx = valueOutCols.map { case (v, _, _) => sorted.schema.fieldIndex(v) }
+    val nV = vIdx.size
+    def longAt(r: Row, i: Int): Long = r.get(i) match {
+      case l: Long => l
+      case x: Int => x.toLong
+      case x: Short => x.toLong
+      case x: Byte => x.toLong
+      case other => throw new IllegalArgumentException(
+        s"groupRankPrefix: non-integral value $other")
+    }
+    val rdd = sorted.rdd
+    // pass 1: per-(partition, group) count + value sums. Groups are
+    // contiguous within a partition (sorted by group first), so this is
+    // a streaming run-length fold, and the collect is P×G rows —
+    // bounded by parallelism times the (constant) group cardinality,
+    // the same driver-action class as exactGlobalRankByN's histogram.
+    val hist: Array[(Int, Seq[(List[Any], Array[Long])])] =
+      rdd.mapPartitionsWithIndex { (pid, it) =>
+        val runs = scala.collection.mutable.ArrayBuffer.empty[(List[Any], Array[Long])]
+        var cur: List[Any] = null
+        var agg: Array[Long] = null // [count, sum_0, ..., sum_{nV-1}]
+        it.foreach { r =>
+          val g = gIdx.map(r.get)
+          if (cur == null || g != cur) {
+            if (cur != null) runs += ((cur, agg))
+            cur = g; agg = new Array[Long](1 + nV)
+          }
+          agg(0) += 1
+          var i = 0
+          while (i < nV) { agg(1 + i) += longAt(r, vIdx(i)); i += 1 }
+        }
+        if (cur != null) runs += ((cur, agg))
+        Iterator.single((pid, runs.toSeq))
+      }.collect().sortBy(_._1)
+    // each (partition, group)'s starting rank/sums = that group's
+    // totals over earlier partitions; group totals fall out of the fold
+    val acc = scala.collection.mutable.Map.empty[List[Any], Array[Long]]
+    val starts: Map[Int, Map[List[Any], Array[Long]]] = hist.map { case (pid, gs) =>
+      pid -> gs.map { case (g, a) =>
+        val lo = acc.getOrElseUpdate(g, new Array[Long](1 + nV)).clone()
+        val cum = acc(g)
+        var i = 0
+        while (i <= nV) { cum(i) += a(i); i += 1 }
+        (g, lo)
+      }.toMap
+    }.toMap
+    val totals: Map[List[Any], Array[Long]] = acc.toMap
+    // pass 2: local row number + running sums on top of the group's
+    // partition offsets; group totals ride along as constants per run
+    val ranked = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val offs = starts.getOrElse(pid, Map.empty)
+      var cur: List[Any] = null
+      var run: Array[Long] = null
+      var tot: Array[Long] = null
+      it.map { r =>
+        val g = gIdx.map(r.get)
+        if (cur == null || g != cur) {
+          cur = g; run = offs(g).clone(); tot = totals(g)
+        }
+        run(0) += 1
+        var i = 0
+        while (i < nV) { run(1 + i) += longAt(r, vIdx(i)); i += 1 }
+        val extra = scala.collection.mutable.ArrayBuffer[Any](run(0), tot(0))
+        i = 0
+        while (i < nV) {
+          extra += run(1 + i)
+          if (valueOutCols(i)._3.nonEmpty) extra += tot(1 + i)
+          i += 1
+        }
+        Row.fromSeq(r.toSeq ++ extra)
+      }
+    }
+    val extraFields = Seq(StructField(rankCol, LongType, nullable = false),
+      StructField(nCol, LongType, nullable = false)) ++
+      valueOutCols.flatMap { case (_, runOut, totOut) =>
+        Seq(StructField(runOut, LongType, nullable = false)) ++
+          (if (totOut.nonEmpty) Seq(StructField(totOut, LongType, nullable = false)) else Nil)
+      }
+    df.sparkSession.createDataFrame(ranked,
+      StructType(sorted.schema.fields ++ extraFields))
+  }
+
+  /** Per-group `lead` of an integral column WITHOUT a constant-width
+    * window sort — the grouped sibling of [[adjacentPairs]]: range-
+    * partition on (groupCols, orderCols), per-partition lookahead for
+    * intra-partition leads, and a P-row driver exchange of each
+    * partition's FIRST (group, value) to stitch partition boundaries
+    * (a partition's last row leads into the next non-empty partition's
+    * first row iff the group matches). Returns the input plus `outCol`
+    * (nullable: the last row of each group has no lead — exactly the
+    * window form's null).
+    */
+  def groupLeadLong(df: DataFrame, groupCols: Seq[String],
+      orderCols: Seq[org.apache.spark.sql.Column], valueCol: String,
+      outCol: String, partitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    require(groupCols.nonEmpty, "groupLeadLong needs group columns")
+    val parts = if (partitions > 0) partitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val sortCols = groupCols.map(col) ++ orderCols
+    val sorted = df
+      .repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val gIdx = groupCols.map(sorted.schema.fieldIndex).toList
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    def longAt(r: Row): Long = r.get(vIdx) match {
+      case l: Long => l
+      case x: Int => x.toLong
+      case other => throw new IllegalArgumentException(
+        s"groupLeadLong: non-integral value $other")
+    }
+    val rdd = sorted.rdd
+    // pass 1: each non-empty partition's first (group, value) — the
+    // P-row boundary exchange (shuffle map output reused by pass 2)
+    val heads: Array[(Int, List[Any], Long)] = rdd.mapPartitionsWithIndex { (pid, it) =>
+      if (it.hasNext) {
+        val r = it.next()
+        Iterator.single((pid, gIdx.map(r.get), longAt(r)))
+      } else Iterator.empty
+    }.collect().sortBy(_._1)
+    // partition p's successor head = the first head with pid > p
+    val nextHead: Map[Int, (List[Any], Long)] = {
+      val pids = heads.map(_._1)
+      (0 until parts).flatMap { p =>
+        pids.find(_ > p).map { np =>
+          val h = heads.find(_._1 == np).get
+          p -> (h._2, h._3)
+        }
+      }.toMap
+    }
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val succ = nextHead.get(pid)
+      new Iterator[Row] {
+        private var prev: Row = if (it.hasNext) it.next() else null
+        def hasNext: Boolean = prev != null
+        def next(): Row = {
+          val r = prev
+          val g = gIdx.map(r.get)
+          val lead: Any =
+            if (it.hasNext) {
+              prev = it.next()
+              if (gIdx.map(prev.get) == g) longAt(prev) else null
+            } else {
+              prev = null
+              succ match {
+                case Some((hg, hv)) if hg == g => hv
+                case _ => null
+              }
+            }
+          Row.fromSeq(r.toSeq :+ lead)
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(out,
+      StructType(sorted.schema.fields :+ StructField(outCol, LongType, nullable = true)))
+  }
+
+  /** Column-count form of [[ntileOfRank]] for PER-GROUP ntile: `nCol`
+    * is the group's row count (e.g. exactGroupRankCount's nCol) instead
+    * of a driver-side constant. Same exact builtin semantics: the first
+    * n%k buckets take ⌈n/k⌉ rows, the rest ⌊n/k⌋.
+    */
+  def ntileOfRankN(rankCol: org.apache.spark.sql.Column,
+      nCol: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column = {
+    def idiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      ((a - pmod(a, b)) / b).cast("long")
+    val base = idiv(nCol, lit(k.toLong))
+    val rem = pmod(nCol, lit(k.toLong))
+    val cut = rem * (base + 1)
+    when(rankCol <= cut, idiv(rankCol - 1, base + 1) + 1)
+      .otherwise(rem + idiv(rankCol - cut - 1, greatest(base, lit(1L))) + 1)
+      .cast("long")
+  }
+
+  /** Shared tail of q_stream_30_funnel_time and its streaming twin
+    * (r12 verdict item 3 — the two copies could drift): per-hop user
+    * count plus exact order-statistic median/p90 of the integer gaps,
+    * truncated to minutes. Input: (hop, gap_us). The ranks come from
+    * [[exactGroupRankCount]] — scale-safe under the 2-value hop key
+    * (the window form was a 2-task corpus sort) — and the picks are
+    * value-only, so gap_us ties cannot move the answer.
+    */
+  def funnelGapStats(hops: DataFrame): DataFrame = {
+    val r = exactGroupRankCount(hops, Seq("hop"), Seq(col("gap_us")), "rn", "n")
+    r.groupBy("hop")
+      .agg(max("n").as("n_users"),
+        (max(when(col("rn") === floor((col("n") + 1) / lit(2.0)).cast("long"), col("gap_us")))
+          / 60000000L).cast("long").as("median_minutes"),
+        (max(when(col("rn") === floor((lit(9) * col("n") + 9) / lit(10.0)).cast("long"),
+          col("gap_us"))) / 60000000L).cast("long").as("p90_minutes"))
+      .orderBy("hop")
+  }
+
   /** Exact running sum of a LONG column over a TOTAL order WITHOUT a
     * single-partition window: range-partition on the order key, sum
     * each partition (P-row aggregate), prefix-sum the per-partition

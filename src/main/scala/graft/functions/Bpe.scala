@@ -158,6 +158,19 @@ private[functions] final class BpeCodec(
     // (a,bc) and (ab,c) both producing "abc" around a pair that uses
     // it) — loud failure here beats silent divergence; such a table
     // must use the fold form.
+    // Ranks must be DISTINCT (orderedMerges is already rank-sorted, so
+    // strictly increasing ⟺ distinct): with a duplicate rank, rankInfo
+    // keeps only the last pair per rank while pairInfo can report the
+    // other pair as bestRank — the merge pass then matches nothing and
+    // encodeTokens spins forever (an executor hang, not the loud
+    // failure this codec promises). Unreachable via Bpe.train, but
+    // encodeFast is a public API taking arbitrary tables (r12 ADVICE).
+    for (k <- 1 until orderedMerges.length) {
+      require(orderedMerges(k)._1 > orderedMerges(k - 1)._1,
+        s"merge table has duplicate rank ${orderedMerges(k)._1}: pairs " +
+          s"('${orderedMerges(k - 1)._2}','${orderedMerges(k - 1)._3}') and " +
+          s"('${orderedMerges(k)._2}','${orderedMerges(k)._3}') — ranks must be unique")
+    }
     val productRanks = new java.util.HashMap[String, Integer]() // product -> max rank
     for ((rank, a, b, _) <- orderedMerges) {
       require(a.nonEmpty && b.nonEmpty, s"empty merge component at rank $rank")

@@ -136,14 +136,16 @@ object Round2Ops {
       // Sequence packing for training batches: documents stream in stable
       // (lang, doc_id) order; a running token count assigns each doc to
       // the 512-token pack its prefix sum lands in. Deterministic (no
-      // rand, no greedy state), exact integer arithmetic, one window pass
-      // — the declarative approximation of first-fit packing. At scale
-      // the window partitions by lang (parallel across languages); a
-      // per-file pack id (hash-partitioned) removes even that window.
-      val w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-      Tables(s, d, "documents")
-        .select(col("doc_id"), col("lang"), size(tokens(col("text"))).cast("long").as("n_tok"))
-        .withColumn("cum", sum("n_tok").over(w))
+      // rand, no greedy state), exact integer arithmetic, one
+      // range-partitioned per-lang prefix sum (Pipelines.groupRankPrefix,
+      // r13 — the lang-keyed cumulative window was a |langs|-task corpus
+      // sort; integer sums over the total (lang, doc_id) order reproduce
+      // it bit-exactly) — the declarative approximation of first-fit
+      // packing.
+      graft.api.Pipelines.groupRankPrefix(
+          Tables(s, d, "documents")
+            .select(col("doc_id"), col("lang"), size(tokens(col("text"))).cast("long").as("n_tok")),
+          Seq("lang"), Seq(col("doc_id")), "__rk", "__ng", Seq(("n_tok", "cum", "")))
         .select(col("lang"), floor((col("cum") - col("n_tok")) / lit(512)).as("pack_id"), col("n_tok"))
         .groupBy("lang", "pack_id")
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("pack_tokens"))

@@ -38,16 +38,20 @@ object Round3cOps {
         |GROUP BY o_orderpriority, q ORDER BY o_orderpriority, quartile""".stripMargin) { (s, d) =>
       // Quantile (equal-frequency) bucketing: ntile(4) within each order
       // priority, then per-bucket stats — the discretization step before
-      // stratified analyses. Partitioned by a key, so every window sort is
-      // per-group and parallel (a GLOBAL ntile would single-thread the
-      // sort; at 100 TB you'd pre-bucket by approx quantile boundaries
-      // instead). The tiebreak (o_totalprice, o_orderkey) is total, so
-      // bucket assignment is engine-exact; avg goes through exact-integer
+      // stratified analyses. The bucket assignment is builtin-identical
+      // ntile semantics on Pipelines.exactGroupRankCount's per-group
+      // rank (r13 — the 5-value priority window was a 5-task corpus
+      // sort; the range-partitioned rank keeps every task ~N/P, and
+      // ntileOfRankN reproduces the ⌈n/k⌉/⌊n/k⌋ split exactly). The
+      // tiebreak (o_totalprice, o_orderkey) is total, so bucket
+      // assignment is engine-exact; avg goes through exact-integer
       // cents (double-sum order never hits a .xx5 edge).
-      val w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
-      Tables(s, d, "orders")
+      val ranked = graft.api.Pipelines.exactGroupRankCount(
+        Tables(s, d, "orders").select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey")),
+        Seq("o_orderpriority"), Seq(col("o_totalprice"), col("o_orderkey")), "__rk", "__n")
+      ranked
         .select(col("o_orderpriority"), col("o_totalprice"),
-          ntile(4).over(w).cast("long").as("quartile"))
+          graft.api.Pipelines.ntileOfRankN(col("__rk"), col("__n"), 4).as("quartile"))
         .groupBy("o_orderpriority", "quartile")
         .agg(count(lit(1)).as("n"),
           round(min(col("o_totalprice")), 2).as("lo"),
@@ -208,16 +212,20 @@ object Round3cOps {
       // normalization: sqrt is IEEE-correctly-rounded and ×8 is a
       // power of two, so both engines compute bit-identical quotas — a
       // normalized Σ√n would put a float SUM on the quota boundary
-      // (standing determinism caution). Shape: one tiny agg + one window
-      // shuffle on lang; the quota table broadcasts.
+      // (standing determinism caution). Shape: one tiny agg + one
+      // range-partitioned per-lang rank (Pipelines.exactGroupRankCount,
+      // r13 — the lang-keyed window was a |langs|-task corpus sort and
+      // the dynamic per-group quota defeats WindowGroupLimit; every
+      // task is ~N/P now); the quota table broadcasts.
       val docs = Tables(s, d, "documents")
       val quotas = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
         .select(col("lang"),
           least(col("n_docs"),
             ceil(sqrt(col("n_docs").cast("double")) * 8).cast("long")).as("quota"))
       val prio = (pmod(col("doc_id"), lit(1000000007L)) * 2654435761L) % 1000000007L
-      val w = Window.partitionBy("lang").orderBy(prio, col("doc_id"))
-      docs.select(col("doc_id"), col("lang"), row_number().over(w).cast("long").as("rn"))
+      graft.api.Pipelines.exactGroupRankCount(
+          docs.select(col("doc_id"), col("lang")),
+          Seq("lang"), Seq(prio, col("doc_id")), "rn", "__n")
         .join(broadcast(quotas), "lang")
         .filter(col("rn") <= col("quota"))
         .select(col("doc_id"), col("lang"), col("rn"), col("quota"))
@@ -512,12 +520,12 @@ object Round3cOps {
       val c = Tables(s, d, "orders")
         .select(col("o_orderpriority"), col("o_orderkey"),
           floor(col("o_totalprice") * 100 + 0.5).cast("long").as("v"))
-      val wRank = Window.partitionBy("o_orderpriority").orderBy("v", "o_orderkey")
-      val wAll = Window.partitionBy("o_orderpriority")
-      val bounds = c
-        .select(col("o_orderpriority"), col("v"),
-          row_number().over(wRank).cast("long").as("rn"),
-          count(lit(1)).over(wAll).as("n"))
+      // boundary ranks via Pipelines.exactGroupRankCount (r13): the
+      // 5-value priority window was a 5-task corpus sort; the range-
+      // partitioned rank keeps every task ~N/P
+      val bounds = graft.api.Pipelines.exactGroupRankCount(
+          c.select(col("o_orderpriority"), col("v"), col("o_orderkey")),
+          Seq("o_orderpriority"), Seq(col("v"), col("o_orderkey")), "rn", "n")
         .groupBy("o_orderpriority")
         .agg(
           max(when(col("rn") === ceil(col("n") * 0.25).cast("long"), col("v"))).as("b1"),
@@ -636,16 +644,16 @@ object Round3cOps {
       // (v, cw) ties are order-dependent WITHIN a value group, but the
       // selection is tie-proof: a value qualifies iff its group's LAST
       // cumulative weight crosses half, which is prefix-sum-deterministic
-      // under any tie order. One shuffle on the group key, two frames
-      // over one sort — no second pass for the total.
+      // under any tie order. The running and total weights come from ONE
+      // range shuffle via Pipelines.groupRankPrefix (r13 — the 3-value
+      // returnflag window was a 3-task corpus sort; integer prefix sums
+      // are order-insensitive, so the window form's values reproduce
+      // bit-exactly under any tie order).
       val c = Tables(s, d, "lineitem").select(col("l_returnflag"),
         floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("v"),
         col("l_quantity").cast("long").as("wt"))
-      val wc = Window.partitionBy("l_returnflag").orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wa = Window.partitionBy("l_returnflag")
-      c.select(col("l_returnflag"), col("v"),
-          sum("wt").over(wc).as("cw"), sum("wt").over(wa).as("tw"))
+      graft.api.Pipelines.groupRankPrefix(c, Seq("l_returnflag"), Seq(col("v")),
+          "__rk", "__n", Seq(("wt", "cw", "tw")))
         .groupBy("l_returnflag")
         .agg(round(min(when(col("cw") * 2 >= col("tw"), col("v"))).cast("double") / 100, 2)
           .as("wmedian"))
@@ -792,17 +800,31 @@ object Round3cOps {
       // final value is one double division — bit-identical across
       // engines under any tie order (rank() and the tie count are
       // order-independent). Bounds: |d| < 2n, Σ ≤ 4n³ — exact in BIGINT
-      // through sf1; beyond that the sums move to DECIMAL(38). Three
-      // window sorts + one aggregate, all on the group key.
+      // through sf1; beyond that the sums move to DECIMAL(38). The
+      // doubled average ranks come from per-(f, value) COUNTS + a
+      // range-partitioned per-f prefix sum (Pipelines.groupRankPrefix,
+      // r13 — the 3-value returnflag windows were 3-task corpus sorts):
+      // with cum = #rows ≤ value and cnt = ties, 2·avg_rank =
+      // 2·rank() + cnt − 1 = 2·cum − cnt + 1 — the identical integers,
+      // attached back to the fact by (f, value) equi-joins whose keys
+      // are row-scaled (full parallelism).
       val c = Tables(s, d, "lineitem").select(col("l_returnflag").as("f"),
         floor(col("l_quantity") * 100 + 0.5).cast("long").as("q"),
         floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("p"))
-      val r = c.select(col("f"),
-        (rank().over(Window.partitionBy("f").orderBy("q")).cast("long") * 2
-          + count(lit(1)).over(Window.partitionBy("f", "q")) - 1).as("rx"),
-        (rank().over(Window.partitionBy("f").orderBy("p")).cast("long") * 2
-          + count(lit(1)).over(Window.partitionBy("f", "p")) - 1).as("ry"),
-        count(lit(1)).over(Window.partitionBy("f")).as("n"))
+      def dblRank(valCol: String, out: String) = graft.api.Pipelines.groupRankPrefix(
+          c.groupBy("f", valCol).agg(count(lit(1)).as("cnt")),
+          Seq("f"), Seq(col(valCol)), "__rk", "__ng", Seq(("cnt", "cum", "")))
+        .select(col("f"), col(valCol),
+          (lit(2) * col("cum") - col("cnt") + 1).as(out))
+      val nTbl = c.groupBy("f").agg(count(lit(1)).as("n"))
+      // the q-rank table is BOUNDED (l_quantity's ~50-value domain ×
+      // |flags| rows) but RDD-backed frames carry no size stats, so the
+      // planner would SMJ it — broadcast explicitly (cited bound); the
+      // p-rank side is row-scaled and correctly stays a shuffle join
+      val r = c.join(broadcast(dblRank("q", "rx")), Seq("f", "q"))
+        .join(dblRank("p", "ry"), Seq("f", "p"))
+        .join(broadcast(nTbl), "f")
+        .select(col("f"), col("rx"), col("ry"), col("n"))
       val dx = col("rx") - col("n") - 1
       val dy = col("ry") - col("n") - 1
       r.groupBy("f")
@@ -919,8 +941,11 @@ object Round3cOps {
       // prefix whose cumulative size fits budget = min(total,
       // ceil(√total · 64)) — sublinear budgets flatten the mix exactly
       // like √n doc quotas, and the same FP-exactness argument holds
-      // (IEEE sqrt, ×2^6). The fill is one cumulative-sum window per
-      // language — no driver loop, no second pass; re-running years
+      // (IEEE sqrt, ×2^6). The fill is one range-partitioned per-lang
+      // prefix sum (Pipelines.groupRankPrefix, r13 — the lang-keyed
+      // cumulative window was a |langs|-task corpus sort; integer sums
+      // over the total (hash, doc_id) order reproduce the window form
+      // bit-exactly) — no driver loop, no second pass; re-running years
       // later re-derives the identical corpus (the reproducibility
       // property budget-based sampling usually loses). Window sums are
       // HUGEINT in the oracle — CAST (the round-2 trap list).
@@ -930,10 +955,10 @@ object Round3cOps {
           least(col("tot"), ceil(sqrt(col("tot").cast("double")) * 64).cast("long"))
             .as("budget"))
       val prio = (pmod(col("doc_id"), lit(1000000007L)) * 2654435761L) % 1000000007L
-      val w = Window.partitionBy("lang").orderBy(prio, col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      docs.select(col("doc_id"), col("lang"), col("n_chars"),
-          sum("n_chars").over(w).as("cum"))
+      graft.api.Pipelines.groupRankPrefix(
+          docs.select(col("doc_id"), col("lang"), col("n_chars")),
+          Seq("lang"), Seq(prio, col("doc_id")), "__rk", "__ng",
+          Seq(("n_chars", "cum", "")))
         .join(broadcast(budgets), "lang")
         .filter(col("cum") <= col("budget"))
         .select(col("doc_id"), col("lang"), col("cum").cast("long").as("cum_chars"),

@@ -379,15 +379,18 @@ object Round3dOps {
       // (n+1)·Σxᵢ)/(n·Σxᵢ) over ascending exact cents: every sum is
       // BIGINT (ties contribute identically under any permutation — x
       // constant within a tie — and (cents, orderkey) is total anyway);
-      // ONE per-group window sort + one aggregate. Σi·x ~ n²·x̄
-      // overflows BIGINT around n≈1e8 per group — swap the rank/sum
-      // columns to DECIMAL(38,0) there (q_agg_26's escalation path).
-      val w = Window.partitionBy("prio").orderBy("cents", "o_orderkey")
-      Tables(s, d, "orders")
+      // the rank index comes from Pipelines.exactGroupRankCount (r13 —
+      // the 5-value prio window was a 5-task corpus sort; the
+      // range-partitioned rank keeps every task ~N/P), then one
+      // aggregate. Σi·x ~ n²·x̄ overflows BIGINT around n≈1e8 per
+      // group — swap the rank/sum columns to DECIMAL(38,0) there
+      // (q_agg_26's escalation path).
+      val c = Tables(s, d, "orders")
         .select(col("o_orderpriority").as("prio"),
           floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"),
           col("o_orderkey"))
-        .withColumn("i", row_number().over(w).cast("long"))
+      graft.api.Pipelines.exactGroupRankCount(c,
+          Seq("prio"), Seq(col("cents"), col("o_orderkey")), "i", "__ng")
         .groupBy("prio")
         .agg(count(lit(1)).as("n"), sum("cents").as("s"), sum(col("i") * col("cents")).as("w2"))
         .select(col("prio"), col("n"),

@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.Q
 import graft.sources.Tables
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-5 continuation (SURVEY §2.11aj): funnel latency, the OR'd
@@ -44,7 +43,12 @@ object Round5aaOps {
       // First-touch times are exact micro mins in ONE events pass; the
       // median/p90 are exact order-statistic PICKS (rank (n+1)/2 and
       // ceil(0.9 n) over the integer gaps) — no interpolation, no float.
-      // Minutes truncate by integer division on both engines.
+      // Minutes truncate by integer division on both engines. The ranks
+      // come from Pipelines.exactGroupRankCount (r13): the 2-value hop
+      // key made the window form a 2-task corpus sort at scale; the
+      // range-partitioned form keeps every task ~N/P. The tail itself
+      // is Pipelines.funnelGapStats, SHARED with the streaming twin's
+      // finisher so the two cannot drift (r12 verdict item 3).
       val f = Tables(s, d, "events")
         .groupBy("user_id")
         .agg(min(when(col("event_type") === "view", expr("unix_micros(ts)"))).as("t_view"),
@@ -56,17 +60,7 @@ object Round5aaOps {
         .union(f.filter(col("t_click").isNotNull && col("t_buy").isNotNull
             && col("t_buy") >= col("t_click"))
           .select(lit("click_to_purchase").as("hop"), (col("t_buy") - col("t_click")).as("gap_us")))
-      val w = Window.partitionBy("hop").orderBy("gap_us")
-      val r = hops
-        .withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("hop")))
-      r.groupBy("hop")
-        .agg(max("n").as("n_users"),
-          (max(when(col("rn") === floor((col("n") + 1) / lit(2.0)).cast("long"), col("gap_us")))
-            / 60000000L).cast("long").as("median_minutes"),
-          (max(when(col("rn") === floor((lit(9) * col("n") + 9) / lit(10.0)).cast("long"),
-            col("gap_us"))) / 60000000L).cast("long").as("p90_minutes"))
-        .orderBy("hop")
+      graft.api.Pipelines.funnelGapStats(hops)
     },
 
     // OR'd EXISTS: orders with a LATE lineitem OR a HEAVILY DISCOUNTED

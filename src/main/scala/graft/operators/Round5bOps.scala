@@ -278,13 +278,17 @@ object Round5bOps {
       // larger SF the per-type span is fixed, only the count grows, so
       // the sum is span-bounded ≈ avg_cents·span, NOT row-scaled).
       // The plain mean rides along for the irregularity contrast.
-      // Scale: one per-type window (keyed partitions), then a 5-row agg.
+      // Scale: the per-type lead comes from Pipelines.groupLeadLong
+      // (r13 — the |types|-valued window was a few-task sort of ALL
+      // events; the range-partitioned lead with P-row boundary
+      // stitching keeps every task ~N/P), then a 5-row agg.
       val e = Tables(s, d, "events").select(col("event_type"),
         unix_micros(col("ts")).as("us"), col("event_id"),
         floor(col("value") * 100 + 0.5).cast("long").as("cents"))
-      val w = e.select(col("event_type"), col("cents"),
-        (lead("us", 1).over(Window.partitionBy("event_type").orderBy("us", "event_id"))
-          - col("us")).as("dur"))
+      val w = graft.api.Pipelines.groupLeadLong(e, Seq("event_type"),
+          Seq(col("us"), col("event_id")), "us", "__next_us")
+        .select(col("event_type"), col("cents"),
+          (col("__next_us") - col("us")).as("dur"))
       w.filter(col("dur").isNotNull)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_seg"),

@@ -60,14 +60,14 @@ object Round5cOps {
       // machinery applied to the integer deviations |x−med|: per-group
       // (n, Σdev BIGINT, Σdev² DECIMAL(38,0)), between-terms
       // floor-quantized to dollars² before the 5-term window sum. Scale:
-      // one per-group rank window for the median, one map-side agg after.
+      // the median rank comes from Pipelines.exactGroupRankCount (r13 —
+      // the 5-value prio window was a 5-task corpus sort), then one
+      // map-side agg.
       val c = Tables(s, d, "orders").select(col("o_orderpriority").as("prio"),
         col("o_orderkey"),
         floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
-      val r = c
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("prio").orderBy("cents", "o_orderkey")).cast("long"))
-        .withColumn("ng", count(lit(1)).over(Window.partitionBy("prio")))
+      val r = graft.api.Pipelines.exactGroupRankCount(c,
+        Seq("prio"), Seq(col("cents"), col("o_orderkey")), "rn", "ng")
       val m = r.groupBy("prio")
         .agg(min(when(col("rn") === expr("(ng + 1) div 2"), col("cents"))).as("med"))
       val dv = c.join(broadcast(m), "prio")
@@ -158,10 +158,17 @@ object Round5cOps {
       // difference (datediff over DATE casts — the NTZ-safe house
       // pattern; DuckDB's datediff('day', start, end) matches Spark's
       // datediff(end, start) argument order reversed). The median is the
-      // exact lower order statistic via a per-month rank window. Scale:
-      // one fact⋈dim hash join (orders side prunable to the two keyed
-      // columns), one per-month window — month partitions are balanced
-      // by construction.
+      // exact lower order statistic via per-(month, lag) COUNTS + a
+      // grouped prefix sum (Pipelines.groupRankPrefix, r13 — the
+      // month-keyed window capped parallelism at the month count and
+      // sorted each month's full slice in one task): lag_days has a
+      // bounded day-range domain, so after one map-side-combinable
+      // aggregate the rank machinery runs over months×lag-domain rows;
+      // the rank-r value is the smallest lag whose cumulative count
+      // reaches r (ties share the value — rank-deterministic), and the
+      // mean/violations/max fold over the same count table. Scale: one
+      // fact⋈dim hash join (orders side prunable to the two keyed
+      // columns), one keyed aggregate, then the tiny-table prefix.
       val j = Tables(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
         .join(Tables(s, d, "orders").select(col("o_orderkey"), col("o_orderdate")),
           col("l_orderkey") === col("o_orderkey"))
@@ -169,14 +176,13 @@ object Round5cOps {
           col("l_orderkey"), col("l_linenumber"),
           datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date"))
             .cast("long").as("lag_days"))
-      val r = j
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("month").orderBy("lag_days", "l_orderkey", "l_linenumber")).cast("long"))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("month")))
+      val cnts = j.groupBy("month", "lag_days").agg(count(lit(1)).as("cnt"))
+      val r = graft.api.Pipelines.groupRankPrefix(cnts, Seq("month"),
+        Seq(col("lag_days")), "__rk", "__nd", Seq(("cnt", "cum", "n")))
       r.groupBy("month").agg(
-          max("n").as("n"), sum("lag_days").cast("long").as("s"),
-          sum(when(col("lag_days") < 0, 1).otherwise(0)).cast("long").as("violations"),
-          min(when(col("rn") === expr("(n + 1) div 2"), col("lag_days"))).as("p50"),
+          max("n").as("n"), sum(col("lag_days") * col("cnt")).cast("long").as("s"),
+          sum(when(col("lag_days") < 0, col("cnt")).otherwise(0L)).cast("long").as("violations"),
+          min(when(col("cum") >= expr("(n + 1) div 2"), col("lag_days"))).as("p50"),
           max("lag_days").as("max_lag"))
         .select(col("month"), col("n"), col("violations"), col("p50").as("p50_lag_days"),
           round(col("s").cast("double") / col("n"), 2).as("mean_lag_days"), col("max_lag"))

@@ -227,16 +227,16 @@ object Round5dOps {
       // the ratio is quantized to a 1e-6 integer per row, so the
       // per-label mean/median/extremes are exact-integer statistics.
       // Scale: pure per-row projection + one label-keyed agg; the
-      // median rank window partitions by label.
+      // median ranks come from Pipelines.exactGroupRankCount (r13 —
+      // the constant-cardinality label window was a few-task corpus
+      // sort; range-partitioned ranks keep every task ~N/P).
       val pr = Tables(s, d, "embeddings").select(col("vec_id"), col("label"),
         (VectorFunctions.norm2(col("embedding")) * VectorFunctions.norm2(col("embedding"))
           / VectorFunctions.pow4(col("embedding"))).as("ed"))
       val q = pr.select(col("vec_id"), col("label"),
         floor(col("ed") * 1000000L + 0.5).cast("long").as("eq"))
-      val r = q
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("label").orderBy("eq", "vec_id")).cast("long"))
-        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("label")))
+      val r = graft.api.Pipelines.exactGroupRankCount(q,
+        Seq("label"), Seq(col("eq"), col("vec_id")), "rn", "cnt")
       r.groupBy(col("label").cast("long").as("label")).agg(
           max("cnt").as("n"), sum("eq").cast("long").as("sq"),
           min(when(col("rn") === expr("(cnt + 1) div 2"), col("eq"))).as("p50q"),

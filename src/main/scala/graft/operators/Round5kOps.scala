@@ -258,8 +258,12 @@ object Round5kOps {
       // Built on the SAME [[NbLang.scores]] table and oracle CTE chain
       // as q_ml_2/q_ml_3 (the three gates cannot drift); margins are
       // exact BIGINT 1e-9-nat differences, the median an exact order
-      // statistic. Scale: score table is docs×|langs|; one rank window
-      // per doc then per lang.
+      // statistic. Scale: score table is docs×|langs|; the per-doc rank
+      // window partitions by doc_id (row-scaled key — fine); the
+      // per-LANG ranks come from Pipelines.exactGroupRankCount (r13 —
+      // the ~langs-valued window was a few-task corpus sort, the
+      // 3rd-slowest bench query at r12; range-partitioned ranks keep
+      // every task ~N/P).
       val rk = NbLang.scores(s, d).withColumn("rn",
         row_number().over(Window.partitionBy("doc_id").orderBy(col("score9").desc, col("lang"))))
       val top = rk.filter(col("rn") === 1)
@@ -270,10 +274,8 @@ object Round5kOps {
         .select(col("doc_id"), col("pred"), (col("s1") - col("s2")).as("margin9"))
       val j = Tables(s, d, "documents").select(col("doc_id"), col("lang").as("actual"))
         .join(mg, "doc_id")
-      val r = j
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("actual").orderBy("margin9", "doc_id")).cast("long"))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("actual")))
+      val r = graft.api.Pipelines.exactGroupRankCount(j,
+          Seq("actual"), Seq(col("margin9"), col("doc_id")), "rn", "n")
         .withColumn("ok", when(col("pred") === col("actual"), 1).otherwise(0))
       r.groupBy(col("actual").as("lang")).agg(
           max("n").as("n"), sum("ok").cast("long").as("n_correct"),

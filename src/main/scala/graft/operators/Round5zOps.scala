@@ -120,22 +120,29 @@ object Round5zOps {
         | CAST(sum(CASE WHEN rk <> drk THEN 1 ELSE 0 END) AS BIGINT) AS n_gapped
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       // Ranks run on the COARSE bucket (floor/1000) so ties are
-      // plentiful; max(rank) = n (ranks reach the row count through
-      // gaps) while max(dense_rank) counts distinct buckets, and
-      // n_gapped counts rows where the two disagree — all exact
-      // integer facts about tie semantics, aggregated so no
-      // per-row arbitrary-tie output leaks into the hash.
+      // plentiful — which makes the tie semantics derivable from the
+      // per-(priority, bucket) COUNT table alone (r13, replacing two
+      // 5-task full-fact window sorts with a keyed aggregate + a
+      // range-partitioned per-priority prefix sum over the bucket
+      // table): every row of bucket i shares rank() = cum_i − cnt_i + 1
+      // and dense_rank() = i (Pipelines.groupRankPrefix's rank over the
+      // distinct buckets), so max(rank), max(dense_rank), and the
+      // gapped-row count are exact integer folds over the bucket table
+      // — identical values, aggregated so no per-row arbitrary-tie
+      // output leaks into the hash.
       val bucket = (floor(col("o_totalprice")).cast("long") / 1000).cast("long")
-      val w = Window.partitionBy("o_orderpriority").orderBy(col("bucket"))
-      val r = Tables(s, d, "orders")
+      val b = Tables(s, d, "orders")
         .select(col("o_orderpriority"), bucket.as("bucket"))
-        .withColumn("rk", rank().over(w))
-        .withColumn("drk", dense_rank().over(w))
+        .groupBy("o_orderpriority", "bucket").agg(count(lit(1)).as("cnt"))
+      val r = graft.api.Pipelines.groupRankPrefix(b, Seq("o_orderpriority"),
+          Seq(col("bucket")), "drk", "__nb", Seq(("cnt", "cum", "")))
+        .select(col("o_orderpriority"), col("cnt"), col("drk"),
+          (col("cum") - col("cnt") + 1).as("rk"))
       r.groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("n"),
+        .agg(sum("cnt").as("n"),
           max("rk").cast("long").as("max_rank"),
           max("drk").cast("long").as("n_distinct_buckets"),
-          sum(when(col("rk") =!= col("drk"), 1L).otherwise(0L)).as("n_gapped"))
+          sum(when(col("rk") =!= col("drk"), col("cnt")).otherwise(0L)).as("n_gapped"))
         .orderBy("o_orderpriority")
     }
   )

@@ -182,16 +182,20 @@ object Round7rOps {
       // DISC = ceil(0.25·n) rank pick (integer arithmetic); CONT =
       // Spark's exact interpolating percentile() — integral inputs make
       // the interpolation double-exact, so 1e-6 quantization is safe.
+      // DISC pick via per-(flag, qty) COUNTS + a grouped prefix sum
+      // (Pipelines.groupRankPrefix, r13 — the 3-value returnflag window
+      // was a 3-task corpus sort): qty has a ~50-value domain, so the
+      // rank machinery runs over ≤ flags×50 rows after one map-side-
+      // combinable aggregate; the value at rank ⌈n/4⌉ is the smallest
+      // qty whose cumulative count reaches the rank (ties share qty, so
+      // the pick is rank-deterministic — exactRankPick's argument).
       val q = Tables(s, d, "lineitem")
-        .select(col("l_returnflag"), col("l_quantity").cast("long").as("qty"),
-          col("l_orderkey"), col("l_linenumber"))
-      val wR = Window.partitionBy(col("l_returnflag"))
-        .orderBy(col("qty"), col("l_orderkey"), col("l_linenumber"))
-      val wN = Window.partitionBy(col("l_returnflag"))
-      val r = q.select(col("l_returnflag"), col("qty"),
-        row_number().over(wR).as("rn"), count(lit(1)).over(wN).as("n"))
-      val disc = r.groupBy("l_returnflag")
-        .agg(max(when(col("rn") === expr("(n + 3) div 4"), col("qty"))).as("q25_disc"))
+        .select(col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
+      val cnts = q.groupBy("l_returnflag", "qty").agg(count(lit(1)).as("cnt"))
+      val pre = graft.api.Pipelines.groupRankPrefix(cnts, Seq("l_returnflag"),
+        Seq(col("qty")), "__rk", "__nd", Seq(("cnt", "cum", "n")))
+      val disc = pre.groupBy("l_returnflag")
+        .agg(min(when(col("cum") >= expr("(n + 3) div 4"), col("qty"))).as("q25_disc"))
       val cont = q.groupBy(col("l_returnflag").as("rf2"))
         .agg(Num.round(expr("percentile(qty, 0.25)"), 6).as("q25_cont"))
       disc.join(cont, col("l_returnflag") === col("rf2"))

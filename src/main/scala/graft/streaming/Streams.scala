@@ -1310,7 +1310,11 @@ object Streams {
   /** Stateless batch finisher over the latest per-user first-touch
     * times — EXACTLY the q_stream_30_funnel_time tail: per-hop gaps
     * where both touches exist and are ordered, then the exact
-    * order-statistic median/p90 picks truncated to minutes.
+    * order-statistic median/p90 picks truncated to minutes. The tail
+    * itself is [[graft.api.Pipelines.funnelGapStats]], the SAME code
+    * the batch query runs (r12 verdict item 3 — the previous inlined
+    * copy could drift), which ranks via exactGroupRankCount instead of
+    * a 2-task window sort.
     */
   def funnelTimeFinish(touches: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1329,16 +1333,6 @@ object Streams {
       .union(f.filter(col("t_click").isNotNull && col("t_buy").isNotNull
           && col("t_buy") >= col("t_click"))
         .select(lit("click_to_purchase").as("hop"), (col("t_buy") - col("t_click")).as("gap_us")))
-    val w = Window.partitionBy("hop").orderBy("gap_us")
-    val r = hops
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("hop")))
-    r.groupBy("hop")
-      .agg(max("n").as("n_users"),
-        (max(when(col("rn") === floor((col("n") + 1) / lit(2.0)).cast("long"), col("gap_us")))
-          / 60000000L).cast("long").as("median_minutes"),
-        (max(when(col("rn") === floor((lit(9) * col("n") + 9) / lit(10.0)).cast("long"),
-          col("gap_us"))) / 60000000L).cast("long").as("p90_minutes"))
-      .orderBy("hop")
+    graft.api.Pipelines.funnelGapStats(hops)
   }
 }

@@ -24,6 +24,12 @@ import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
   *     bounded below (a limit/top-k/group-limit, a zero-grouping
   *     aggregate, or literal local data at its top) — the all-pairs
   *     blow-up that turns 10⁸×10⁸ rows into 10¹⁶ comparisons.
+  *   - `windowconst` (round 13, r12 verdict item 2): a `WindowExec`
+  *     whose partition key is PROVABLY constant-cardinality (literal,
+  *     calendar truncation, fixture enum column, mod-by-literal) over a
+  *     row-scaled input and not rescued by a `WindowGroupLimitExec` —
+  *     the k-task sibling of window1p (k = the key's 2-25 values), the
+  *     class the r12 verdict found six instances of.
   *   - `globalsort` (round 10): a global `SortExec` (range-partitioned
   *     total order) whose result feeds FURTHER computation with no
   *     limit above it — the next shuffle destroys the order, so the
@@ -150,6 +156,139 @@ object PlanLint {
       case _ => false
     }
 
+  // ---------------------------------------------------------------
+  // windowconst (round 13, VERDICT r12 item 2): a WindowExec whose
+  // partition key is PROVABLY constant-cardinality (literal, calendar
+  // truncation, a known fixture enum column, a mod-by-literal) over a
+  // row-scaled input. PlanLint's window1p rule keys on a
+  // SinglePartition exchange, so a window partitioned by a 2-25-value
+  // column sailed through — yet `Window.partitionBy("hop")` over all
+  // converting users is two tasks each sorting half the corpus (the
+  // r7/r8 single-partition class with k tasks instead of 1; r12 proved
+  // it recurs: the brand-new funnel twin finisher copied the shape).
+  // WindowGroupLimit below rescues `rn <= k` sites (per-group heaps,
+  // no full sort materialization), so those don't flag. Waivers cite
+  // the input's structural bound (vocab cap, ≤k-row dim, calendar).
+  // ---------------------------------------------------------------
+
+  import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, CaseWhen, Cast, Expression, If, Literal, NamedExpression, Pmod, Remainder}
+
+  /** Fixture columns whose value domain is a fixed enum — bounded no
+    * matter how many rows carry them. The lint lints THIS repo's
+    * declared queries against THIS repo's fixture schemas (TESTDATA.md),
+    * so a fixture-keyed list is sound; extend it when a fixture gains an
+    * enum column.
+    */
+  private val enumCols = Set(
+    "o_orderpriority", "o_orderstatus", "l_returnflag", "l_linestatus",
+    "lang", "label", "event_type")
+
+  /** Resolve an attribute (by exprId) to its defining expression(s),
+    * walking down through projections, unions (positional), aggregates
+    * (result aliases), and single-child pass-through nodes. Base-scan
+    * columns resolve to themselves.
+    */
+  private def resolveAttr(attr: Attribute, p: SparkPlan): Seq[Expression] = p match {
+    case pr: ProjectExec =>
+      pr.projectList.find(_.exprId == attr.exprId) match {
+        case Some(a: Alias) => a.child match {
+          case c: Attribute => resolveAttr(c, pr.child)
+          case e => Seq(e)
+        }
+        case _ => resolveAttr(attr, pr.child)
+      }
+    case u: UnionExec =>
+      val i = u.output.indexWhere(_.exprId == attr.exprId)
+      if (i < 0) Seq(attr)
+      else u.children.flatMap { c =>
+        c.output.lift(i).toSeq.flatMap(ca => resolveAttr(ca, c))
+      }
+    case a: HashAggregateExec => resolveThroughNamed(attr, a.resultExpressions, a.child)
+    case a: ObjectHashAggregateExec => resolveThroughNamed(attr, a.resultExpressions, a.child)
+    case a: SortAggregateExec => resolveThroughNamed(attr, a.resultExpressions, a.child)
+    case other if other.children.size == 1 => resolveAttr(attr, other.children.head)
+    case _ => Seq(attr)
+  }
+
+  private def resolveThroughNamed(attr: Attribute, named: Seq[NamedExpression],
+      child: SparkPlan): Seq[Expression] =
+    named.find(_.exprId == attr.exprId) match {
+      case Some(a: Alias) => a.child match {
+        case c: Attribute => resolveAttr(c, child)
+        case e => Seq(e)
+      }
+      case _ => resolveAttr(attr, child)
+    }
+
+  /** Is this expression's value domain provably constant-cardinality
+    * (independent of row count)? `plan` is the subtree below the node
+    * that evaluates it, for attribute resolution.
+    */
+  private def boundedKey(e: Expression, plan: SparkPlan): Boolean = e match {
+    case _: Literal => true
+    case a: Alias => boundedKey(a.child, plan)
+    case c: Cast => boundedKey(c.child, plan)
+    case a: Attribute =>
+      resolveAttr(a, plan).forall {
+        case base: Attribute => enumCols(base.name)
+        case other => boundedShape(other)
+      }
+    case other => boundedShape(other)
+  }
+
+  /** Shape-only boundedness (no attribute resolution): calendar
+    * truncations (bounded by the data's TIME span, which the verdict
+    * counts as constant vs row count — a month key caps parallelism at
+    * the month count), literal-output conditionals, mod-by-literal.
+    */
+  private def boundedShape(e: Expression): Boolean = e match {
+    case _: Literal => true
+    case c: Cast => boundedShape(c.child)
+    case a: Alias => boundedShape(a.child)
+    case cw: CaseWhen =>
+      (cw.branches.map(_._2) ++ cw.elseValue).forall(boundedShape)
+    case i: If => boundedShape(i.trueValue) && boundedShape(i.falseValue)
+    case Pmod(_, _: Literal, _) => true
+    case Remainder(_, _: Literal, _) => true
+    case other =>
+      val calendar = Set("TruncDate", "TruncTimestamp", "Year", "Month",
+        "Quarter", "DayOfWeek", "WeekDay", "DayOfMonth", "DayOfYear",
+        "WeekOfYear", "Hour", "Minute", "Second", "MonthName", "DayName")
+      calendar(other.getClass.getSimpleName)
+  }
+
+  /** Does the window's input scale with row count? Aggregates whose
+    * EVERY grouping key is bounded produce bounded output (a window
+    * over ≤k rows is fine); limits/top-k/group-limits and literal local
+    * data are bounded; anything else (scans, joins, generators, keyed
+    * aggregates on row-scaled keys) is row-scaled.
+    */
+  private def inputRowScaled(p: SparkPlan): Boolean = p match {
+    case _: BaseLimitExec | _: TakeOrderedAndProjectExec |
+        _: WindowGroupLimitExec | _: LocalTableScanExec | _: RangeExec => false
+    case a: HashAggregateExec =>
+      a.groupingExpressions.nonEmpty &&
+        !a.groupingExpressions.forall(g => boundedKey(g, a.child))
+    case a: ObjectHashAggregateExec =>
+      a.groupingExpressions.nonEmpty &&
+        !a.groupingExpressions.forall(g => boundedKey(g, a.child))
+    case a: SortAggregateExec =>
+      a.groupingExpressions.nonEmpty &&
+        !a.groupingExpressions.forall(g => boundedKey(g, a.child))
+    case u: UnionExec => u.children.exists(inputRowScaled)
+    case pr: ProjectExec => inputRowScaled(pr.child)
+    case f: FilterExec => inputRowScaled(f.child)
+    case s: SortExec => inputRowScaled(s.child)
+    case e: ShuffleExchangeExec => inputRowScaled(e.child)
+    case b: BroadcastExchangeExec => inputRowScaled(b.child)
+    case c: CoalesceExec => inputRowScaled(c.child)
+    case a: AQEShuffleReadExec => inputRowScaled(a.child)
+    case w: WholeStageCodegenExec => inputRowScaled(w.child)
+    case i: InputAdapter => inputRowScaled(i.child)
+    case w: WindowExec => inputRowScaled(w.child)
+    case _ => true
+  }
+
   /** All offending nodes in one query's plan as (rule, description)
     * pairs (empty = clean). Round 11: also walks subquery plans
     * (`subqueriesAll`) — a scalar/IN-subquery's global sort or
@@ -174,6 +313,20 @@ object PlanLint {
           case _ => None
         }
     }.flatten
+
+    // windowconst (r13): constant-cardinality partition key over a
+    // row-scaled input, not rescued by a group limit below. The
+    // partition key set must be NON-EMPTY (empty = window1p's beat) and
+    // EVERY key provably bounded — one row-scaled key spreads the sort.
+    val windowconst = root.collect {
+      case w: WindowExec
+          if w.partitionSpec.nonEmpty
+            && w.partitionSpec.forall(e => boundedKey(e, w.child))
+            && !limitBoundedBelow(w.child)
+            && inputRowScaled(w.child) =>
+        "windowconst" ->
+          s"Window[${w.windowExpression.map(_.sql).mkString(", ").take(100)}] partitioned by constant-cardinality key [${w.partitionSpec.map(_.sql).mkString(", ").take(80)}] over row-scaled input"
+    }
 
     val xjoin = root.collect {
       case j: CartesianProductExec
@@ -201,7 +354,7 @@ object PlanLint {
     }
     val globalsort = walk(root, Nil)
 
-    window1p ++ xjoin ++ globalsort
+    window1p ++ windowconst ++ xjoin ++ globalsort
   }
 
   /** Round 11: the localCheckpoint blind spot. An eager

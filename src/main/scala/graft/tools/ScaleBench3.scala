@@ -111,8 +111,12 @@ object ScaleBench3 {
       // label each pairwise exponent with the ACTUAL input-factor pair
       // it spans (r10 ADVICE: when a middle point fails, an unlabeled
       // sequence silently reads 1x->30x as an adjacent step)
+      // equal-factor point pairs (solo-floor mode repeats one point) have
+      // log(f1/f0)=0: the exponent is ±Infinity on pure jitter and the
+      // LSQ denominator is 0 — emit NaN and never flag such pairs (r12
+      // ADVICE: the single-point solo-floor mode prints no exponent)
       val pairwise = ok.sliding(2).collect { case Seq((if0, f0, t0), (if1, f1, t1)) =>
-        (if0, if1, math.log(t1 / t0) / math.log(f1 / f0))
+        (if0, if1, if (f1 == f0) Double.NaN else math.log(t1 / t0) / math.log(f1 / f0))
       }.toSeq
       // least-squares slope of log t over log work across OK points
       val xs = ok.map { case (_, f, _) => math.log(f) }

@@ -87,6 +87,24 @@ class BpeSpec extends SparkSpec {
       s"expected the build-time precondition failure, got: $ex")
   }
 
+  test("encodeFast refuses duplicate ranks (which would spin encodeTokens forever)") {
+    // r12 ADVICE: with two pairs at one rank, rankInfo keeps only the
+    // last pair while pairInfo can report the other as bestRank — the
+    // merge pass matches nothing and the loop never terminates. The
+    // codec must fail LOUDLY at build time instead.
+    val s = spark
+    import s.implicits._
+    val dup = Seq((1, "a", "b", 3L), (1, "c", "d", 2L))
+    val df = Seq("q").toDF("tok").select(charSyms(col("tok")).as("syms"))
+    val ex = intercept[Exception] {
+      df.select(Bpe.encodeFast(col("syms"), dup).as("e")).collect()
+    }
+    def rootMessages(t: Throwable): List[String] =
+      Option(t.getMessage).toList ++ Option(t.getCause).toList.flatMap(rootMessages)
+    assert(rootMessages(ex).exists(_.contains("duplicate rank")),
+      s"expected the duplicate-rank build failure, got: $ex")
+  }
+
   test("encodeFast handles empty and null arrays") {
     val s = spark
     import s.implicits._

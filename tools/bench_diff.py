@@ -38,11 +38,53 @@ committing bench_out.json — a correct-but-slower plan shows up here
 first, not in the judge's table.
 """
 import json
+import os
 import subprocess
 import sys
 
 FLOOR_DEPTH = 5  # committed bench_out.json revisions to min-merge
 MAX_DRIFT = 1.6  # session drift normalized away at most this far
+
+# Deliberate plan changes (r13): a query whose plan was INTENTIONALLY
+# restructured for scale correctness (oracle-verified identical output,
+# adjudicated in PERF.md) must not be gated against floors measured on
+# the retired plan — those floors would flag the documented change
+# forever. tools/floor_rebaseline.tsv lists
+# <query>\t<cutoff-sha>\t<justification>; for those queries, committed
+# bench records at revisions that are ancestors of (or equal to) the
+# cutoff are EXCLUDED from the floor min-merge. The floor then rebuilds
+# from post-change records only (until one is committed, the query
+# gates like an ADDED query). This deliberately breaks per-query floor
+# monotonicity AT the cutoff — that is the point — and nowhere else.
+REBASELINE_PATH = os.path.join(os.path.dirname(__file__), "floor_rebaseline.tsv")
+
+
+def _load_rebaselines():
+    out = {}
+    if os.path.exists(REBASELINE_PATH):
+        with open(REBASELINE_PATH) as f:
+            for line in f:
+                line = line.rstrip("\n")
+                if not line or line.startswith("#"):
+                    continue
+                parts = line.split("\t")
+                if len(parts) < 3 or not parts[2].strip():
+                    raise SystemExit("bench_diff: malformed rebaseline line "
+                                     f"(need query\\tsha\\tjustification): {line}")
+                out[parts[0]] = parts[1]
+    return out
+
+
+_ANCESTRY_CACHE = {}
+
+
+def _is_ancestor(rev, cutoff):
+    key = (rev, cutoff)
+    if key not in _ANCESTRY_CACHE:
+        rc = subprocess.run(["git", "merge-base", "--is-ancestor", rev, cutoff],
+                            capture_output=True).returncode
+        _ANCESTRY_CACHE[key] = (rc == 0)
+    return _ANCESTRY_CACHE[key]
 
 
 def _committed_records(depth: int):
@@ -65,7 +107,9 @@ def _committed_records(depth: int):
         if show.returncode != 0:
             continue
         try:
-            records.append(json.loads(show.stdout))
+            rec = json.loads(show.stdout)
+            rec["__sha__"] = sha
+            records.append(rec)
         except json.JSONDecodeError:
             continue
     solo = subprocess.run(["git", "show", "HEAD:bench_floor.json"],
@@ -78,18 +122,32 @@ def _committed_records(depth: int):
     return records
 
 
-def min_merge(records):
+def min_merge(records, rebaselines=None, is_ancestor=_is_ancestor):
     """Per-query minimum across records; total = min of totals over
     records carrying the LATEST query set (so retired queries don't
     deflate it). Floor membership = the newest record's query set —
-    queries absent there are retired and dropped from the floor."""
+    queries absent there are retired and dropped from the floor.
+    Rebaselined queries (see REBASELINE_PATH) exclude records at or
+    before their cutoff sha; with no surviving record the query is
+    omitted from the floor (gates like an ADDED query until a
+    post-change record is committed)."""
     suite = [r for r in records if not r.get("__solo__")]
     if not suite:
         raise SystemExit("bench_diff: no committed bench_out.json to diff against")
     newest = suite[0]
+
+    def valid(r, name):
+        cut = (rebaselines or {}).get(name)
+        if cut is None or r.get("__solo__") or "__sha__" not in r:
+            return True
+        return not is_ancestor(r["__sha__"], cut)
+
     floor_q = {}
     for name in newest["queries"]:
-        floor_q[name] = min(r["queries"][name] for r in records if name in r.get("queries", {}))
+        vals = [r["queries"][name] for r in records
+                if name in r.get("queries", {}) and valid(r, name)]
+        if vals:
+            floor_q[name] = min(vals)
     same_set = [r for r in suite
                 if set(r.get("queries", {})) == set(newest["queries"]) and "value" in r]
     total = min(r["value"] for r in same_set) if same_set else newest["value"]
@@ -98,7 +156,7 @@ def min_merge(records):
 
 def load(ref: str) -> dict:
     if ref == "HEAD":
-        return min_merge(_committed_records(FLOOR_DEPTH))
+        return min_merge(_committed_records(FLOOR_DEPTH), _load_rebaselines())
     with open(ref) as f:
         return json.load(f)
 
@@ -125,9 +183,15 @@ def diff(old: dict, new: dict, quiet: bool = False):
         for name in sorted(set(oq) - set(nq)):
             print(f"  REMOVED {name:34s} (was {oq[name]:.2f}s)")
     flagged = []
+    # drift compounding cap (r12 ADVICE): m*1.5 could reach 2.4x of the
+    # raw floor in a maximally drifty session, letting a real ~2x
+    # regression ride the drift forever; the per-query allowance is
+    # capped at an absolute 2.0x of floor regardless of m (quiet
+    # sessions, m=1, are unchanged — 1.5 < 2.0)
+    lim = min(m * 1.5, 2.0)
     for name in shared:
         a, b = oq[name] * m, nq[name]
-        if b > a * 1.5 and b - a > 0.5:
+        if b > oq[name] * lim and b - a > 0.5:
             flagged.append((b - a, name, oq[name], b))
         elif a > b * 1.5 and a - b > 0.5 and not quiet:
             print(f"  faster  {name:34s} {oq[name]:6.2f}s -> {b:6.2f}s")
@@ -180,7 +244,22 @@ def selftest() -> int:
     assert set(floor3["queries"]) == {"q_a", "q_d"}, floor3
     assert floor3["queries"]["q_a"] == 0.8, floor3
     assert floor3["value"] == 9.0, floor3
-    print("bench_diff selftest: floor is monotone, noise-immune, sensitive, bounded — OK")
+    # 7. rebaseline: a deliberately-replanned query excludes records at
+    #    or before its cutoff; with none surviving it leaves the floor
+    #    (gates as ADDED) and the OTHER queries' floors are untouched
+    old1 = {"value": 10.0, "__sha__": "A",
+            "queries": {"q_a": 1.0, "q_c": 0.3}}
+    new1 = {"value": 11.0, "__sha__": "B",
+            "queries": {"q_a": 1.1, "q_c": 2.0}}
+    anc = lambda rev, cut: rev == cut or (rev, cut) == ("A", "A")
+    floor4 = min_merge([new1, old1], {"q_c": "A"}, is_ancestor=anc)
+    assert floor4["queries"]["q_a"] == 1.0, floor4       # untouched query keeps min
+    assert floor4["queries"]["q_c"] == 2.0, floor4       # pre-cutoff 0.3 excluded
+    floor5 = min_merge([old1], {"q_c": "A"}, is_ancestor=anc)
+    assert "q_c" not in floor5["queries"], floor5        # no valid record -> omitted
+    assert diff(floor5, new1, quiet=True) == [], "rebaselined query must gate as ADDED"
+    print("bench_diff selftest: floor is monotone, noise-immune, sensitive, bounded, "
+          "rebaseline-scoped — OK")
     return 0
 
 

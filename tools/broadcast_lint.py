@@ -12,8 +12,10 @@ regression a correctness gate can never see.
 
 This lint makes the fix durable: it scans every src/main Scala file,
 tracks brace depth to find `while (...)` / `for (...)` loop bodies, and
-FAILS on any `broadcast(` call inside a loop body unless the site is
-waived in tools/broadcast_waivers.txt with a justification citing why
+FAILS on any `broadcast(` call inside a loop body — or inside a
+same-file def that is invoked (transitively) from a loop body, the
+Round5sOps.peel shape the r12 ADVICE flagged as a blind spot — unless
+the site is waived in tools/broadcast_waivers.txt with a justification citing why
 the broadcast side is BOUNDED (a grouping-free aggregate -> <=1 row, or
 a constant-cardinality dimension like the 25-row nation table). A
 node-scaled relation is never waivable: if it can grow with |V| or
@@ -81,6 +83,41 @@ def strip_comments_keep_positions(text):
 
 LOOP_RE = re.compile(r'\b(while|for)\s*[({]')
 BCAST_RE = re.compile(r'\bbroadcast\s*\(')
+DEF_RE = re.compile(r'\bdef\s+(\w+)')
+
+
+def def_spans(clean):
+    """Return [(name, start, end)] spans of every same-file def BODY:
+    from the def keyword to the close of the first balanced brace block
+    after it (brace-less one-liner defs get to end-of-line, which is
+    enough to contain any broadcast( call on that line). Used to catch
+    the r12 ADVICE blind spot: a forced broadcast inside a helper def
+    that is CALLED from a loop (Round5sOps.peel shape) is as iterative
+    as a literal loop-body broadcast."""
+    spans = []
+    n = len(clean)
+    for m in DEF_RE.finditer(clean):
+        i = m.end()
+        # find the first '{' before the next 'def'/'}': the body opener
+        nxt = DEF_RE.search(clean, i)
+        limit = nxt.start() if nxt else n
+        j = clean.find('{', i)
+        if j == -1 or j >= limit:
+            k = clean.find('\n', i)
+            spans.append((m.group(1), m.start(), n if k == -1 else k))
+            continue
+        depth = 0
+        k = j
+        while k < n:
+            if clean[k] == '{':
+                depth += 1
+            elif clean[k] == '}':
+                depth -= 1
+                if depth == 0:
+                    break
+            k += 1
+        spans.append((m.group(1), m.start(), min(k + 1, n)))
+    return spans
 
 
 def loop_body_spans(clean):
@@ -195,6 +232,22 @@ def main():
             spans = loop_body_spans(clean)
             if not spans:
                 continue
+            # r12 ADVICE blind spot: a broadcast inside a same-file def
+            # whose NAME is invoked from a loop body is effectively a
+            # loop-body broadcast — add those def bodies to the spans
+            defs = def_spans(clean)
+            added = set()
+            changed = True
+            while changed:  # fixpoint: loop -> def -> def chains
+                changed = False
+                for di, (name, ds, de) in enumerate(defs):
+                    if di in added:
+                        continue
+                    call = re.compile(r'\b' + re.escape(name) + r'\s*\(')
+                    if any(call.search(clean, a, b) for a, b in spans):
+                        spans = spans + [(ds, de)]
+                        added.add(di)
+                        changed = True
             for m in BCAST_RE.finditer(clean):
                 pos = m.start()
                 if not any(a <= pos < b for a, b in spans):

@@ -54,6 +54,14 @@ python3 tools/bench_diff.py --gate HEAD bench_out.json > /tmp/gate_bench_diff.tx
 cat /tmp/gate_bench_diff.txt
 if [ "$GATE_OK" = "0" ]; then
   FLAGGED=$(grep '^FLAGGED ' /tmp/gate_bench_diff.txt | cut -d' ' -f2)
+  # bench_diff can exit non-zero WITHOUT flags (uncaught exception, no
+  # committed bench_out.json, usage error); the empty-FLAGGED recheck
+  # would then adjudicate nothing and the gate would print GREEN over an
+  # infrastructure failure (r12 ADVICE, medium). Fail hard instead.
+  if [ -z "$FLAGGED" ]; then
+    echo "GATE: bench_diff failed without a FLAGGED line — infrastructure error, not a regression flag"
+    exit 1
+  fi
   echo "== 4b/4 solo recheck of suite-flagged queries: $FLAGGED =="
   # cool-down: a recheck started after the ~900s suite bench measured
   # healthy sub-second queries at 1.4-2.2s where the settled machine

@@ -46,7 +46,11 @@ def suite_floor():
         "bench_diff", os.path.join(os.path.dirname(__file__), "bench_diff.py"))
     bd = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(bd)
-    return bd.min_merge(bd._committed_records(bd.FLOOR_DEPTH))["queries"]
+    # rebaselined queries exclude pre-cutoff records here too — a solo
+    # recheck against a retired plan's floor would flag the documented
+    # r13 conversions forever
+    return bd.min_merge(bd._committed_records(bd.FLOOR_DEPTH),
+                        bd._load_rebaselines())["queries"]
 
 
 def main():
